@@ -1,0 +1,130 @@
+"""Checkpoint / lineage table: idempotent resume of failed shards.
+
+The reference has no checkpointing — only the SharedCount epoch counter
+(src/chug/common/types.py:9-17) and skip-and-continue error handlers
+(src/chug/wds/helpers.py:41-68).  The north rule requires per-partition
+lineage + metrics and resumable batch extraction, so this module adds:
+
+- a *bucket* notion: ``bucket = pmod(xxhash64(doc_id, seed), n_buckets)`` —
+  the resume granularity (the Spark analogue of a shard; stable under any
+  partitioning);
+- :func:`write_with_checkpoint` — runs extraction bucket-wise append-only,
+  recording (run_id, bucket, doc_count, span_count, error_count, status,
+  attempt, wall_ms) per completed bucket;
+- resume = anti-join of the input against buckets already ``done``
+  (SURVEY.md §4 'Checkpoint/resume'), so a re-run after a crash decodes only
+  the missing buckets and the final table equals a single clean run.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHECKPOINT_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), nullable=False),
+        T.StructField("bucket", T.IntegerType(), nullable=False),
+        T.StructField("doc_count", T.LongType()),
+        T.StructField("span_count", T.LongType()),
+        T.StructField("error_count", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("wall_ms", T.LongType()),
+    ]
+)
+
+
+def bucket_col(seed: int, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(n_buckets)).cast("int")
+
+
+def read_checkpoint(spark: SparkSession, checkpoint_dir: str, run_id: str) -> DataFrame:
+    path = os.path.join(checkpoint_dir, "checkpoint")
+    try:
+        cp = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], CHECKPOINT_TABLE_SCHEMA)
+    return cp.filter(F.col("run_id") == run_id)
+
+
+def done_buckets(spark: SparkSession, checkpoint_dir: str, run_id: str) -> DataFrame:
+    return (
+        read_checkpoint(spark, checkpoint_dir, run_id)
+        .filter(F.col("status") == "done")
+        .select("bucket")
+        .distinct()
+    )
+
+
+def write_with_checkpoint(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg,
+    out_dir: str,
+    n_buckets: int = 8,
+    fail_after: int | None = None,
+) -> None:
+    """Run doc-read extraction bucket-by-bucket with checkpointed lineage.
+
+    ``fail_after`` (tests only): raise after completing that many buckets to
+    simulate a mid-job crash; a subsequent call resumes the remaining buckets.
+    Output parquet is partitioned by bucket so each bucket's write is
+    idempotent (overwrite-by-partition).
+    """
+    from .extract import extract_docread, flatten_spans  # local import, no cycle
+
+    cfg.validate()
+    cp_path = os.path.join(out_dir, "checkpoint")
+    data_path = os.path.join(out_dir, "spans")
+    err_path = os.path.join(out_dir, "errors")
+
+    docs_b = docs.withColumn("bucket", bucket_col(cfg.seed, n_buckets))
+    done = {r["bucket"] for r in done_buckets(spark, out_dir, cfg.run_id).collect()}
+    attempt = 1 + (
+        read_checkpoint(spark, out_dir, cfg.run_id)
+        .agg(F.max("attempt"))
+        .collect()[0][0]
+        or 0
+    )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    completed = 0
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.monotonic()
+        sub = docs_b.filter(F.col("bucket") == b).drop("bucket")
+        spans_out, errors = extract_docread(spark, sub, cfg)
+        flat = flatten_spans(spans_out).withColumn("bucket", F.lit(b))
+        flat.write.mode("overwrite").partitionBy("bucket").parquet(data_path)
+        err_rows = errors.withColumn("bucket", F.lit(b))
+        err_rows.write.mode("overwrite").partitionBy("bucket").parquet(err_path)
+
+        stats = (
+            flat.groupBy()
+            .agg(
+                F.countDistinct("doc_id").alias("doc_count"),
+                F.count(F.lit(1)).alias("span_count"),
+            )
+            .collect()[0]
+        )
+        err_count = errors.count()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        row = [
+            (cfg.run_id, b, stats["doc_count"], stats["span_count"],
+             err_count, "done", attempt, wall_ms)
+        ]
+        spark.createDataFrame(row, CHECKPOINT_TABLE_SCHEMA).write.mode("append").parquet(cp_path)
+        completed += 1
+        if fail_after is not None and completed >= fail_after:
+            raise RuntimeError(f"simulated failure after {completed} buckets")
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the flat span output of a (possibly resumed) checkpointed run."""
+    return spark.read.parquet(os.path.join(out_dir, "spans")).drop("bucket")

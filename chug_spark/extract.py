@@ -1,0 +1,451 @@
+"""Doc-read extraction pipeline — the flagship job.
+
+Reimplements the semantics of the reference's fused decode+process stage
+(``src/chug/task_pipeline/pipeline_doc_read.py:20-62`` →
+``src/chug/doc/doc_read_processor.py:43-154`` + ``doc_processor.py:183-232``)
+as an idiomatic Spark plan over the span table (BASELINE.json ``input_hint``)::
+
+    documents(doc_id, spans)                               -- Iceberg-shaped scan
+      → valid_sample gate (size(spans) > 0)                -- tariterators.py:53
+      → Catalyst: anno pick / from_json / validity flags   -- doc_processor.py:184-190
+      → pandas UDF: page-sampling policy per doc           -- doc_read_processor.py:52-68
+      → payload docs: cap pages per sub-row, salted        -- north rule skew handling
+        repartition, decode UDF (render→hash→drop)         -- wds/decode.py:49-122
+      → passthrough docs: pure-SQL page pairing            -- no Python at all
+      → assemble: groupBy(doc_id) + array_sort → dense offsets
+      → errors side-output (doc_id, stage, error)          -- wds/helpers.py:41-68
+
+Design rules (SURVEY.md §4/§7):
+
+- every stochastic choice is a pure function of (doc_id, seed) — output is
+  identical at any parallelism;
+- filters/projections are Column expressions so Catalyst pushes them into the
+  scan; only the page-policy scan (tiny) and payload rendering (heavy) run in
+  Python, both Arrow-vectorized;
+- a giant multi-page doc is split into ≤max_pages_per_task sub-rows *before*
+  the decode UDF and re-assembled by ``array_sort(collect_list(...))`` — span
+  order is restored by sort keys, never by collect order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import media as media_mod
+from .config import CONTINUE_POLICIES, VALID_PAGE_RETRIES, ExtractJobCfg
+from .determinism import doc_rand_below
+from .functions import clean_text
+from .schema import ANNO_SCHEMA, ERRORS_SCHEMA
+
+# page-validity flags computed SQL-side and consumed by the policy UDF
+_FLAG_INVALID = 0   # page has a text list, but it is empty
+_FLAG_VALID = 1     # page has a non-empty text list
+_FLAG_MISSING = 2   # page lacks both 'lines.text' and 'text' → KeyError in ref
+
+
+def _policy_udf(page_sampling: str, seed: int):
+    """Vectorized page-sampling policy: (doc_id, flags, has_anno, has_media)
+    → struct(indices array<int>, error string).
+
+    Faithful to the reference's control flow:
+    - ``get_next_valid_page_index`` advance-with-wraparound, ≤10 retries,
+      RuntimeError when exhausted (doc_processor.py:18-45);
+    - policy branches random/first/all_valid/all
+      (doc_read_processor.py:52-68), including the wraparound *duplicates*
+      ``all_valid`` produces when invalid pages exist;
+    - mid-loop RuntimeError in all_valid keeps indices collected so far
+      (doc_read_processor.py:69-70 ``except RuntimeError: pass``);
+    - a scanned page lacking a text key entirely → KeyError → document error;
+    - 'random' start = randrange(-1, num_pages-1) (doc_read_processor.py:55),
+      re-keyed on (doc_id, seed) for schedule independence (SURVEY.md §7.4.1).
+    """
+
+    ret_type = T.StructType(
+        [
+            T.StructField("indices", T.ArrayType(T.IntegerType())),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def next_valid(cur: int, n: int, flags) -> int:
+        for _ in range(VALID_PAGE_RETRIES):
+            cur = (cur + 1) % n
+            f = flags[cur]
+            if f == _FLAG_MISSING:
+                raise KeyError("text")
+            if f == _FLAG_VALID:
+                return cur
+        raise RuntimeError("no non-empty page found")
+
+    def one(doc_id, flags, has_anno, has_media):
+        if not has_anno:
+            return None, "no_annotation"
+        if flags is None:
+            return None, "anno_parse"
+        n = len(flags)
+        if n == 0:
+            return None, "empty_annotation"
+        idx: list[int] = []
+        try:
+            if page_sampling == "random":
+                start = doc_rand_below(doc_id, seed, n, tag="page") - 1
+                idx = [next_valid(start, n, flags)]
+            elif page_sampling == "first":
+                idx = [next_valid(-1, n, flags)]
+            elif page_sampling == "all_valid":
+                cur = -1
+                for _ in range(n):
+                    cur = next_valid(cur, n, flags)
+                    idx.append(cur)
+            elif page_sampling == "all":
+                # text assembly raises on the FIRST empty/missing page, in
+                # page order (doc_read_processor.py:118-119 + KeyError on a
+                # missing text key) → whole-sample skip
+                for f in flags:
+                    if f == _FLAG_MISSING:
+                        return None, "missing_text_key"
+                    if f == _FLAG_INVALID:
+                        return None, "empty_page_in_all"
+                idx = list(range(n))
+            else:  # pragma: no cover
+                return None, f"bad_policy:{page_sampling}"
+        except RuntimeError:
+            pass
+        except KeyError:
+            return None, "missing_text_key"
+        if not idx:
+            return None, "no_valid_pages"
+        if not has_media:
+            return None, "no_page_images"
+        return idx, None
+
+    @F.pandas_udf(ret_type)
+    def select_pages(
+        doc_id: pd.Series, flags: pd.Series, has_anno: pd.Series, has_media: pd.Series
+    ) -> pd.DataFrame:
+        out_idx, out_err = [], []
+        for d, fl, ha, hm in zip(doc_id, flags, has_anno, has_media):
+            i, e = one(d, None if fl is None else list(fl), bool(ha), bool(hm))
+            out_idx.append(i)
+            out_err.append(e)
+        return pd.DataFrame({"indices": out_idx, "error": out_err})
+
+    return select_pages
+
+
+def _decode_udf(image_mode: str, render_dpi: int, max_pages: int):
+    """mapInPandas body for the payload branch: render selected pages of the
+    synthetic media payload → stable content refs (decode semantics of
+    wds/decode.py:49-122: index wrap p % num_pages, render scale dpi/72,
+    mode conversion).  Pixels are hashed and dropped inside the loop —
+    nothing pixel-sized crosses Arrow (SURVEY.md §7.4.5)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("anchor", T.IntegerType()),
+            T.StructField("k_global", T.IntegerType()),
+            T.StructField("page_text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "anchor", "k_global", "page_text", "media_ref", "error")}
+            for doc_id, anchor, chunk_id, payload, indices, texts in zip(
+                pdf["doc_id"], pdf["anchor"], pdf["chunk_id"],
+                pdf["payload"], pdf["chunk_indices"], pdf["chunk_texts"],
+            ):
+                try:
+                    mode_in, num_pages, seed = media_mod.parse_payload_ref(payload)
+                    for pos, (page_idx, page_text) in enumerate(zip(indices, texts)):
+                        arr = media_mod.render_page(
+                            seed, int(page_idx) % num_pages,
+                            image_mode=image_mode, render_dpi=render_dpi,
+                        )
+                        ref = media_mod.content_ref(arr)
+                        del arr
+                        rows["doc_id"].append(doc_id)
+                        rows["anchor"].append(anchor)
+                        rows["k_global"].append(int(chunk_id) * max_pages + pos)
+                        rows["page_text"].append(page_text)
+                        rows["media_ref"].append(ref)
+                        rows["error"].append(None)
+                except Exception as exn:  # corrupt payload → error row, keep going
+                    rows["doc_id"].append(doc_id)
+                    rows["anchor"].append(anchor)
+                    rows["k_global"].append(None)
+                    rows["page_text"].append(None)
+                    rows["media_ref"].append(None)
+                    rows["error"].append(f"media_decode:{type(exn).__name__}")
+            yield pd.DataFrame(rows)
+
+    return decode, out_schema
+
+
+def _prepare(docs: DataFrame, cfg: ExtractJobCfg) -> DataFrame:
+    """Catalyst-only derivation of per-doc working columns from the span
+    array.  No shuffle, no Python; everything prunes/pushes down."""
+    ss = F.expr("array_sort(spans, (a, b) -> a.offset - b.offset)")
+    annos = F.filter(ss, lambda s: s["kind"] == F.lit("anno"))
+    medias = F.filter(ss, lambda s: s["kind"] == F.lit("media"))
+    texts = F.filter(ss, lambda s: s["kind"] == F.lit("text"))
+
+    df = (
+        docs
+        # valid_sample gate: drop empty samples silently (tariterators.py:53)
+        .filter(F.size("spans") > 0)
+        .select(
+            "doc_id",
+            annos.alias("_annos"),
+            medias.alias("_medias"),
+            texts.alias("text_spans"),
+        )
+        .select(
+            "doc_id",
+            "text_spans",
+            F.get("_annos", 0)["text"].alias("anno_txt"),
+            F.get("_annos", 0)["offset"].alias("anchor"),
+            F.get("_medias", 0)["media_ref"].alias("first_media"),
+            F.transform("_medias", lambda s: s["media_ref"]).alias("media_refs"),
+        )
+        .withColumn("pages", F.from_json("anno_txt", ANNO_SCHEMA)["pages"])
+        .withColumn(
+            "page_texts",
+            F.transform("pages", lambda p: F.coalesce(p["lines"]["text"], p["text"])),
+        )
+        .withColumn(
+            "flags",
+            F.transform(
+                "pages",
+                lambda p: F.when(
+                    p["lines"]["text"].isNull() & p["text"].isNull(),
+                    F.lit(_FLAG_MISSING),
+                )
+                .when(F.size(F.coalesce(p["lines"]["text"], p["text"])) > 0, F.lit(_FLAG_VALID))
+                .otherwise(F.lit(_FLAG_INVALID)),
+            ),
+        )
+        .withColumn("is_payload", F.col("first_media").startswith(media_mod.SYNTH_PREFIX))
+        .withColumn("n_media", F.size("media_refs"))
+    )
+    return df
+
+
+def extract_docread(
+    spark: SparkSession, docs: DataFrame, cfg: Optional[ExtractJobCfg] = None
+) -> tuple[DataFrame, DataFrame]:
+    """Run doc-read extraction.  Returns ``(spans_out, errors)``:
+
+    - ``spans_out``: nested ``(doc_id, spans)`` with the output span contract —
+      per selected page k: a text span (lines joined by cfg.line_break,
+      doc_read_processor.py:121) then its paired media span, anchored at the
+      annotation's input position; raw input text spans pass through
+      (cleaned) at their own positions; offsets renumbered densely 0..n-1.
+    - ``errors``: (doc_id, stage, error) lineage rows for skipped documents
+      (continue-policy analogue of wds/helpers.py:41-68).
+
+    Documents that error at any stage contribute *no* output spans (the
+    reference's whole-sample skip).
+    """
+    cfg = (cfg or ExtractJobCfg()).validate()
+    df = _prepare(docs, cfg)
+
+    select_pages = _policy_udf(cfg.page_sampling, cfg.seed)
+    df = df.withColumn(
+        "sel",
+        select_pages(
+            F.col("doc_id"),
+            F.col("flags"),
+            F.col("anno_txt").isNotNull(),
+            F.col("n_media") > 0,
+        ),
+    ).select(
+        "doc_id", "text_spans", "anchor", "first_media", "media_refs",
+        "page_texts", "is_payload", "n_media",
+        F.col("sel")["indices"].alias("indices"),
+        F.col("sel")["error"].alias("error"),
+    )
+    # The policy UDF is deterministic per doc; cache-free split via two filters
+    # (Catalyst reuses the subplan through the exchange).
+    policy_errors = df.filter(F.col("error").isNotNull()).select(
+        "doc_id", F.lit("anno").alias("stage"), F.col("error").alias("error")
+    )
+    ok = df.filter(F.col("error").isNull())
+
+    # pre-join selected page text SQL-side: only the selected pages' strings
+    # cross into any UDF (explicit column pruning, SURVEY.md §4)
+    ok = ok.withColumn(
+        "sel_texts",
+        F.transform(
+            "indices",
+            lambda i: F.array_join(F.get("page_texts", i), cfg.line_break),
+        ),
+    ).drop("page_texts")
+
+    # ---------------- passthrough branch: pure SQL, no Python ----------------
+    passthrough = (
+        ok.filter(~F.col("is_payload"))
+        .select(
+            "doc_id", "anchor", "media_refs", "n_media",
+            F.posexplode(F.arrays_zip("indices", "sel_texts")).alias("k_global", "z"),
+        )
+        .select(
+            "doc_id",
+            "anchor",
+            "k_global",
+            F.col("z")["sel_texts"].alias("page_text"),
+            F.get(
+                "media_refs", F.pmod(F.col("z")["indices"], F.col("n_media")).cast("int")
+            ).alias("media_ref"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+
+    # ---------------- payload branch: cap → salt → decode UDF ----------------
+    k = cfg.max_pages_per_task
+    n_parts = cfg.salt_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    payload_rows = (
+        ok.filter(F.col("is_payload"))
+        .select(
+            "doc_id", "anchor", F.col("first_media").alias("payload"),
+            F.posexplode(
+                # per-partition size cap: ≤k pages decoded per task row
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.floor((F.size("indices") - 1) / k).cast("int")
+                    ),
+                    lambda c: F.struct(
+                        F.slice("indices", c * k + 1, k).alias("chunk_indices"),
+                        F.slice("sel_texts", c * k + 1, k).alias("chunk_texts"),
+                    ),
+                )
+            ).alias("chunk_id", "chunk"),
+        )
+        .select(
+            "doc_id", "anchor", "payload", "chunk_id",
+            F.col("chunk")["chunk_indices"].alias("chunk_indices"),
+            F.col("chunk")["chunk_texts"].alias("chunk_texts"),
+        )
+        # salted repartition on (doc_id, chunk_id): a giant doc's chunks fan
+        # out across executors instead of stalling one (north rule)
+        .repartition(n_parts, "doc_id", "chunk_id")
+    )
+    decode_fn, decode_schema = _decode_udf(cfg.image_mode, cfg.render_dpi, k)
+    decoded = payload_rows.mapInPandas(decode_fn, schema=decode_schema)
+    decode_errors = decoded.filter(F.col("error").isNotNull()).select(
+        "doc_id", F.lit("media").alias("stage"), F.col("error").alias("error")
+    )
+    decoded_ok = decoded.filter(F.col("error").isNull())
+
+    page_rows = decoded_ok.unionByName(passthrough.filter(F.col("error").isNull()))
+
+    # ---------------- assemble: interleaved page spans + raw text spans ------
+    page_spans = page_rows.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("anchor").alias("anchor"),
+                    (F.col("k_global") * 2).alias("sub"),
+                    F.lit("text").alias("kind"),
+                    F.col("page_text").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                ),
+                F.struct(
+                    F.col("anchor").alias("anchor"),
+                    (F.col("k_global") * 2 + 1).alias("sub"),
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.col("media_ref").alias("media_ref"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.*")
+
+    raw_txt = F.col("t")["text"]
+    raw_spans = (
+        ok.select("doc_id", F.explode("text_spans").alias("t"))
+        .select(
+            "doc_id",
+            F.col("t")["offset"].alias("anchor"),
+            F.lit(0).alias("sub"),
+            F.lit("text").alias("kind"),
+            (clean_text(raw_txt) if cfg.clean_text else raw_txt).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+        )
+    )
+
+    all_spans = page_spans.unionByName(raw_spans)
+
+    errors = policy_errors.unionByName(decode_errors)
+    # whole-sample skip: a doc with any decode error contributes nothing
+    bad_docs = decode_errors.select("doc_id").distinct()
+    all_spans = all_spans.join(F.broadcast(bad_docs), "doc_id", "left_anti")
+
+    # dense offset renumbering + nesting in ONE shuffle: sort collected spans
+    # by (anchor, sub) — never rely on collect_list order (SURVEY.md §7.4.3)
+    spans_out = (
+        all_spans.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("anchor", "sub", "kind", "text", "media_ref"))
+            ).alias("sorted")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "sorted",
+                lambda s, i: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+    return spans_out, errors
+
+
+def flatten_spans(spans_out: DataFrame) -> DataFrame:
+    """Nested (doc_id, spans) → flat (doc_id, offset, kind, text, media_ref)."""
+    return spans_out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s")["offset"].alias("offset"),
+        F.col("s")["kind"].alias("kind"),
+        F.col("s")["text"].alias("text"),
+        F.col("s")["media_ref"].alias("media_ref"),
+    )
+
+
+def run_extract(
+    spark: SparkSession, docs: DataFrame, cfg: Optional[ExtractJobCfg] = None
+) -> tuple[DataFrame, DataFrame]:
+    """extract_docread + error-policy enforcement (stop policies fail the job,
+    mirroring the reference handler registry wds/helpers.py:57-65)."""
+    cfg = (cfg or ExtractJobCfg()).validate()
+    spans_out, errors = extract_docread(spark, docs, cfg)
+    if cfg.error_handler not in CONTINUE_POLICIES:
+        first = errors.limit(1).collect()
+        if first:
+            r = first[0]
+            raise RuntimeError(
+                f"extraction error (policy={cfg.error_handler}): "
+                f"doc={r['doc_id']} stage={r['stage']} error={r['error']}"
+            )
+    return spans_out, errors
+
+
+def empty_errors(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], ERRORS_SCHEMA)

@@ -1,0 +1,202 @@
+"""Deterministic synthetic corpus generators.
+
+Two corpora:
+
+1. :func:`generate_docs` — adversarial span-table corpus for tests/bench:
+   multi-page docs (heavy-tailed page counts for skew), pages with empty text
+   (valid-page skipping, ref doc_processor.py:18-45), docs with zero valid
+   pages, corrupt anno JSON, corrupt media payloads, docs without media,
+   interleaved raw text fragments.  Seeded; no external data.
+
+2. :func:`spans_from_documents` — pure-Spark (no UDF, no RNG) derivation of a
+   clean span table from the driver's flat ``documents.parquet``
+   (doc_id:int64, text, lang, source, n_chars).  Every construction step is
+   deterministic and SQL-portable, so the *same* table can be rebuilt in
+   DuckDB SQL for the driver's oracle comparison (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import media as media_mod
+from .schema import DOCUMENTS_SCHEMA
+
+# layout constants for spans_from_documents — shared with the DuckDB oracle SQL
+WORDS_PER_LINE = 4
+LINES_PER_PAGE = 2
+WORDS_PER_PAGE = WORDS_PER_LINE * LINES_PER_PAGE
+
+
+def generate_docs(
+    spark: SparkSession,
+    n_docs: int = 200,
+    seed: int = 7,
+    max_pages: int = 12,
+    heavy_tail_every: int = 37,
+    heavy_tail_pages: int = 120,
+    corrupt_every: int = 23,
+    no_media_every: int = 41,
+    payload_every: int = 2,
+    invalid_page_rate: float = 0.25,
+) -> DataFrame:
+    """Adversarial span-table corpus (see module docstring). Deterministic in
+    all arguments; independent of partitioning."""
+    rows = [make_doc(i, seed, max_pages, heavy_tail_every, heavy_tail_pages,
+                     corrupt_every, no_media_every, payload_every, invalid_page_rate)
+            for i in range(n_docs)]
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+def make_doc(
+    i: int,
+    seed: int,
+    max_pages: int = 12,
+    heavy_tail_every: int = 37,
+    heavy_tail_pages: int = 120,
+    corrupt_every: int = 23,
+    no_media_every: int = 41,
+    payload_every: int = 2,
+    invalid_page_rate: float = 0.25,
+) -> tuple:
+    """One synthetic document as a (doc_id, spans) tuple (plain Python, usable
+    without Spark by the pytest oracle)."""
+    rng = random.Random(f"{seed}:{i}")
+    doc_id = f"doc{i:06d}"
+    n_pages = heavy_tail_pages if (heavy_tail_every and i % heavy_tail_every == 0) \
+        else rng.randint(1, max_pages)
+
+    pages = []
+    for p in range(n_pages):
+        r = rng.random()
+        if r < invalid_page_rate / 2:
+            lines = []  # empty page → invalid
+        elif r < invalid_page_rate:
+            lines = [""] if rng.random() < 0.5 else []  # [''] is *valid* (truthy list)
+        else:
+            lines = [
+                f"w{rng.randint(0, 9999)} line{p}-{j} of {doc_id}"
+                for j in range(rng.randint(1, 4))
+            ]
+        if rng.random() < 0.5:
+            pages.append({"text": lines, "bbox": [[0.0, 0.0, 1.0, 1.0]] * len(lines)})
+        else:  # nested 'lines' format (doc_read_processor.py:94-108)
+            pages.append(
+                {
+                    "lines": {"text": lines, "bbox": [[0.0, 0.0, 1.0, 1.0]] * len(lines)},
+                    "words": {"text": [w for l in lines for w in l.split()], "bbox": []},
+                }
+            )
+
+    anno_text = json.dumps({"pages": pages})
+    if corrupt_every and i % corrupt_every == 0:
+        anno_text = anno_text[: max(3, len(anno_text) // 2)]  # truncated → corrupt JSON
+
+    spans = []
+    off = 0
+    spans.append(("text", f"header fragment of {doc_id}", None, off)); off += 1
+    spans.append(("anno", anno_text, None, off)); off += 1
+    if not (no_media_every and i % no_media_every == 0):
+        if payload_every and i % payload_every == 0:
+            mode = ["L", "RGB", "RGBA"][i % 3]
+            # media page count sometimes != anno page count (mismatch-warning
+            # path, doc_processor.py:136-140); wrap p % n_media applies
+            n_media = max(1, n_pages + rng.randint(-2, 2))
+            ref = media_mod.make_payload_ref(mode, n_media, seed * 1000 + i)
+            if i % 46 == 0:
+                ref = media_mod.SYNTH_PREFIX + "L/not_a_number"  # corrupt payload
+            spans.append(("media", None, ref, off)); off += 1
+        else:
+            n_media = max(1, n_pages + (1 if i % 11 == 0 else 0))
+            for m in range(n_media):
+                spans.append(("media", None, f"page:{doc_id}:{m}", off)); off += 1
+    if rng.random() < 0.5:
+        spans.append(("text", f"  trailing\t fragment\n of {doc_id}  ", None, off)); off += 1
+
+    # shuffle input span order (offsets keep the truth; extraction must not
+    # depend on array order — array_sort on offset is the invariant)
+    rng.shuffle(spans)
+    return (doc_id, [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in spans])
+
+
+# ---------------------------------------------------------------------------
+# clean derived corpus (SQL-portable): driver documents.parquet → span table
+# ---------------------------------------------------------------------------
+
+
+def spans_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the span-schema documents table from the driver's flat documents
+    table, deterministically and with Catalyst expressions only.
+
+    Construction contract (mirrored 1:1 by DuckDB SQL in __spark_entry__.py):
+
+    - words  = split(text, ' ')
+    - pages  = consecutive groups of 8 words; lines = groups of 4 words
+    - span 0 = anno JSON {"pages":[{"text": [line, ...]}, ...]}
+    - span i (1..n_pages) = media span, media_ref = md5(doc_id||':'||page_idx)
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wpp, wpl = WORDS_PER_PAGE, WORDS_PER_LINE
+
+    words = F.split(F.col("text"), " ")
+    n_pages = F.ceil(F.size(words) / wpp).cast("int")
+
+    # pages: array of arrays of line-strings
+    page_lines = F.transform(
+        F.sequence(F.lit(0), n_pages - 1),
+        lambda p: F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(WORDS_PER_PAGE // WORDS_PER_LINE - 1)),
+                lambda l: F.array_join(
+                    F.slice(words, p * wpp + l * wpl + 1, wpl), " "
+                ),
+            ),
+            lambda s: s != F.lit(""),
+        ),
+    )
+
+    anno_json = F.concat(
+        F.lit('{"pages": ['),
+        F.array_join(
+            F.transform(
+                page_lines,
+                lambda lines: F.concat(
+                    F.lit('{"text": ['),
+                    F.array_join(
+                        F.transform(lines, lambda s: F.concat(F.lit('"'), s, F.lit('"'))),
+                        ", ",
+                    ),
+                    F.lit("]}"),
+                ),
+            ),
+            ", ",
+        ),
+        F.lit("]}"),
+    )
+
+    anno_span = F.struct(
+        F.lit("anno").alias("kind"),
+        anno_json.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_spans = F.transform(
+        F.sequence(F.lit(0), n_pages - 1),
+        lambda p: F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), p.cast("string"))).alias(
+                "media_ref"
+            ),
+            (p + 1).cast("int").alias("offset"),
+        ),
+    )
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.array(anno_span), media_spans).alias("spans"),
+    )
