@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship doc-read extraction on sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (same column names/types; order-insensitive value-hash compare).
+
+The extraction queries run over the span table derived *deterministically*
+from the driver's flat ``documents`` table (chug_spark.synth.
+spans_from_documents): words split on ' ', pages of 8 words, 2 lines of 4
+words per page; span 0 = anno JSON, spans 1..n = media refs
+md5(doc_id||':'||page).  The DuckDB oracles rebuild the identical corpus in
+SQL and apply the same reference extraction semantics
+(page selection per src/chug/doc/doc_read_processor.py:52-68, line join
+:121, media pairing doc_processor.py:199-224).
 """
 
 from __future__ import annotations
@@ -13,26 +21,169 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (corpus derivation contract — keep in sync with
+# chug_spark/synth.py spans_from_documents)
+# ---------------------------------------------------------------------------
+
+_PAGES_CTE = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS words,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_pages
+  FROM documents
+),
+pages AS (
+  SELECT doc_id, n_pages, u.p AS p,
+         array_to_string(
+           list_filter(
+             [array_to_string(list_slice(words, u.p*8 + 1, u.p*8 + 4), ' '),
+              array_to_string(list_slice(words, u.p*8 + 5, u.p*8 + 8), ' ')],
+             x -> x <> ''),
+           chr(10)) AS page_text
+  FROM d, unnest(generate_series(0, n_pages - 1)) AS u(p)
+)
+"""
+
+# deterministic per-doc page pick: first 16 md5 hex chars of 'doc|seed|page'
+# as a big-endian u64, mod n (chug_spark.determinism.doc_rand_below)
+_RAND_PICK = (
+    "list_reduce(list_prepend(0, list_transform(generate_series(1, 16),"
+    " i -> strpos('0123456789abcdef',"
+    " substr(md5(doc_id || '|{seed}|page'), i, 1)) - 1)),"
+    " (a, b) -> (a*16 + b) % n_pages)"
+)
+
+
+def _docread_sql(which: str, seed: int = 0) -> str:
+    if which == "all_valid" or which == "all":
+        sel = "pages"  # clean corpus: every page valid → identity selection
+        k = "p"
+    elif which == "first":
+        sel = "(SELECT * FROM pages WHERE p = 0)"
+        k = "0"
+    elif which == "random":
+        pick = _RAND_PICK.format(seed=seed)
+        sel = f"(SELECT * FROM pages WHERE p = {pick})"
+        k = "0"
+    else:  # pragma: no cover
+        raise ValueError(which)
+    return f"""
+{_PAGES_CTE}
+SELECT doc_id, CAST(2*{k} AS INT) AS "offset", 'text' AS kind,
+       page_text AS text, CAST(NULL AS VARCHAR) AS media_ref
+FROM {sel} s
+UNION ALL
+SELECT doc_id, CAST(2*{k} + 1 AS INT) AS "offset", 'media' AS kind,
+       CAST(NULL AS VARCHAR) AS text,
+       md5(doc_id || ':' || CAST(p AS VARCHAR)) AS media_ref
+FROM {sel} s
+"""
+
+
+_SPANS_DERIVE_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS words,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_pages
+  FROM documents
+),
+anno AS (
+  SELECT doc_id,
+         '{"pages": [' || array_to_string(
+            list_transform(generate_series(0, n_pages - 1), p ->
+              '{"text": [' || array_to_string(
+                 list_transform(
+                   list_filter(
+                     [array_to_string(list_slice(words, p*8 + 1, p*8 + 4), ' '),
+                      array_to_string(list_slice(words, p*8 + 5, p*8 + 8), ' ')],
+                     x -> x <> ''),
+                   s -> '"' || s || '"'),
+                 ', ') || ']}'),
+            ', ') || ']}' AS anno_json,
+         n_pages
+  FROM d
+)
+SELECT doc_id, CAST(0 AS INT) AS "offset", 'anno' AS kind,
+       anno_json AS text, CAST(NULL AS VARCHAR) AS media_ref
+FROM anno
+UNION ALL
+SELECT doc_id, CAST(u.p + 1 AS INT) AS "offset", 'media' AS kind,
+       CAST(NULL AS VARCHAR) AS text,
+       md5(doc_id || ':' || CAST(u.p AS VARCHAR)) AS media_ref
+FROM anno, unnest(generate_series(0, n_pages - 1)) AS u(p)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _docread(which: str, seed: int = 0):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from chug_spark.flagship import docread_flat
+
+        return docread_flat(spark, sf_dir, page_sampling=which, seed=seed)
+
+    return q
+
+
+def _spans_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chug_spark.extract import flatten_spans
+    from chug_spark.synth import spans_from_documents
+
+    return flatten_spans(spans_from_documents(spark, sf_dir))
+
+
+def _extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial synthetic corpus through the full pipeline incl. payload
+    render UDF — not SQL-expressible (rows-only check)."""
+    from chug_spark.config import ExtractJobCfg
+    from chug_spark.extract import extract_docread, flatten_spans
+    from chug_spark.synth import generate_docs
+
+    docs = generate_docs(spark, n_docs=120, seed=13)
+    cfg = ExtractJobCfg(page_sampling="all_valid", render_dpi=24)
+    spans_out, _ = extract_docread(spark, docs, cfg)
+    return flatten_spans(spans_out)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: doc-read extraction (all_valid) over the span corpus derived
+    from sf0.001 documents."""
+    from chug_spark.flagship import docread_flat
+
+    return docread_flat(spark, SF_DEFAULT, page_sampling="all_valid")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "docread_all_valid": _docread("all_valid"),
+        "docread_first": _docread("first"),
+        "docread_all": _docread("all"),
+        "docread_random": _docread("random", seed=0),
+        "spans_derive": _spans_derive,
+        "extract_synth": _extract_synth,
+    }
+    from chug_spark.entry_ext import extra_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q.update(extra_queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "docread_all_valid": _docread_sql("all_valid"),
+        "docread_first": _docread_sql("first"),
+        "docread_all": _docread_sql("all"),
+        "docread_random": _docread_sql("random", seed=0),
+        "spans_derive": _SPANS_DERIVE_SQL,
+        # extract_synth: non-SQL-expressible (payload render UDF) → rows-only
+    }
+    from chug_spark.entry_ext import extra_oracle_sql
+
+    sql.update(extra_oracle_sql())
+    return sql

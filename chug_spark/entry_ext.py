@@ -1,0 +1,277 @@
+"""Extra driver-contract queries: operator coverage beyond the flagship
+extraction (SURVEY.md §2 inventory + large-scale training-data ops).
+
+Each entry returns (spark, sf_dir) -> DataFrame; the matching DuckDB SQL in
+``extra_oracle_sql`` computes identical values over the same parquet tables.
+Grown incrementally as operators land.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# P1/P4: coalesce-rename with ';'-fallback keys (pipeline_image_text.py:63-70)
+# ---------------------------------------------------------------------------
+
+
+def q_coalesce_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import coalesce_rename
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.col("text")).alias("txt_en"),
+        F.col("text").alias("txt_any"),
+        F.when(F.length("text") > 200, F.col("source")).alias("src_long"),
+    )
+    out = coalesce_rename(
+        df, {"doc_id": "doc_id", "caption": "txt_en;txt_any", "origin": "src_long;txt_any"},
+        keep=False,
+    )
+    return out
+
+
+_SQL_COALESCE_RENAME = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN text END AS txt_en,
+         text AS txt_any,
+         CASE WHEN length(text) > 200 THEN source END AS src_long
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(txt_en, txt_any) AS caption,
+       coalesce(src_long, txt_any) AS origin
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3: validity filter (filter_incomplete, pipeline_image_text.py:22-29)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_incomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import filter_incomplete
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit("img-en")).alias("jpg"),
+        F.when(F.col("lang") == "es", F.lit("img-es")).alias("png"),
+        F.when(F.col("n_chars") > 400, F.col("text")).alias("txt"),
+    )
+    return filter_incomplete(df, image_key="jpg;png;jpeg;webp;tif", text_key="txt")
+
+
+_SQL_FILTER_INCOMPLETE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 'img-en' END AS jpg,
+         CASE WHEN lang = 'es' THEN 'img-es' END AS png,
+         CASE WHEN n_chars > 400 THEN text END AS txt
+  FROM documents
+)
+SELECT * FROM d
+WHERE coalesce(jpg, png) IS NOT NULL AND txt IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# S6/F4/F5: base_plus_ext + extension extract + lowercase suffix
+# (tariterators.py:8-25, decode.py:217, tariterators.py:47-48)
+# ---------------------------------------------------------------------------
+
+
+def q_base_plus_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import base_plus_ext, file_extension
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("/shard-"), F.col("doc_id").cast("string"),
+            F.lit("."), F.upper(F.col("lang")), F.lit(".Json.GZ"),
+        ).alias("fname"),
+    )
+    base, ext = base_plus_ext(F.col("fname"))
+    return df.select(
+        "doc_id", "fname", base.alias("base"), F.lower(ext).alias("suffix"),
+        F.lower(file_extension(F.col("fname"))).alias("last_ext"),
+    )
+
+
+_SQL_BASE_PLUS_EXT = r"""
+WITH d AS (
+  SELECT doc_id,
+         source || '/shard-' || CAST(doc_id AS VARCHAR) || '.' || upper(lang) || '.Json.GZ' AS fname
+  FROM documents
+)
+SELECT doc_id, fname,
+       coalesce(regexp_extract(fname, '^((?:.*/|)[^.]+)[.]([^/]*)$', 1), '') AS base,
+       lower(coalesce(regexp_extract(fname, '^((?:.*/|)[^.]+)[.]([^/]*)$', 2), '')) AS suffix,
+       lower(regexp_replace(fname, '.*[.]', '')) AS last_ext
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2/F3: VQA prompt assembly + deterministic answer choice
+# (doc_vqa_processor.py:77-84, defaults :21-24)
+# ---------------------------------------------------------------------------
+
+
+def q_vqa_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tasks.docvqa import vqa_from_documents
+
+    return vqa_from_documents(_docs(spark, sf_dir))
+
+
+_SQL_VQA_PROMPT = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS question,
+         [array_to_string(list_slice(string_split(text, ' '), 6, 7), ' '),
+          array_to_string(list_slice(string_split(text, ' '), 8, 9), ' ')] AS answers
+  FROM documents
+),
+p AS (
+  SELECT doc_id, question, answers,
+         ((strpos('0123456789abcdef', substr(md5(doc_id), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(md5(doc_id), 2, 1)) - 1)
+           % len(answers) AS pick
+  FROM d
+)
+SELECT doc_id, question,
+       answers[pick + 1] AS answer,
+       '<s_question>' || question || '</s_question><s_answer>'
+         || answers[pick + 1] || '</s_answer>' AS text_input
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1/F7: line join + empty-text predicate over word chunks
+# (doc_read_processor.py:118-121)
+# ---------------------------------------------------------------------------
+
+
+def q_line_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import join_lines
+
+    words = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(words) - 1) / 10).cast("int")),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.size(words).alias("n_words"),
+        (F.size(F.filter(lines, lambda s: s != F.lit(""))) > 0).alias("has_text"),
+        join_lines(lines, "\n").alias("joined"),
+    )
+
+
+_SQL_LINE_JOIN = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+l AS (
+  SELECT doc_id, words,
+         list_transform(generate_series(0, CAST(floor((len(words) - 1) / 10) AS INT), 1),
+                        i -> array_to_string(list_slice(words, i*10 + 1, i*10 + 10), ' ')) AS lines
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(words) AS INT) AS n_words,
+       len(list_filter(lines, s -> s <> '')) > 0 AS has_text,
+       array_to_string(lines, chr(10)) AS joined
+FROM l
+"""
+
+
+# ---------------------------------------------------------------------------
+# F10/F11 + D10: toy deterministic tokenizer, prompt_end_pos, target masking
+# (text/tokenization.py:7-58)
+# ---------------------------------------------------------------------------
+
+_PAD_ID = 0
+_END_TOK_ID = 9  # tokens of length 9 % 97 → stand-in prompt-end id
+_MAX_LEN = 24
+
+
+def q_target_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text.tokenization import target_ids_col, tokenize_col
+
+    ids = tokenize_col(F.col("text"), max_length=_MAX_LEN, pad_id=_PAD_ID)
+    df = _docs(spark, sf_dir).select("doc_id", ids.alias("input_ids"))
+    from .functions import prompt_end_pos
+
+    return df.select(
+        "doc_id",
+        "input_ids",
+        prompt_end_pos(F.col("input_ids"), _END_TOK_ID).alias("end_pos"),
+        target_ids_col(F.col("input_ids"), _PAD_ID, _END_TOK_ID).alias("target_ids"),
+    )
+
+
+_SQL_TARGET_MASK = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> CAST(length(w) % 97 AS INT)) AS toks
+  FROM documents
+),
+ids AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, {_MAX_LEN}),
+                        i -> CASE WHEN i <= len(toks) THEN toks[i] ELSE {_PAD_ID} END) AS input_ids
+  FROM t
+),
+pos AS (
+  SELECT doc_id, input_ids,
+         CAST(coalesce((SELECT max(i) FROM unnest(generate_series(1, {_MAX_LEN})) AS u(i)
+                        WHERE input_ids[i] = {_END_TOK_ID}), 1) - 1 AS INT) AS end_pos
+  FROM ids
+)
+SELECT doc_id, input_ids, end_pos,
+       list_transform(generate_series(1, {_MAX_LEN}),
+                      i -> CASE WHEN i - 1 <= end_pos OR input_ids[i] = {_PAD_ID}
+                                THEN -100 ELSE input_ids[i] END) AS target_ids
+FROM pos
+"""
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = {
+        "coalesce_rename": q_coalesce_rename,
+        "filter_incomplete": q_filter_incomplete,
+        "base_plus_ext": q_base_plus_ext,
+        "vqa_prompt": q_vqa_prompt,
+        "line_join": q_line_join,
+        "target_mask": q_target_mask,
+    }
+    from .ops.entry import ops_queries
+
+    q.update(ops_queries())
+    return q
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    sql = {
+        "coalesce_rename": _SQL_COALESCE_RENAME,
+        "filter_incomplete": _SQL_FILTER_INCOMPLETE,
+        "base_plus_ext": _SQL_BASE_PLUS_EXT,
+        "vqa_prompt": _SQL_VQA_PROMPT,
+        "line_join": _SQL_LINE_JOIN,
+        "target_mask": _SQL_TARGET_MASK,
+    }
+    from .ops.entry import ops_oracle_sql
+
+    sql.update(ops_oracle_sql())
+    return sql

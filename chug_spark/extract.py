@@ -136,7 +136,11 @@ def _policy_udf(page_sampling: str, seed: int):
             out_err.append(e)
         return pd.DataFrame({"indices": out_idx, "error": out_err})
 
-    return select_pages
+    # The function IS pure (hash-keyed determinism), but marking it
+    # nondeterministic stops Catalyst from substituting the UDF call into
+    # Filter conditions (where PythonUDF is unevaluable) and from duplicating
+    # it across the ok/error branches via CollapseProject.
+    return select_pages.asNondeterministic()
 
 
 def _decode_udf(image_mode: str, render_dpi: int, max_pages: int):

@@ -141,7 +141,9 @@ def text_input_to_target(
     )
     if prompt_end_token_id is None:
         return masked
-    end_pos = prompt_end_pos(ids, prompt_end_token_id, empty_default=-1)
+    # empty_default=0: when the prompt-end token is absent the reference
+    # masks target[:0+1] — index 0 — (tokenization.py:8-9,:36-38)
+    end_pos = prompt_end_pos(ids, prompt_end_token_id, empty_default=0)
     return F.transform(
         masked,
         lambda x, i: F.when(i <= end_pos, F.lit(ignore_id)).otherwise(x),

@@ -1,0 +1,129 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+on Spark at a given SF and compare against oracle_sql() in DuckDB —
+row count, (sorted) column names, and an order-insensitive value hash.
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exn:
+            print(f"FAIL {name}: spark error {type(exn).__name__}: {exn}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(srows)} (rows-only, no oracle)")
+            if len(srows) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            drows = rel.fetchall()
+            dcols = rel.columns
+        except Exception as exn:
+            print(f"FAIL {name}: duckdb error {type(exn).__name__}: {exn}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            sh = value_hash([tuple(r) for r in srows], scols)
+            dh = value_hash(drows, dcols)
+            if sh != dh:
+                problems.append(f"value-hash spark={sh} duck={dh}")
+                sset = {tuple(norm_cell(v) for v in r) for r in
+                        ([r[i] for i in sorted(range(len(scols)), key=lambda i: scols[i])] for r in srows)}
+                dset = {tuple(norm_cell(v) for v in r) for r in
+                        ([r[i] for i in sorted(range(len(dcols)), key=lambda i: dcols[i])] for r in drows)}
+                for x in list(sset - dset)[:3]:
+                    print(f"   spark-only: {x}")
+                for x in list(dset - sset)[:3]:
+                    print(f"   duck-only : {x}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"ok   {name}: rows={len(srows)} hash match")
+    print("entry() smoke:", end=" ")
+    try:
+        edf = entry_mod.entry(spark)
+        print(f"rows={edf.count()} schema={[f.name for f in edf.schema.fields]}")
+    except Exception as exn:
+        print(f"FAIL {type(exn).__name__}: {exn}")
+        failures += 1
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
