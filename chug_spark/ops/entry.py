@@ -1,5 +1,6 @@
 """Driver-contract queries for the large-scale training-data ops
-(deduplication, similarity search, text analysis).  Filled in as ops land."""
+(deduplication, similarity search, text analysis) over the driver's
+documents/embeddings tables, each with a value-identical DuckDB oracle."""
 
 from __future__ import annotations
 
@@ -8,9 +9,283 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .dedup import normalize_text
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative"))
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS representative
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from .dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_docs(spark, sf_dir), bands=8, shingle_n=3)
+
+
+_SQL_MINHASH_PAIRS = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(0, len(words) - 3),
+                                      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+  FROM d WHERE len(words) >= 3
+),
+sig AS (
+  SELECT doc_id, u.band AS band,
+         list_min(list_transform(sh, x -> md5(CAST(u.band AS VARCHAR) || '|' || x))) AS sig
+  FROM s, unnest(generate_series(0, 7)) AS u(band)
+  WHERE len(sh) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from .dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir))
+
+
+_SQL_SIMHASH = """
+SELECT doc_id,
+       array_to_string(
+         list_transform(generate_series(1, 16),
+           i -> CASE WHEN 2 * len(list_filter(string_split(text, ' '),
+                                  w -> strpos('89abcdef', substr(md5(w), i, 1)) > 0))
+                        > len(string_split(text, ' '))
+                THEN '1' ELSE '0' END),
+         '') AS simhash
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.12)
+
+
+_SQL_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(0, len(words) - 3),
+                                      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+  FROM d WHERE len(words) >= 3
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
+"""
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def q_cosine_threshold(spark, sf_dir):
+    from .similarity import cosine_pairs_threshold
+
+    return cosine_pairs_threshold(_emb(spark, sf_dir), n_queries=5, threshold=0.2)
+
+
+# sequential left-fold via list_reduce reproduces Spark's aggregate() order →
+# bit-identical doubles before rounding
+_SQL_COSINE_THRESHOLD = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.emb)),
+                     i -> q.q_emb[i] * b.emb[i])), (a, x) -> a + x)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(q.q_emb, x -> x * x)), (a, x) -> a + x))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(b.emb, x -> x * x)), (a, x) -> a + x)))
+         AS c
+  FROM base b, q WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(c, 4) AS cosine
+FROM pairs WHERE round(c, 4) >= 0.2
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (window rank inside buckets) —
+    rows-only check (the scale path; exactness not SQL-replicated)."""
+    from .similarity import ann_topk_lsh
+
+    return ann_topk_lsh(_emb(spark, sf_dir), n_queries=5, k=5, n_planes=4)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_token_count(spark, sf_dir):
+    from .textstats import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+_SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+       CAST(ceil(length(text) / 4.0) AS INT) AS n_subword_est
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    from .textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+_SQL_QUALITY_SCORE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words, length(text) AS nc FROM documents
+),
+r AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
+         CAST(len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+           / len(words) AS stop_ratio,
+         CAST(nc - (len(words) - 1) AS DOUBLE) / len(words) AS mean_wlen
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(floor(distinct_ratio * 10000) AS INT) AS distinct_ratio_bp,
+       CAST(floor(stop_ratio * 10000) AS INT) AS stopword_ratio_bp,
+       CAST(floor(mean_wlen * 10000) AS INT) AS mean_word_len_bp,
+       CAST(floor((distinct_ratio * 0.5 + least(stop_ratio * 2, 1.0) * 0.3
+             + least(mean_wlen / 8, 1.0) * 0.2) * 10000) AS INT) AS quality_bp
+FROM r
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from .textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+_SQL_LANG_ID = """
+WITH w AS (
+  SELECT doc_id, lang AS lang_label, string_split(text, ' ') AS words FROM documents
+),
+h AS (
+  SELECT doc_id, lang_label,
+    CAST(len(list_filter(words, x -> x IN ('der','die','das','und','zu','ist','ein'))) AS INT) AS hits_de,
+    CAST(len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a'))) AS INT) AS hits_en,
+    CAST(len(list_filter(words, x -> x IN ('el','la','de','que','y','en','un'))) AS INT) AS hits_es,
+    CAST(len(list_filter(words, x -> x IN ('le','la','de','et','un','est','que'))) AS INT) AS hits_fr
+  FROM w
+)
+SELECT doc_id, lang_label, hits_de, hits_en, hits_es, hits_fr,
+  CASE
+    WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+    WHEN hits_en > 0 AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+    WHEN hits_es > 0 AND hits_es >= hits_fr THEN 'es'
+    WHEN hits_fr > 0 THEN 'fr'
+    ELSE 'und'
+  END AS lang_pred
+FROM h
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from .textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+_SQL_FINGERPRINT = """
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n)
+SELECT doc_id,
+       md5(norm) AS fingerprint,
+       list_min(list_transform(generate_series(0, CAST(floor((len(words) - 1) / 16) AS INT)),
+                i -> md5(array_to_string(list_slice(words, i*16 + 1, i*16 + 16), ' ')))) AS min_block_fp
+FROM w
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return {
+        "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_threshold": q_cosine_threshold,
+        "ann_topk": q_ann_topk,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+    }
 
 
 def ops_oracle_sql() -> dict[str, str]:
-    return {}
+    return {
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "minhash_pairs": _SQL_MINHASH_PAIRS,
+        "simhash": _SQL_SIMHASH,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "cosine_threshold": _SQL_COSINE_THRESHOLD,
+        # ann_topk: LSH+window — rows-only
+        "token_count": _SQL_TOKEN_COUNT,
+        "quality_score": _SQL_QUALITY_SCORE,
+        "lang_id": _SQL_LANG_ID,
+        "fingerprint": _SQL_FINGERPRINT,
+    }

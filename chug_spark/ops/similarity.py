@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine: zip_with + aggregate — JVM-side, no Python; the
+  correctness baseline and the broadcast-join pattern for small query sets
+- LSH-bucketed ANN: deterministic md5-derived random hyperplanes → sign
+  bucket → candidates share a bucket — the scale path (bucket join instead
+  of all-pairs) for 10^12-row tables
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pairs_threshold(
+    emb: DataFrame, n_queries: int = 5, threshold: float = 0.2, round_to: int = 4
+) -> DataFrame:
+    """Brute-force cosine of the first ``n_queries`` vectors against the whole
+    table (query side broadcast — the right plan for small Q × huge N).
+    Threshold + rounding keeps the result set order-insensitive and
+    fp-stable across engines."""
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), F.col("embedding")
+    )
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_bit(emb: Column, plane: int) -> Column:
+    """Sign of <v, h_plane> where h_plane[d] = ±1 derived from md5(plane|d) —
+    deterministic pseudo-random hyperplanes, no RNG state anywhere."""
+    proj = F.aggregate(
+        F.zip_with(
+            emb,
+            F.sequence(F.lit(0), F.size(emb) - 1),
+            lambda v, d: v.cast("double")
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{plane}|"), d.cast("string"))), 1, 1
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                * 2
+                - 1
+            ).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = 6) -> DataFrame:
+    """(vec_id, bucket) — bucket = concatenated hyperplane sign bits."""
+    bucket = F.concat(*[hyperplane_bit(F.col("embedding"), p) for p in range(n_planes)])
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), bucket.alias("bucket")
+    )
+
+
+def ann_topk_lsh(
+    emb: DataFrame, n_queries: int = 5, k: int = 5, n_planes: int = 4
+) -> DataFrame:
+    """ANN top-k: candidates share the query's LSH bucket; exact cosine +
+    window rank inside the bucket.  At scale the bucket join replaces the
+    full cross product; here k-NN quality is approximate by construction."""
+    from pyspark.sql import Window
+
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    b = lsh_buckets(base, n_planes)
+    with_b = base.join(b, "vec_id")
+    queries = with_b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        with_b.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

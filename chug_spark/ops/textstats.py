@@ -1,0 +1,101 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all pure Column expressions (whole-stage codegen),
+SQL-portable for the DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword sets for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "ein"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que"],
+}
+LANGS = sorted(LANG_STOPWORDS)
+
+
+def _stopword_hits(words, lang: str):
+    vocab = LANG_STOPWORDS[lang]
+    return F.size(F.filter(words, lambda w: w.isin(*vocab)))
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish unit estimate (≈ chars/4, the usual
+    subword heuristic) + distinct-token count."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.ceil(F.length("text") / 4).cast("int").alias("n_subword_est"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/stopword/repetition quality features + a composite score.
+    Integer-ratio math, rounded to 4 — engine-portable."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    en_hits = _stopword_hits(words, "en")
+    distinct_ratio = F.size(F.array_distinct(words)) / n
+    stop_ratio = en_hits / n
+    mean_wlen = (F.length("text") - (n - 1)) / n  # chars excluding separators
+    score = (
+        distinct_ratio * 0.5 + F.least(stop_ratio * 2, F.lit(1.0)) * 0.3
+        + F.least(mean_wlen / 8, F.lit(1.0)) * 0.2
+    )
+
+    # basis points via floor: engine-portable (round() half-mode differs across
+    # engines exactly at representable midpoints like 77/160)
+    def bp(c):
+        return F.floor(c * 10000).cast("int")
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.alias("n_words"),
+        bp(distinct_ratio).alias("distinct_ratio_bp"),
+        bp(stop_ratio).alias("stopword_ratio_bp"),
+        bp(mean_wlen).alias("mean_word_len_bp"),
+        bp(score).alias("quality_bp"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic: argmax over per-language hit counts
+    (ties → lexicographically first language; 'und' when all zero)."""
+    words = F.split(F.col("text"), " ")
+    hits = {lang: _stopword_hits(words, lang) for lang in LANGS}
+    sel = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("lang_label"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANGS],
+    )
+    # fold in lexicographic order with strict '>' — first language wins ties
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in LANGS:
+        this = F.col(f"hits_{lang}")
+        best = F.when(this > best_hits, F.lit(lang)).otherwise(best)
+        best_hits = F.when(this > best_hits, this).otherwise(best_hits)
+    return sel.select("doc_id", "lang_label", *[f"hits_{lang}" for lang in LANGS],
+                      best.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, window: int = 16) -> DataFrame:
+    """Document fingerprint: md5 of normalized text + a positional rolling
+    fingerprint (md5 of each ``window``-word block, minimum kept) — the
+    winnowing-style representative."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    words = F.split(norm, " ")
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(words) - 1) / window).cast("int")),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i * window + 1, window))),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+        F.array_min(blocks).alias("min_block_fp"),
+    )
