@@ -1,0 +1,111 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "docs_per_sec": <flagship throughput>, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "1500"))
+RENDER_DPI = int(os.environ.get("SPARK_GRAFT_RENDER_DPI", "96"))
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("chug_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS) * 2, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from chug_spark.config import ExtractJobCfg
+    from chug_spark.extract import extract_docread, flatten_spans
+    from chug_spark.flagship import docread_flat
+    from chug_spark.ops.dedup import minhash_candidate_pairs, ngram_jaccard_pairs
+    from chug_spark.ops.similarity import cosine_pairs_threshold
+    from chug_spark.ops.textstats import quality_score
+    from chug_spark.synth import generate_docs
+
+    docs_pq = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb_pq = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_docs_flat = docs_pq.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        result = fn()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        return result
+
+    # q1: flagship — derive span corpus + doc-read extraction (passthrough)
+    n_spans = timed(
+        "docread_all_valid",
+        lambda: docread_flat(spark, SF_DIR, "all_valid").count(),
+    )
+    extra["flagship_docs_per_sec"] = round(n_docs_flat / timings["docread_all_valid"], 1)
+
+    # q2: payload decode — synthetic corpus with media rendering in the UDF
+    synth = generate_docs(spark, n_docs=SYNTH_DOCS, seed=99).repartition(int(CPUS) * 2)
+    cfg = ExtractJobCfg(page_sampling="all_valid", render_dpi=RENDER_DPI)
+
+    def run_decode():
+        spans_out, _ = extract_docread(spark, synth, cfg)
+        return spans_out.count()
+
+    n_decoded = timed("extract_payload_decode", run_decode)
+    extra["decode_docs_per_sec"] = round(n_decoded / timings["extract_payload_decode"], 1)
+
+    # q3-q6: curation ops
+    timed("minhash_pairs", lambda: minhash_candidate_pairs(docs_pq).count())
+    timed("ngram_jaccard", lambda: ngram_jaccard_pairs(docs_pq, threshold=0.12).count())
+    timed("cosine_threshold", lambda: cosine_pairs_threshold(emb_pq).count())
+    timed("quality_score", lambda: quality_score(docs_pq).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "extract_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(CPUS),
+        "synth_docs": SYNTH_DOCS,
+        "render_dpi": RENDER_DPI,
+        "spans_out": int(n_spans),
+        **extra,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,6 +76,11 @@ class ExtractJobCfg:
     salt_buckets: int = 0                       # 0 → default: shuffle partitions
     max_pages_per_task: int = 8                 # cap: pages decoded per sub-row
     shuffle_partitions: Optional[int] = None
+    # persist the post-policy intermediate + decode output: the plan branches
+    # (passthrough/payload/errors) over the same expensive prefix; caching
+    # evaluates it once.  Disable for one-branch consumers that want a fully
+    # streaming plan.
+    persist_intermediate: bool = True
 
     # checkpoint / resume
     run_id: str = "run0"

@@ -295,23 +295,73 @@ def extract_docread(
         ),
     ).drop("page_texts")
 
-    # ---------------- passthrough branch: pure SQL, no Python ----------------
-    passthrough = (
-        ok.filter(~F.col("is_payload"))
-        .select(
-            "doc_id", "anchor", "media_refs", "n_media",
-            F.posexplode(F.arrays_zip("indices", "sel_texts")).alias("k_global", "z"),
+    # The plan below is a diamond (passthrough / payload / error branches over
+    # the same expensive prefix: json parse + policy UDF).  Persist the
+    # post-policy intermediate so the prefix runs once instead of once per
+    # branch; in checkpointed runs the cached working set is one bucket.
+    if cfg.persist_intermediate:
+        from pyspark.storagelevel import StorageLevel
+
+        ok = ok.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def raw_items(text_spans_col):
+        """raw input text spans as (anchor, sub, kind, text, media_ref) items"""
+        return F.transform(
+            text_spans_col,
+            lambda t: F.struct(
+                t["offset"].alias("anchor"),
+                F.lit(0).alias("sub"),
+                F.lit("text").alias("kind"),
+                (clean_text(t["text"]) if cfg.clean_text else t["text"]).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+            ),
         )
-        .select(
-            "doc_id",
-            "anchor",
-            "k_global",
-            F.col("z")["sel_texts"].alias("page_text"),
-            F.get(
-                "media_refs", F.pmod(F.col("z")["indices"], F.col("n_media")).cast("int")
-            ).alias("media_ref"),
-            F.lit(None).cast("string").alias("error"),
+
+    def finish_items(items):
+        """sort by (anchor, sub) — leading struct fields, so the default
+        array_sort comparator applies — then dense-renumber offsets"""
+        return F.transform(
+            F.array_sort(items),
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
         )
+
+    # ---------------- passthrough branch: one projection, ZERO shuffle -------
+    # pre-resolved media docs never touch Python and never explode: the final
+    # ordered span array is assembled per-row with higher-order functions
+    pt_page_items = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("indices") - 1),
+            lambda j: F.array(
+                F.struct(
+                    F.col("anchor").alias("anchor"),
+                    (j * 2).alias("sub"),
+                    F.lit("text").alias("kind"),
+                    F.get("sel_texts", j).alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                ),
+                F.struct(
+                    F.col("anchor").alias("anchor"),
+                    (j * 2 + 1).alias("sub"),
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.get(
+                        "media_refs",
+                        F.pmod(F.get("indices", j), F.col("n_media")).cast("int"),
+                    ).alias("media_ref"),
+                ),
+            ),
+        )
+    )
+    passthrough_nested = ok.filter(~F.col("is_payload")).select(
+        "doc_id",
+        finish_items(F.concat(raw_items(F.col("text_spans")), pt_page_items)).alias(
+            "spans"
+        ),
     )
 
     # ---------------- payload branch: cap → salt → decode UDF ----------------
@@ -345,15 +395,19 @@ def extract_docread(
     )
     decode_fn, decode_schema = _decode_udf(cfg.image_mode, cfg.render_dpi, k)
     decoded = payload_rows.mapInPandas(decode_fn, schema=decode_schema)
+    # consumed by three branches (ok rows, error rows, bad-doc anti-join):
+    # never render a page more than once
+    if cfg.persist_intermediate:
+        from pyspark.storagelevel import StorageLevel
+
+        decoded = decoded.persist(StorageLevel.MEMORY_AND_DISK)
     decode_errors = decoded.filter(F.col("error").isNotNull()).select(
         "doc_id", F.lit("media").alias("stage"), F.col("error").alias("error")
     )
     decoded_ok = decoded.filter(F.col("error").isNull())
 
-    page_rows = decoded_ok.unionByName(passthrough.filter(F.col("error").isNull()))
-
-    # ---------------- assemble: interleaved page spans + raw text spans ------
-    page_spans = page_rows.select(
+    # ---------------- payload assembly: decode rows → span items → regroup ---
+    page_spans = decoded_ok.select(
         "doc_id",
         F.explode(
             F.array(
@@ -375,19 +429,11 @@ def extract_docread(
         ).alias("s"),
     ).select("doc_id", "s.*")
 
-    raw_txt = F.col("t")["text"]
     raw_spans = (
-        ok.select("doc_id", F.explode("text_spans").alias("t"))
-        .select(
-            "doc_id",
-            F.col("t")["offset"].alias("anchor"),
-            F.lit(0).alias("sub"),
-            F.lit("text").alias("kind"),
-            (clean_text(raw_txt) if cfg.clean_text else raw_txt).alias("text"),
-            F.lit(None).cast("string").alias("media_ref"),
-        )
+        ok.filter(F.col("is_payload"))
+        .select("doc_id", F.explode(raw_items(F.col("text_spans"))).alias("s"))
+        .select("doc_id", "s.*")
     )
-
     all_spans = page_spans.unionByName(raw_spans)
 
     errors = policy_errors.unionByName(decode_errors)
@@ -395,28 +441,19 @@ def extract_docread(
     bad_docs = decode_errors.select("doc_id").distinct()
     all_spans = all_spans.join(F.broadcast(bad_docs), "doc_id", "left_anti")
 
-    # dense offset renumbering + nesting in ONE shuffle: sort collected spans
-    # by (anchor, sub) — never rely on collect_list order (SURVEY.md §7.4.3)
-    spans_out = (
+    # dense offset renumbering + nesting in ONE shuffle; span order restored
+    # by sort keys, never by collect_list order (SURVEY.md §7.4.3)
+    payload_nested = (
         all_spans.groupBy("doc_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("anchor", "sub", "kind", "text", "media_ref"))
-            ).alias("sorted")
+            F.collect_list(
+                F.struct("anchor", "sub", "kind", "text", "media_ref")
+            ).alias("items")
         )
-        .select(
-            "doc_id",
-            F.transform(
-                "sorted",
-                lambda s, i: F.struct(
-                    s["kind"].alias("kind"),
-                    s["text"].alias("text"),
-                    s["media_ref"].alias("media_ref"),
-                    i.cast("int").alias("offset"),
-                ),
-            ).alias("spans"),
-        )
+        .select("doc_id", finish_items(F.col("items")).alias("spans"))
     )
+
+    spans_out = passthrough_nested.unionByName(payload_nested)
     return spans_out, errors
 
 

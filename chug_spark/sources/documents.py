@@ -1,0 +1,35 @@
+"""Iceberg-shaped documents source/sink indirection (SURVEY.md §7.0).
+
+No Iceberg runtime jar ships in this sandbox, so the reader/writer pair is
+layout-compatible parquet behind one switch: when ``table`` names a catalog
+table (contains '.') it uses ``spark.read.table`` / ``writeTo`` (Iceberg
+semantics: snapshot reads, overwritePartitions); otherwise it treats the
+location as a parquet directory.  The rest of the engine only sees
+DataFrames with the span schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_documents(spark: SparkSession, source: str) -> DataFrame:
+    """source = catalog table name (with dots) or a parquet path/dir."""
+    if "." in source and "/" not in source:
+        return spark.read.table(source)
+    return spark.read.parquet(source)
+
+
+def write_spans(df: DataFrame, target: str, partition_cols: tuple[str, ...] = ()) -> None:
+    if "." in target and "/" not in target:
+        writer = df.writeTo(target)
+        if partition_cols:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+        writer.createOrReplace()
+        return
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(target)

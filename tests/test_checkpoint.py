@@ -1,0 +1,64 @@
+"""Checkpointed bucket-wise run + resume: kill after k buckets, rerun, final
+output equals a single clean run; no duplicate spans (SURVEY.md §5.4)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chug_spark.checkpoint import read_checkpoint, read_output, write_with_checkpoint
+from chug_spark.config import ExtractJobCfg
+from chug_spark.extract import extract_docread, flatten_spans
+from chug_spark.schema import DOCUMENTS_SCHEMA
+from chug_spark.synth import make_doc
+
+
+def _corpus(spark, n=80):
+    return spark.createDataFrame([make_doc(i, seed=31) for i in range(n)], DOCUMENTS_SCHEMA)
+
+
+def _flat_set(df):
+    return {
+        (r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"])
+        for r in df.collect()
+    }
+
+
+def test_resume_after_simulated_crash(spark, tmp_path):
+    docs = _corpus(spark)
+    cfg = ExtractJobCfg(render_dpi=12, run_id="runA")
+    out_dir = str(tmp_path / "out")
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=6, fail_after=2)
+    cp = read_checkpoint(spark, out_dir, "runA")
+    assert cp.filter(F.col("status") == "done").count() == 2
+
+    # resume: remaining 4 buckets only
+    write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=6)
+    cp = read_checkpoint(spark, out_dir, "runA")
+    assert cp.filter(F.col("status") == "done").count() == 6
+    assert cp.agg(F.max("attempt")).collect()[0][0] == 2  # second attempt recorded
+
+    resumed = _flat_set(read_output(spark, out_dir))
+
+    # reference: single clean run
+    spans_out, _ = extract_docread(spark, docs, cfg)
+    clean = _flat_set(flatten_spans(spans_out))
+    assert resumed == clean
+
+    # idempotent: a third invocation is a no-op and changes nothing
+    write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=6)
+    assert _flat_set(read_output(spark, out_dir)) == clean
+
+
+def test_checkpoint_lineage_metrics(spark, tmp_path):
+    docs = _corpus(spark, n=40)
+    cfg = ExtractJobCfg(render_dpi=12, run_id="runB")
+    out_dir = str(tmp_path / "outB")
+    write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=3)
+    cp = read_checkpoint(spark, out_dir, "runB")
+    rows = cp.collect()
+    assert len(rows) == 3
+    total_spans = sum(r["span_count"] for r in rows)
+    assert total_spans == read_output(spark, out_dir).count()
+    assert all(r["wall_ms"] >= 0 and r["status"] == "done" for r in rows)
