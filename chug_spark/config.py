@@ -76,10 +76,9 @@ class ExtractJobCfg:
     salt_buckets: int = 0                       # 0 → default: shuffle partitions
     max_pages_per_task: int = 8                 # cap: pages decoded per sub-row
     shuffle_partitions: Optional[int] = None
-    # persist the post-policy intermediate + decode output: the plan branches
-    # (passthrough/payload/errors) over the same expensive prefix; caching
-    # evaluates it once.  Disable for one-branch consumers that want a fully
-    # streaming plan.
+    # persist the decode-UDF output: it feeds three branches (ok spans, error
+    # rows, bad-doc anti-join); caching renders each page exactly once.
+    # Disable for fully streaming single-branch consumers.
     persist_intermediate: bool = True
 
     # checkpoint / resume

@@ -295,14 +295,10 @@ def extract_docread(
         ),
     ).drop("page_texts")
 
-    # The plan below is a diamond (passthrough / payload / error branches over
-    # the same expensive prefix: json parse + policy UDF).  Persist the
-    # post-policy intermediate so the prefix runs once instead of once per
-    # branch; in checkpointed runs the cached working set is one bucket.
-    if cfg.persist_intermediate:
-        from pyspark.storagelevel import StorageLevel
-
-        ok = ok.persist(StorageLevel.MEMORY_AND_DISK)
+    # NOTE the plan is a diamond: passthrough/payload/error branches re-read
+    # this prefix.  The prefix (json parse + tiny policy UDF) is cheap and
+    # fully parallel, so re-evaluation beats caching it (measured); only the
+    # decode output — the expensive part — is persisted below.
 
     def raw_items(text_spans_col):
         """raw input text spans as (anchor, sub, kind, text, media_ref) items"""

@@ -37,6 +37,8 @@ def main(argv=None) -> int:
     p.add_argument("--run-id", default="run0")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="single-pass run without the bucketed checkpoint loop")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the untimed JIT/worker warmup pass")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -66,6 +68,16 @@ def main(argv=None) -> int:
         max_pages_per_task=args.max_pages_per_task,
         run_id=args.run_id,
     )
+
+    if not args.no_warmup:
+        # absorb one-time JVM JIT/codegen + Python-worker spin-up before the
+        # timed section (long-lived executors have these warm in production)
+        warm_cfg = ExtractJobCfg(
+            page_sampling=args.page_sampling, seed=args.seed + 1,
+            render_dpi=12, max_pages_per_task=args.max_pages_per_task,
+        )
+        spans_w, _ = extract_docread(spark, docs.limit(64), warm_cfg)
+        flatten_spans(spans_w).count()
 
     t0 = time.monotonic()
     if args.no_checkpoint:

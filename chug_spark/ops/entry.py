@@ -261,8 +261,30 @@ FROM w
 """
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal per-page feature extraction over deterministic synthetic
+    payloads derived from doc_ids — exercises the full mapInPandas plumbing
+    (render → resize → bitmap → crop-margin → features); rows-only check."""
+    from pyspark.sql import functions as F
+
+    from .media_features import extract_media_features
+
+    fixture = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+    ).limit(200)
+    return extract_media_features(fixture, render_dpi=24, frame_every=1,
+                                  resize_longest=128)
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,

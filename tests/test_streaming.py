@@ -1,0 +1,41 @@
+"""Incremental streaming extraction: AvailableNow drains available files;
+re-run after new files decodes only the new ones; output equals batch."""
+
+from chug_spark.config import ExtractJobCfg
+from chug_spark.extract import extract_docread, flatten_spans
+from chug_spark.schema import DOCUMENTS_SCHEMA
+from chug_spark.streaming.stream import read_stream_output, run_stream_extract
+from chug_spark.synth import make_doc
+
+
+def _flat_set(df):
+    return {
+        (r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"])
+        for r in df.collect()
+    }
+
+
+def test_stream_incremental_equals_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cfg = ExtractJobCfg(render_dpi=12)
+
+    rows1 = [make_doc(i, seed=61) for i in range(30)]
+    spark.createDataFrame(rows1, DOCUMENTS_SCHEMA).write.mode("append").parquet(in_dir)
+    run_stream_extract(spark, in_dir, out_dir, cfg)
+    first = _flat_set(read_stream_output(spark, out_dir))
+
+    # new files arrive → second drain processes ONLY them (checkpointed)
+    rows2 = [make_doc(i, seed=61) for i in range(30, 50)]
+    spark.createDataFrame(rows2, DOCUMENTS_SCHEMA).write.mode("append").parquet(in_dir)
+    run_stream_extract(spark, in_dir, out_dir, cfg)
+    streamed = _flat_set(read_stream_output(spark, out_dir))
+    assert len(streamed) > len(first)
+
+    batch_docs = spark.createDataFrame(rows1 + rows2, DOCUMENTS_SCHEMA)
+    spans_out, _ = extract_docread(spark, batch_docs, cfg)
+    assert streamed == _flat_set(flatten_spans(spans_out))
+
+    # idempotent: draining again with nothing new changes nothing
+    run_stream_extract(spark, in_dir, out_dir, cfg)
+    assert _flat_set(read_stream_output(spark, out_dir)) == streamed
