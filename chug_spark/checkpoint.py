@@ -120,6 +120,9 @@ def write_with_checkpoint(
              err_count, "done", attempt, wall_ms)
         ]
         spark.createDataFrame(row, CHECKPOINT_TABLE_SCHEMA).write.mode("append").parquet(cp_path)
+        # drop this bucket's persisted decode output before the next one —
+        # bounds the cached working set to one bucket
+        spark.catalog.clearCache()
         completed += 1
         if fail_after is not None and completed >= fail_after:
             raise RuntimeError(f"simulated failure after {completed} buckets")

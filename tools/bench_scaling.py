@@ -116,13 +116,16 @@ def main() -> int:
         results = {}
         for cores in (args.n, args.n * 4):
             walls, rates, docs_out = [], [], None
-            for r in range(args.runs):
+            for r in range(args.runs + 1):
                 out = os.path.join(tmp, f"out_{cores}_{r}")
                 res = run_once(zpath, cores, corpus, args.dpi, out)
+                print(f"local[{cores}] run{r}{' (cold, discarded)' if r == 0 else ''}: {res}",
+                      flush=True)
+                if r == 0:
+                    continue  # discard the cold run (OS page cache, JVM artifacts)
                 walls.append(res["wall_sec"])
                 rates.append(res["docs_per_sec"])
                 docs_out = res["docs_out"]
-                print(f"local[{cores}] run{r}: {res}", flush=True)
             results[cores] = {
                 "wall_median": statistics.median(walls),
                 "rate_median": statistics.median(rates),
