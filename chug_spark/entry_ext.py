@@ -247,8 +247,107 @@ FROM pos
 """
 
 
+# ---------------------------------------------------------------------------
+# S5-S7: member grouping (group_by_keys semantics) over a derived member table
+# ---------------------------------------------------------------------------
+
+
+def q_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.ingest import group_members
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    members = d.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.col("source"), F.lit("/s-"),
+                             F.col("doc_id").cast("string"), F.lit(".Json")).alias("fname"),
+                    F.lit('{"pages": []}').alias("payload_ref"),
+                ),
+                F.struct(
+                    F.concat(F.col("source"), F.lit("/s-"),
+                             F.col("doc_id").cast("string"), F.lit(".TXT")).alias("fname"),
+                    F.array_join(F.slice(words, 1, 4), " ").alias("payload_ref"),
+                ),
+                F.struct(
+                    F.concat(F.col("source"), F.lit("/s-"),
+                             F.col("doc_id").cast("string"), F.lit(".pdf")).alias("fname"),
+                    F.concat(F.lit("ref:"), F.md5(F.col("doc_id").cast("string"))).alias("payload_ref"),
+                ),
+                # extension-less member → dropped (prefix is None,
+                # tariterators.py:44-45)
+                F.struct(
+                    F.concat(F.col("source"), F.lit("/noext"),
+                             F.col("doc_id").cast("string")).alias("fname"),
+                    F.lit("junk").alias("payload_ref"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.fname", "m.payload_ref")
+    from .extract import flatten_spans
+
+    return flatten_spans(group_members(members))
+
+
+_SQL_GROUP_MEMBERS = """
+WITH m AS (
+  SELECT source || '/s-' || CAST(doc_id AS VARCHAR) || '.Json' AS fname,
+         '{"pages": []}' AS payload_ref FROM documents
+  UNION ALL
+  SELECT source || '/s-' || CAST(doc_id AS VARCHAR) || '.TXT',
+         array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') FROM documents
+  UNION ALL
+  SELECT source || '/s-' || CAST(doc_id AS VARCHAR) || '.pdf',
+         'ref:' || md5(CAST(doc_id AS VARCHAR)) FROM documents
+),
+p AS (
+  SELECT regexp_extract(fname, '^((?:.*/|)[^.]+)[.]([^/]*)$', 1) AS doc_id,
+         fname,
+         lower(regexp_extract(fname, '^((?:.*/|)[^.]+)[.]([^/]*)$', 2)) AS ext,
+         payload_ref
+  FROM m
+),
+k AS (
+  SELECT doc_id, fname,
+         CASE WHEN regexp_replace(ext, '.*[.]', '') IN ('json','anno') THEN 'anno'
+              WHEN regexp_replace(ext, '.*[.]', '') IN ('txt','text','caption') THEN 'text'
+              ELSE 'media' END AS kind,
+         payload_ref
+  FROM p
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fname) - 1 AS INT) AS "offset",
+       kind,
+       CASE WHEN kind <> 'media' THEN payload_ref END AS text,
+       CASE WHEN kind = 'media' THEN payload_ref END AS media_ref
+FROM k
+"""
+
+
+def q_urldir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import urldir
+
+    fname = F.concat(F.col("source"), F.lit("/a/b/s-"),
+                     F.col("doc_id").cast("string"), F.lit(".tar"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", fname.alias("url"), urldir(fname).alias("dir")
+    )
+
+
+_SQL_URLDIR = """
+SELECT doc_id,
+       source || '/a/b/s-' || CAST(doc_id AS VARCHAR) || '.tar' AS url,
+       regexp_replace(source || '/a/b/s-' || CAST(doc_id AS VARCHAR) || '.tar',
+                      '/[^/]*$', '') AS dir
+FROM documents
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
+        "group_members": q_group_members,
+        "urldir": q_urldir,
         "coalesce_rename": q_coalesce_rename,
         "filter_incomplete": q_filter_incomplete,
         "base_plus_ext": q_base_plus_ext,
@@ -264,6 +363,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_oracle_sql() -> dict[str, str]:
     sql = {
+        "group_members": _SQL_GROUP_MEMBERS,
+        "urldir": _SQL_URLDIR,
         "coalesce_rename": _SQL_COALESCE_RENAME,
         "filter_incomplete": _SQL_FILTER_INCOMPLETE,
         "base_plus_ext": _SQL_BASE_PLUS_EXT,

@@ -261,44 +261,67 @@ def extract_docread(
     reference's whole-sample skip).
     """
     cfg = (cfg or ExtractJobCfg()).validate()
-    df = _prepare(docs, cfg)
+
+    # ---- cheap branch probe BEFORE any heavy work -------------------------
+    # payload vs passthrough is decided from the first media span's ref
+    # prefix alone (no json parse, no UDF), so each branch runs the heavy
+    # derivation only over its own subset of rows; for a pure-passthrough
+    # corpus the payload subtree filters everything out at the scan.
+    _probe = F.coalesce(
+        F.get(
+            F.expr(
+                "array_sort(filter(spans, s -> s.kind = 'media'),"
+                " (a, b) -> a.offset - b.offset)"
+            ),
+            0,
+        )["media_ref"].startswith(media_mod.SYNTH_PREFIX),
+        F.lit(False),
+    )
+    # valid_sample gate: drop empty samples silently (tariterators.py:53)
+    gated = docs.filter(F.size("spans") > 0)
+    pt_in = gated.filter(~_probe)
+    pl_in = gated.filter(_probe)
 
     select_pages = _policy_udf(cfg.page_sampling, cfg.seed)
-    df = df.withColumn(
-        "sel",
-        select_pages(
-            F.col("doc_id"),
-            F.col("flags"),
-            F.col("anno_txt").isNotNull(),
-            F.col("n_media") > 0,
-        ),
-    ).select(
-        "doc_id", "text_spans", "anchor", "first_media", "media_refs",
-        "page_texts", "is_payload", "n_media",
-        F.col("sel")["indices"].alias("indices"),
-        F.col("sel")["error"].alias("error"),
-    )
-    # The policy UDF is deterministic per doc; cache-free split via two filters
-    # (Catalyst reuses the subplan through the exchange).
-    policy_errors = df.filter(F.col("error").isNotNull()).select(
-        "doc_id", F.lit("anno").alias("stage"), F.col("error").alias("error")
-    )
-    ok = df.filter(F.col("error").isNull())
 
-    # pre-join selected page text SQL-side: only the selected pages' strings
-    # cross into any UDF (explicit column pruning, SURVEY.md §4)
-    ok = ok.withColumn(
-        "sel_texts",
-        F.transform(
-            "indices",
-            lambda i: F.array_join(F.get("page_texts", i), cfg.line_break),
-        ),
-    ).drop("page_texts")
+    def prepared(branch_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """heavy derivation + policy UDF over one branch; returns (ok, errors)"""
+        df = _prepare(branch_docs, cfg)
+        df = df.withColumn(
+            "sel",
+            select_pages(
+                F.col("doc_id"),
+                F.col("flags"),
+                F.col("anno_txt").isNotNull(),
+                F.col("n_media") > 0,
+            ),
+        ).select(
+            "doc_id", "text_spans", "anchor", "first_media", "media_refs",
+            "page_texts", "n_media",
+            F.col("sel")["indices"].alias("indices"),
+            F.col("sel")["error"].alias("error"),
+        )
+        errs = df.filter(F.col("error").isNotNull()).select(
+            "doc_id", F.lit("anno").alias("stage"), F.col("error").alias("error")
+        )
+        # pre-join selected page text SQL-side: only the selected pages'
+        # strings cross into any UDF (explicit column pruning, SURVEY.md §4)
+        ok = (
+            df.filter(F.col("error").isNull())
+            .withColumn(
+                "sel_texts",
+                F.transform(
+                    "indices",
+                    lambda i: F.array_join(F.get("page_texts", i), cfg.line_break),
+                ),
+            )
+            .drop("page_texts")
+        )
+        return ok, errs
 
-    # NOTE the plan is a diamond: passthrough/payload/error branches re-read
-    # this prefix.  The prefix (json parse + tiny policy UDF) is cheap and
-    # fully parallel, so re-evaluation beats caching it (measured); only the
-    # decode output — the expensive part — is persisted below.
+    pt_ok, pt_errors = prepared(pt_in)
+    pl_ok, pl_errors = prepared(pl_in)
+    policy_errors = pt_errors.unionByName(pl_errors)
 
     def raw_items(text_spans_col):
         """raw input text spans as (anchor, sub, kind, text, media_ref) items"""
@@ -353,7 +376,7 @@ def extract_docread(
             ),
         )
     )
-    passthrough_nested = ok.filter(~F.col("is_payload")).select(
+    passthrough_nested = pt_ok.select(
         "doc_id",
         finish_items(F.concat(raw_items(F.col("text_spans")), pt_page_items)).alias(
             "spans"
@@ -364,7 +387,7 @@ def extract_docread(
     k = cfg.max_pages_per_task
     n_parts = cfg.salt_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     payload_rows = (
-        ok.filter(F.col("is_payload"))
+        pl_ok
         .select(
             "doc_id", "anchor", F.col("first_media").alias("payload"),
             F.posexplode(
@@ -426,7 +449,7 @@ def extract_docread(
     ).select("doc_id", "s.*")
 
     raw_spans = (
-        ok.filter(F.col("is_payload"))
+        pl_ok
         .select("doc_id", F.explode(raw_items(F.col("text_spans"))).alias("s"))
         .select("doc_id", "s.*")
     )

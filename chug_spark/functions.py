@@ -76,6 +76,25 @@ def file_extension(key: Column) -> Column:
     return F.regexp_replace(key, r".*[.]", "")
 
 
+def urldir(url: Column) -> Column:
+    """Directory part of a url/path, scheme preserved
+    (reference src/chug/wds/helpers.py:10-15)."""
+    return F.regexp_replace(url, r"/[^/]*$", "")
+
+
+def flatten_nested(df: DataFrame, nested: str, remove_original: bool = True) -> DataFrame:
+    """Merge a struct column's fields up into the row
+    (reference wds ``flatten_nested``, src/chug/wds/filters.py:129-142;
+    json-flatten usage doc_processor.py:188-190).  Existing columns of the
+    same name are replaced (replace_existing=True semantics)."""
+    nested_fields = [f.name for f in df.schema[nested].dataType.fields]
+    keep = [c for c in df.columns if c not in nested_fields and c != nested]
+    cols = [F.col(c) for c in keep] + [F.col(f"{nested}.{f}").alias(f) for f in nested_fields]
+    if not remove_original:
+        cols.append(F.col(nested))
+    return df.select(*cols)
+
+
 def join_lines(lines: Column, line_break: str = "\n") -> Column:
     """Page text = lines joined by line_break
     (reference src/chug/doc/doc_read_processor.py:121)."""

@@ -37,6 +37,45 @@ PAGE_H_PT = 792
 _MODE_CHANNELS = {"L": 1, "RGB": 3, "RGBA": 4}
 
 
+# imagespec table (reference src/chug/wds/decode.py:180-199 docstring):
+# spec → (array type, element type, mode)
+IMAGESPECS = {
+    "l8": ("numpy", "uint8", "L"),
+    "rgb8": ("numpy", "uint8", "RGB"),
+    "rgba8": ("numpy", "uint8", "RGBA"),
+    "l": ("numpy", "float", "L"),
+    "rgb": ("numpy", "float", "RGB"),
+    "rgba": ("numpy", "float", "RGBA"),
+    "torchl8": ("torch", "uint8", "L"),
+    "torchrgb8": ("torch", "uint8", "RGB"),
+    "torchrgba8": ("torch", "uint8", "RGBA"),
+    "torchl": ("torch", "float", "L"),
+    "torchrgb": ("torch", "float", "RGB"),
+    "torch": ("torch", "float", "RGB"),
+    "torchrgba": ("torch", "float", "RGBA"),
+    "pill": ("pil", None, "L"),
+    "pil": ("pil", None, "RGB"),
+    "pilrgb": ("pil", None, "RGB"),
+    "pilrgba": ("pil", None, "RGBA"),
+}
+
+
+def parse_imagespec(spec: str) -> tuple[str, str | None, str]:
+    """imagespec → (atype, etype, mode); ValueError on unknown spec
+    (reference DecodeDoc.__init__, wds/decode.py:201-205)."""
+    try:
+        return IMAGESPECS[spec.lower()]
+    except KeyError:
+        raise ValueError(f"Unknown imagespec: {spec}")
+
+
+def apply_etype(arr: np.ndarray, etype: str | None) -> np.ndarray:
+    """uint8/float element conversion (float = /255.0, decode.py:257-258)."""
+    if etype == "float":
+        return arr.astype(np.float32) / 255.0
+    return arr
+
+
 def make_payload_ref(mode: str, num_pages: int, seed: int) -> str:
     """Build a synthetic payload reference (the stand-in for pdf/tiff bytes)."""
     if mode not in _MODE_CHANNELS:

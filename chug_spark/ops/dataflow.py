@@ -1,0 +1,35 @@
+"""Dataflow/shuffle operators (SURVEY.md §2.10) that carry over to a batch
+engine.  The ones that don't (with_epoch/repeat, collate batching, worker
+splits) are subsumed by Spark's scheduler/Arrow batching — documented in
+SURVEY.md X1/X5/X6."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def det_shuffle(df: DataFrame, seed: int = 0, interval: int = 0,
+                key: str = "doc_id", num_partitions: Optional[int] = None) -> DataFrame:
+    """Deterministic sample shuffle: the schedule-independent replacement for
+    chug's bounded-buffer ``detshuffle_v2`` (src/chug/wds/filters.py:11-46,
+    seed = seed+interval).  Rows land in a pseudo-random but reproducible
+    order keyed on (key, seed+interval) — same order at any parallelism,
+    unlike the reference's worker-buffer shuffle.
+    """
+    h = F.xxhash64(F.col(key), F.lit(seed + interval))
+    out = df.withColumn("_h", h)
+    out = (
+        out.repartition(num_partitions, "_h") if num_partitions
+        else out.repartition("_h")
+    )
+    return out.sortWithinPartitions("_h").drop("_h")
+
+
+def split_by_worker(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Explicit control over input-split fan-out (the analogue of
+    split_by_node/split_by_worker, wds/pipeline.py:78-82 — Spark's scheduler
+    does this natively; exposed for tests/bench symmetry)."""
+    return df.repartition(num_partitions)

@@ -1,0 +1,82 @@
+"""wds-style member grouping → span documents (group_by_keys semantics,
+reference src/chug/wds/tariterators.py:28-59) + dataflow ops."""
+
+from chug_spark.extract import flatten_spans
+from chug_spark.ops.dataflow import det_shuffle
+from chug_spark.sources.ingest import dataset_size, group_members
+
+
+def _members(spark, rows):
+    return spark.createDataFrame(rows, "fname string, payload_ref string")
+
+
+def test_group_members_basic(spark):
+    rows = [
+        ("a/d1.json", '{"pages": []}'),
+        ("a/d1.txt", "hello"),
+        ("a/d1.pdf", "ref:p1"),
+        ("a/d2.TXT", "only text"),       # lcase suffix (tariterators.py:47-48)
+        ("noext", "dropped"),            # no extension → skipped (:44-45)
+    ]
+    out = {r["doc_id"]: r["spans"] for r in group_members(_members(spark, rows)).collect()}
+    assert set(out) == {"a/d1", "a/d2"}
+    spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out["a/d1"]]
+    # sorted by fname: .json < .pdf < .txt
+    assert spans == [
+        ("anno", '{"pages": []}', None, 0),
+        ("media", None, "ref:p1", 1),
+        ("text", "hello", None, 2),
+    ]
+    assert [(s["kind"], s["text"]) for s in out["a/d2"]] == [("text", "only text")]
+
+
+def test_group_members_multi_ext_and_duplicates(spark):
+    rows = [
+        ("b/x.tar.json", "anno-like"),      # last ext wins classification
+        ("b/x.1.txt", "t1"),
+        ("b/x.2.txt", "t2"),                # duplicate suffix kept as span
+    ]
+    out = group_members(_members(spark, rows)).collect()
+    # base_plus_ext splits off ALL extensions: 'b/x' is the shared base
+    assert len(out) == 1 and out[0]["doc_id"] == "b/x"
+    kinds = [s["kind"] for s in out[0]["spans"]]
+    assert kinds == ["text", "text", "anno"]  # sorted by fname: x.1.txt, x.2.txt, x.tar.json
+
+
+def test_group_members_feeds_extraction(spark):
+    """Ingest → extraction end-to-end (the wds path: tar members → samples →
+    decode)."""
+    import json
+
+    from chug_spark.config import ExtractJobCfg
+    from chug_spark.extract import extract_docread
+
+    anno = json.dumps({"pages": [{"text": ["l1", "l2"]}]})
+    rows = [
+        ("s/doc.json", anno),
+        ("s/doc.png", "page:0"),
+    ]
+    docs = group_members(_members(spark, rows))
+    spans_out, errors = extract_docread(spark, docs, ExtractJobCfg(render_dpi=12))
+    got = flatten_spans(spans_out).collect()
+    assert [(r["kind"], r["text"], r["media_ref"]) for r in
+            sorted(got, key=lambda r: r["offset"])] == [
+        ("text", "l1\nl2", None),
+        ("media", None, "page:0"),
+    ]
+    assert errors.count() == 0
+
+
+def test_dataset_size(spark):
+    docs = group_members(_members(spark, [("a/d1.txt", "x"), ("a/d2.txt", "y")]))
+    n, _parts = dataset_size(docs)
+    assert n == 2
+
+
+def test_det_shuffle_deterministic(spark):
+    df = spark.range(100).selectExpr("cast(id as string) as doc_id", "id as v")
+    a = [r["doc_id"] for r in det_shuffle(df, seed=5, num_partitions=4).collect()]
+    b = [r["doc_id"] for r in det_shuffle(df.repartition(7), seed=5, num_partitions=4).collect()]
+    c = [r["doc_id"] for r in det_shuffle(df, seed=6, num_partitions=4).collect()]
+    assert a == b                      # schedule-independent order
+    assert sorted(a) == sorted(c) and a != c  # different seed → different order

@@ -1,0 +1,112 @@
+"""Curation ops: dedup, similarity, text stats — hand-computed cases."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from chug_spark.ops.dedup import (
+    exact_dedup_groups,
+    exact_dedup_keep_first,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from chug_spark.ops.similarity import ann_topk_lsh, cosine_pairs_threshold
+from chug_spark.ops.textstats import lang_id, quality_score, token_count
+
+
+def _docs(spark, texts, langs=None):
+    rows = [
+        (i, t, (langs[i] if langs else "en"), "src", len(t))
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark, ["a b c", "A  b   C", "unique text", "a b c"])
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3 and groups[0]["representative"] == 0
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep_first(docs).collect())
+    assert kept == [0, 2]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words describing some unrelated topic entirely here now"
+    docs = _docs(spark, [base, near, other])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "zq xw vv kk jj pp mm nn bb cc dd ee ff gg"
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash_signatures(_docs(spark, [base, near, other])).collect()}
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    assert len(sigs[0]) == 16
+    assert ham(sigs[0], sigs[1]) <= ham(sigs[0], sigs[2])
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc0: shingles {a b c, b c d}; doc1: {a b c, b c e} → inter=1, union=3
+    docs = _docs(spark, ["a b c d", "a b c e"])
+    rows = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_cosine_threshold_values(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in cosine_pairs_threshold(emb, n_queries=1, threshold=-1.0).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert rows[(0, 2)] == 0.0
+    assert abs(rows[(0, 3)] - round(1 / math.sqrt(2), 4)) < 1e-9
+
+
+def test_ann_topk_contains_exact_duplicate(spark):
+    import random
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(1, 50)]
+    # vec 0 duplicates vec 7 → same bucket, cosine 1.0, must be its top hit
+    dup = [(0, vecs[6][1])]
+    emb = spark.createDataFrame(dup + vecs, "vec_id long, embedding array<float>")
+    rows = [r for r in ann_topk_lsh(emb, n_queries=1, k=3, n_planes=3).collect()]
+    top = min(rows, key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 7 and top["cosine"] == 1.0
+
+
+def test_token_count_and_quality(spark):
+    docs = _docs(spark, ["the cat the cat", "aa bb cc dd"])
+    tc = {r["doc_id"]: r for r in token_count(docs).collect()}
+    assert tc[0]["n_tokens"] == 4 and tc[0]["n_distinct"] == 2
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[0]["distinct_ratio_bp"] == 5000        # 2/4
+    assert q[0]["stopword_ratio_bp"] == 5000        # 'the' ×2 / 4
+    assert q[1]["stopword_ratio_bp"] == 0
+
+
+def test_lang_id_heuristic(spark):
+    docs = _docs(
+        spark,
+        [
+            "the cat is in the house and it is happy",
+            "el gato que vive en la casa y es feliz",
+            "zzz qqq www",  # no stopwords → 'und'
+        ],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got[0] == "en" and got[1] == "es" and got[2] == "und"
