@@ -74,7 +74,9 @@ def word_shingles(col, n: int = 3):
 def minhash_signatures(docs: DataFrame, bands: int = 8, shingle_n: int = 3) -> DataFrame:
     """Per-doc MinHash LSH signatures: for band b, sig = min over shingles of
     md5(b || '|' || shingle).  One row per (doc, band); no explode of the
-    shingle set — array_min(transform(...)) stays JVM-side."""
+    shingle set — array_min(transform(...)) per band, zero shuffle before the
+    bucket join.  (Measured faster than the explode→groupBy(min) formulation
+    at sf0.1: the per-band HOF pass avoids the doc_id shuffle entirely.)"""
     sh = word_shingles(F.col("text"), shingle_n)
     docs = docs.select(F.col("doc_id").cast("long").alias("doc_id"), sh.alias("sh"))
     band_sigs = F.transform(
