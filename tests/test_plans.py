@@ -1,0 +1,75 @@
+"""Physical-plan regression guards: the performance properties the engine is
+designed around must survive refactors (SURVEY.md §4)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chug_spark.config import ExtractJobCfg
+from chug_spark.extract import extract_docread, flatten_spans
+from chug_spark.schema import DOCUMENTS_SCHEMA
+from chug_spark.synth import make_doc
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def span_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "documents")
+    rows = [make_doc(i, seed=41, payload_every=2) for i in range(40)]
+    spark.createDataFrame(rows, DOCUMENTS_SCHEMA).write.parquet(path)
+    return path
+
+
+def test_exchange_and_udf_budget(spark, span_parquet):
+    """Shuffle/Python-eval canary: the plan's *unique* exchanges must stay at
+    the designed set (payload repartition, payload groupBy, anti-join
+    distinct + broadcasts) and the policy UDF must not multiply back into a
+    per-branch diamond (regression guard for the 5-subtree plan this
+    replaced).  Textual counts over-count reused subtrees, so unique plan_ids
+    are counted for exchanges."""
+    import re
+
+    docs = spark.read.parquet(span_parquet)
+    spans_out, _ = extract_docread(spark, docs, ExtractJobCfg(render_dpi=12))
+    plan = _phys(spans_out)
+    unique_exchanges = {
+        m.group(1)
+        for m in re.finditer(r"Exchange .*?\[plan_id=(\d+)\]", plan)
+    }
+    assert len(unique_exchanges) <= 7, plan
+    assert plan.count("ArrowEval") <= 6, plan
+    # decode output is cached (rendered once, consumed by 3 branches)
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_flat_filter_pushdown_to_scan(spark, span_parquet):
+    """A doc_id predicate above the whole extraction must reach the parquet
+    scan as a data filter (Catalyst pushdown through the plan head)."""
+    docs = spark.read.parquet(span_parquet).filter(F.col("doc_id") == "doc000002")
+    spans_out, _ = extract_docread(spark, docs, ExtractJobCfg(render_dpi=12))
+    plan = _phys(spans_out)
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,doc000002)" in plan, plan
+
+
+def test_column_pruning_derived_corpus(spark):
+    """The derived-corpus flagship must scan only (doc_id, text) of the flat
+    documents table — 2 of 5 columns (explicit pruning check)."""
+    from chug_spark.flagship import docread_flat
+
+    flat = docread_flat(spark, "/root/testdata/sf0.001")
+    plan = _phys(flat)
+    assert "FileScan parquet [doc_id" in plan
+    for unused in ("lang", "source", "n_chars"):
+        assert f"{unused}#" not in plan.split("FileScan", 1)[1][:400], plan
+
+
+def test_decode_stage_is_partitioned(spark, span_parquet):
+    """The payload decode runs after an explicit repartition on
+    (doc_id, chunk_id) — the salted fan-out the north rule requires."""
+    docs = spark.read.parquet(span_parquet)
+    spans_out, _ = extract_docread(spark, docs, ExtractJobCfg(render_dpi=12))
+    plan = _phys(spans_out)
+    assert "hashpartitioning(doc_id" in plan and "chunk_id" in plan, plan
