@@ -1,0 +1,86 @@
+"""Property-based tests (SURVEY.md §5.3): randomized documents → invariants
+hold and Spark output equals the oracle exactly.  Hypothesis generates the
+span structures; one Spark round-trip per example batch keeps runtime sane."""
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from chug_spark.config import ExtractJobCfg
+from chug_spark.extract import extract_docread, flatten_spans
+from chug_spark.schema import DOCUMENTS_SCHEMA
+
+import oracle
+
+lines_st = st.lists(
+    st.text(alphabet="abc XYZ09", min_size=0, max_size=12), min_size=0, max_size=4
+)
+
+page_st = st.one_of(
+    st.fixed_dictionaries({"text": lines_st}),
+    st.fixed_dictionaries({"lines": st.fixed_dictionaries({"text": lines_st})}),
+    st.fixed_dictionaries({"bbox": st.just([])}),  # missing text key entirely
+)
+
+anno_st = st.one_of(
+    st.builds(lambda pages: json.dumps({"pages": pages}),
+              st.lists(page_st, min_size=0, max_size=6)),
+    st.just("{corrupt"),
+    st.just('{"nopages": 1}'),
+)
+
+
+@st.composite
+def doc_st(draw, idx):
+    spans = []
+    off = 0
+    if draw(st.booleans()):
+        spans.append({"kind": "text", "text": draw(st.text(max_size=20)),
+                      "media_ref": None, "offset": off}); off += 1
+    if draw(st.booleans()):
+        spans.append({"kind": "anno", "text": draw(anno_st),
+                      "media_ref": None, "offset": off}); off += 1
+    n_media = draw(st.integers(min_value=0, max_value=4))
+    for k in range(n_media):
+        spans.append({"kind": "media", "text": None,
+                      "media_ref": f"page:{idx}:{k}", "offset": off}); off += 1
+    return (f"h{idx:04d}", spans)
+
+
+@st.composite
+def corpus_st(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    return [draw(doc_st(i)) for i in range(n)]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus_st(), st.sampled_from(["all_valid", "first", "all", "random"]))
+def test_fuzzed_corpus_matches_oracle(spark, rows, policy):
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    spans_out, errors = extract_docread(
+        spark, docs, ExtractJobCfg(page_sampling=policy, render_dpi=12, seed=2)
+    )
+    got = {}
+    for r in flatten_spans(spans_out).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["kind"], r["text"], r["media_ref"], r["offset"])
+        )
+    for v in got.values():
+        v.sort(key=lambda s: s[3])
+    errs = {(r["doc_id"], r["stage"], r["error"]) for r in errors.collect()}
+
+    want, want_errs = oracle.extract_corpus(
+        rows, page_sampling=policy, seed=2, render_dpi=12
+    )
+    assert got == want
+    assert errs == set(want_errs)
+
+    # invariants: offsets dense 0..n-1; every doc is either emitted, errored,
+    # or empty-input; never both emitted and errored
+    for doc_id, spans in got.items():
+        assert [s[3] for s in spans] == list(range(len(spans)))
+        assert all(s[0] in ("text", "media") for s in spans)
+    errored_docs = {e[0] for e in errs}
+    assert not (set(got) & errored_docs)
