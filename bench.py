@@ -69,6 +69,10 @@ def main() -> int:
     extra: dict[str, float] = {}
 
     def timed(name: str, fn):
+        # cached plans from a previous section slow every later query's
+        # planning (CacheManager canonicalizes giant cached trees on each
+        # lookup) — measured 3-5x inflation; start each section clean
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         result = fn()
         dt = time.monotonic() - t0
