@@ -9,7 +9,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import VqaTaskCfg
-from ..functions import md5_pick_index, vqa_prompt
+from ..functions import any_present, md5_pick_index, vqa_prompt
+from ..schema import DEFAULT_DOC_KEY
+
+
+def filter_missing(
+    df: DataFrame,
+    image_key: str = DEFAULT_DOC_KEY,
+    question_key: str = "question;query",
+    answer_key: str = "answer;answers",
+) -> DataFrame:
+    """VQA validity filter: sample needs question AND answer AND image
+    (reference src/chug/task_pipeline/pipeline_doc_vqa.py:25-34).  Column
+    predicate → pushes into the scan."""
+    return df.filter(
+        any_present(df.columns, question_key)
+        & any_present(df.columns, answer_key)
+        & any_present(df.columns, image_key)
+    )
+
+
+def resolve_media_ref(df: DataFrame, media_col: str = "media_ref",
+                      image_mode: str = "L", render_dpi: int = 144) -> DataFrame:
+    """Attach ``image_ref`` — the decoded first page of the sample's media
+    (DocVqaProcessor returns page_indices=[0], doc_vqa_processor.py:105; the
+    inherited DocProcessor.__call__ then decodes that one page).  Pre-resolved
+    refs pass through SQL-side; synthetic payloads render page 0 in an
+    Arrow-batched UDF."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .. import media as media_mod
+
+    from pyspark.util import PythonEvalType
+
+    # NOTE: no type hints — `pd` is function-local and the module uses
+    # `from __future__ import annotations`, so hint resolution would fail
+    @F.pandas_udf(T.StringType(), functionType=PythonEvalType.SQL_SCALAR_PANDAS_UDF)
+    def first_page_ref(refs):
+        out = []
+        for ref in refs:
+            try:
+                decoded, _n = media_mod.decode_media_pages(
+                    ref, image_mode=image_mode, page_indices=[0],
+                    render_dpi=render_dpi,
+                )
+                out.append(decoded[0])
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    is_payload = F.col(media_col).startswith(media_mod.SYNTH_PREFIX)
+    return df.withColumn(
+        "image_ref",
+        F.when(is_payload, first_page_ref(F.col(media_col))).otherwise(F.col(media_col)),
+    )
 
 
 def build_vqa(df: DataFrame, cfg: VqaTaskCfg | None = None) -> DataFrame:

@@ -108,3 +108,39 @@ def test_manual_task_safe_map_skips_errors(spark):
     out = build_manual(df, safe_map(per_row, ["doc_id", "doubled"]), out_schema)
     got = sorted((r["doc_id"], r["doubled"]) for r in out.collect())
     assert got == [("a", 4), ("c", 10)]  # 'b' skipped (log_and_continue)
+
+
+def test_vqa_filter_missing(spark):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("png", T.StringType()),
+            T.StructField("question", T.StringType()),
+            T.StructField("answers", T.ArrayType(T.StringType())),
+        ]
+    )
+    rows = [
+        ("d1", "img", "q?", ["a"]),
+        ("d2", None, "q?", ["a"]),      # no image
+        ("d3", "img", None, ["a"]),     # no question
+        ("d4", "img", "q?", None),      # no answer
+    ]
+    from chug_spark.tasks.docvqa import filter_missing
+
+    kept = [r["doc_id"] for r in filter_missing(spark.createDataFrame(rows, schema)).collect()]
+    assert kept == ["d1"]
+
+
+def test_vqa_resolve_media_ref(spark):
+    from chug_spark import media as media_mod
+    from chug_spark.tasks.docvqa import resolve_media_ref
+
+    payload = media_mod.make_payload_ref("L", 3, 11)
+    df = spark.createDataFrame(
+        [("d1", "page:pre"), ("d2", payload)], "doc_id string, media_ref string"
+    )
+    got = {r["doc_id"]: r["image_ref"]
+           for r in resolve_media_ref(df, render_dpi=12).collect()}
+    assert got["d1"] == "page:pre"                       # passthrough
+    expected, _ = media_mod.decode_media_pages(payload, "L", [0], 12)
+    assert got["d2"] == expected[0]                      # rendered page 0

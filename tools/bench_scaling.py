@@ -101,6 +101,22 @@ def hardware_control(n: int) -> float:
         return total / (_t.perf_counter() - t0)
 
 
+def output_hash(out_dir: str) -> str:
+    """Order-insensitive sha256 of the flat span output under out_dir/spans."""
+    import hashlib
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, \"offset\", kind, coalesce(text, ''), coalesce(media_ref, '') "
+        f"FROM '{out_dir}/spans/*.parquet' ORDER BY ALL"
+    ).fetchall()
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(("\x1f".join(map(str, r)) + "\n").encode())
+    return h.hexdigest()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=6000)
@@ -134,6 +150,11 @@ def main() -> int:
             }
         n, n4 = args.n, args.n * 4
         eff = results[n4]["rate_median"] / results[n]["rate_median"] / 4.0
+        # north-rule invariant: span-sequence equality between the two
+        # cluster sizes — order-insensitive hash over the final run outputs
+        eq = output_hash(os.path.join(tmp, f"out_{n}_{args.runs}")) == output_hash(
+            os.path.join(tmp, f"out_{n4}_{args.runs}")
+        )
         hw = {c: round(hardware_control(c), 0) for c in (n, n4, 8, 32)}
         summary = {
             "hw_control_sha256_per_sec": hw,
@@ -148,6 +169,7 @@ def main() -> int:
             "docs_per_sec_4N": results[n4]["rate_median"],
             "efficiency": round(eff, 3),
             "pass": eff >= 0.8,
+            "span_equality_across_levels": eq,
             "runs": args.runs,
             "detail": results,
         }
@@ -187,6 +209,11 @@ running the identical job at two local parallelism levels.
 
 **Scaling efficiency = (rate_4N / rate_N) / 4 = {s['efficiency']}**
 (requirement ≥ 0.8: {"PASS" if s['pass'] else "FAIL"})
+
+**Span-sequence equality between the two cluster sizes** (north-rule
+per-row invariant; order-insensitive hash of the full flat span output at
+local[{s['N']}] vs local[{s['4N']}]):
+{"IDENTICAL — PASS" if s['span_equality_across_levels'] else "MISMATCH — FAIL"}
 
 ## Hardware control (why N={s['N']})
 
