@@ -80,3 +80,34 @@ def test_det_shuffle_deterministic(spark):
     c = [r["doc_id"] for r in det_shuffle(df, seed=6, num_partitions=4).collect()]
     assert a == b                      # schedule-independent order
     assert sorted(a) == sorted(c) and a != c  # different seed → different order
+
+
+def test_json_source_same_plan_fragment(spark, tmp_path):
+    """Alternate connector: the identical extraction plan over a JSON-lines
+    scan of the span schema equals the parquet path (the reference's
+    'processing pipelines remain webdataset based' invariant across sources,
+    README.md:84)."""
+    import json as _json
+
+    from chug_spark.config import ExtractJobCfg
+    from chug_spark.extract import extract_docread
+    from chug_spark.schema import DOCUMENTS_SCHEMA
+    from chug_spark.sources.documents import read_documents
+    from chug_spark.synth import make_doc
+
+    rows = [make_doc(i, seed=71) for i in range(20)]
+    pq = str(tmp_path / "docs_pq")
+    jl = str(tmp_path / "docs.jsonl")
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    df.write.parquet(pq)
+    with open(jl, "w") as f:
+        for doc_id, spans in rows:
+            f.write(_json.dumps({"doc_id": doc_id, "spans": spans}) + "\n")
+
+    cfg = ExtractJobCfg(render_dpi=12)
+
+    def run(src):
+        out, _ = extract_docread(spark, read_documents(spark, src), cfg)
+        return {(r["doc_id"], tuple(map(tuple, r["spans"]))) for r in out.collect()}
+
+    assert run(pq) == run(jl)
