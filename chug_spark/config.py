@@ -31,7 +31,7 @@ CONTINUE_POLICIES = {"log_and_continue", "ignore_and_continue", "warn_and_contin
 STOP_POLICIES = {"ignore_and_stop", "warn_and_stop", "dump_and_reraise", "reraise_exception"}
 ERROR_POLICIES = CONTINUE_POLICIES | STOP_POLICIES
 
-PAGE_SAMPLING_MODES = ("random", "first", "all_valid", "all")
+PAGE_SAMPLING_MODES = ("random", "first", "last", "all_valid", "all")
 
 # get_next_valid_page_index retry bound (src/chug/doc/doc_processor.py:22).
 VALID_PAGE_RETRIES = 10
@@ -63,7 +63,7 @@ class ExtractJobCfg:
     analogue of DataCfg + DataTaskCfg for the doc-read task)."""
 
     # semantics
-    page_sampling: str = "all_valid"            # 'random'|'first'|'all_valid'|'all'
+    page_sampling: str = "all_valid"            # 'random'|'first'|'last'|'all_valid'|'all'
     line_break: str = "\n"                      # doc_read_processor.py:19
     image_mode: str = "L"                       # DEFAULT_DOC_FEAT, constants.py:15
     render_dpi: int = 150                       # doc_processor.py:71

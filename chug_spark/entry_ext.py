@@ -206,6 +206,12 @@ _END_TOK_ID = 9  # tokens of length 9 % 97 → stand-in prompt-end id
 _MAX_LEN = 24
 
 
+def _ids_csv(col: F.Column) -> F.Column:
+    """array<int> -> 'a,b,c' so the driver's pandas hasher (which cannot
+    factorize list cells) can canonicalize the result."""
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
+
 def q_target_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text.tokenization import target_ids_col, tokenize_col
 
@@ -213,11 +219,19 @@ def q_target_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).select("doc_id", ids.alias("input_ids"))
     from .functions import prompt_end_pos
 
-    return df.select(
+    out = df.select(
         "doc_id",
         "input_ids",
         prompt_end_pos(F.col("input_ids"), _END_TOK_ID).alias("end_pos"),
         target_ids_col(F.col("input_ids"), _PAD_ID, _END_TOK_ID).alias("target_ids"),
+    )
+    # Serialize in a separate select: aliasing the CSV as `input_ids` inside
+    # the same projection would lateral-alias-shadow the array column.
+    return out.select(
+        "doc_id",
+        _ids_csv(F.col("input_ids")).alias("input_ids"),
+        "end_pos",
+        _ids_csv(F.col("target_ids")).alias("target_ids"),
     )
 
 
@@ -239,10 +253,13 @@ pos AS (
                         WHERE input_ids[i] = {_END_TOK_ID}), 1) - 1 AS INT) AS end_pos
   FROM ids
 )
-SELECT doc_id, input_ids, end_pos,
-       list_transform(generate_series(1, {_MAX_LEN}),
-                      i -> CASE WHEN i - 1 <= end_pos OR input_ids[i] = {_PAD_ID}
-                                THEN -100 ELSE input_ids[i] END) AS target_ids
+SELECT doc_id,
+       array_to_string(input_ids, ',') AS input_ids,
+       end_pos,
+       array_to_string(
+         list_transform(generate_series(1, {_MAX_LEN}),
+                        i -> CASE WHEN i - 1 <= end_pos OR input_ids[i] = {_PAD_ID}
+                                  THEN -100 ELSE input_ids[i] END), ',') AS target_ids
 FROM pos
 """
 

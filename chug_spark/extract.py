@@ -98,6 +98,14 @@ def _policy_udf(page_sampling: str, seed: int):
                 idx = [next_valid(start, n, flags)]
             elif page_sampling == "first":
                 idx = [next_valid(-1, n, flags)]
+            elif page_sampling == "last":
+                # literal last page, no valid-page scan: the reference's
+                # 'last' exists only in the decode path, as page_indices=[-1]
+                # (wds/decode.py:228-231); an empty page yields an empty text
+                # span, a missing text key is still a document error
+                if flags[n - 1] == _FLAG_MISSING:
+                    raise KeyError("text")
+                idx = [n - 1]
             elif page_sampling == "all_valid":
                 cur = -1
                 for _ in range(n):
@@ -222,19 +230,40 @@ def _prepare(docs: DataFrame, cfg: ExtractJobCfg) -> DataFrame:
             F.transform("_medias", lambda s: s["media_ref"]).alias("media_refs"),
         )
         .withColumn("pages", F.from_json("anno_txt", ANNO_SCHEMA)["pages"])
+        # Effective page text: lines.text when a 'lines' branch exists, else
+        # top-level text — NO cross-branch fallback: a 'lines' struct lacking
+        # 'text' is a missing key (ref doc_processor.py:40-43 KeyError), even
+        # if a top-level 'text' also exists.  from_json conflates absent keys
+        # with explicit JSON nulls, so the engine contract is null == missing
+        # on both branches; the pytest oracle (tests/oracle.py:_page_lines)
+        # mirrors this exactly.
         .withColumn(
             "page_texts",
-            F.transform("pages", lambda p: F.coalesce(p["lines"]["text"], p["text"])),
+            F.transform(
+                "pages",
+                lambda p: F.when(p["lines"].isNotNull(), p["lines"]["text"]).otherwise(
+                    p["text"]
+                ),
+            ),
         )
         .withColumn(
             "flags",
             F.transform(
                 "pages",
                 lambda p: F.when(
-                    p["lines"]["text"].isNull() & p["text"].isNull(),
+                    (p["lines"].isNotNull() & p["lines"]["text"].isNull())
+                    | (p["lines"].isNull() & p["text"].isNull()),
                     F.lit(_FLAG_MISSING),
                 )
-                .when(F.size(F.coalesce(p["lines"]["text"], p["text"])) > 0, F.lit(_FLAG_VALID))
+                .when(
+                    F.size(
+                        F.when(p["lines"].isNotNull(), p["lines"]["text"]).otherwise(
+                            p["text"]
+                        )
+                    )
+                    > 0,
+                    F.lit(_FLAG_VALID),
+                )
                 .otherwise(F.lit(_FLAG_INVALID)),
             ),
         )

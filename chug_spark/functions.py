@@ -105,9 +105,15 @@ def clean_text(col: Column) -> Column:
     """Deterministic text cleanup for raw text fragments: drop control chars,
     collapse whitespace runs, trim.  (The 'text-cleanup' of the north rule;
     the reference leaves raw ``txt`` members untouched, so this is engine
-    policy, kept trivially SQL-portable.)"""
+    policy, kept trivially SQL-portable.)
+
+    ``(?U)`` (Java UNICODE_CHARACTER_CLASS) makes ``\\s`` match the Unicode
+    White_Space set (NBSP, NEL, U+2028, ...), matching Python's ``\\s`` in the
+    pytest oracle — the control-char strip removes \\x1c-\\x1f first, which is
+    the only place the two engines' whitespace sets differ.  After the
+    collapse, only ASCII spaces remain, so plain trim() finishes the job."""
     c = F.regexp_replace(col, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"(?U)\s+", " ")
     return F.trim(c)
 
 
@@ -161,8 +167,12 @@ def text_input_to_target(
     if prompt_end_token_id is None:
         return masked
     # empty_default=0: when the prompt-end token is absent the reference
-    # masks target[:0+1] — index 0 — (tokenization.py:8-9,:36-38)
-    end_pos = prompt_end_pos(ids, prompt_end_token_id, empty_default=0)
+    # masks target[:0+1] — index 0 — (tokenization.py:8-9,:36-38).
+    # Search the already pad-masked ids, as the reference does
+    # (tokenization.py:26,36): with an eos-as-pad tokenizer
+    # (prompt_end_token_id == pad_token_id) every occurrence is already
+    # ignore_id, so only index 0 gets masked — not every pad position.
+    end_pos = prompt_end_pos(masked, prompt_end_token_id, empty_default=0)
     return F.transform(
         masked,
         lambda x, i: F.when(i <= end_pos, F.lit(ignore_id)).otherwise(x),

@@ -82,7 +82,18 @@ def make_doc(
                 f"w{rng.randint(0, 9999)} line{p}-{j} of {doc_id}"
                 for j in range(rng.randint(1, 4))
             ]
-        if rng.random() < 0.5:
+        shape = rng.random()
+        if shape < 0.02:
+            # 'lines' branch lacking 'text' → missing key even though a
+            # top-level 'text' exists (no cross-branch fallback)
+            pages.append({"lines": {"bbox": []}, "text": lines})
+        elif shape < 0.04:
+            pages.append({"text": None})  # explicit null == missing (contract)
+        elif shape < 0.05:
+            pages.append(None)  # null page element == missing
+        elif shape < 0.07:
+            pages.append({"lines": None, "text": lines})  # null lines → top-level
+        elif shape < 0.52:
             pages.append({"text": lines, "bbox": [[0.0, 0.0, 1.0, 1.0]] * len(lines)})
         else:  # nested 'lines' format (doc_read_processor.py:94-108)
             pages.append(

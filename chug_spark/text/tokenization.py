@@ -92,7 +92,11 @@ def make_tokenize_udf(
     """Production tokenizer slot: Arrow-batched pandas UDF around a
     user-supplied tokenizer (constructed once per executor via the factory —
     the broadcast pattern for HF tokenizers).  Mirrors ``tokenize``
-    (src/chug/text/tokenization.py:42-58)."""
+    (src/chug/text/tokenization.py:42-58).
+
+    The tokenizer is called ONCE per Arrow batch with the whole list of
+    strings — HF fast tokenizers batch-encode in a single Rust call, ~10×
+    the throughput of per-row encode calls."""
 
     state: dict = {}
 
@@ -101,17 +105,14 @@ def make_tokenize_udf(
         if "t" not in state:
             state["t"] = tokenizer_factory()
         tokenizer = state["t"]
-        out = []
-        for s in texts:
-            ids = tokenizer(
-                s,
-                add_special_tokens=False,
-                max_length=max_length,
-                padding="max_length",
-                truncation=True,
-            )
-            ids = ids["input_ids"] if isinstance(ids, dict) else ids
-            out.append(list(map(int, ids)))
-        return pd.Series(out)
+        enc = tokenizer(
+            list(texts),
+            add_special_tokens=False,
+            max_length=max_length,
+            padding="max_length",
+            truncation=True,
+        )
+        ids_rows = enc["input_ids"] if isinstance(enc, dict) else enc
+        return pd.Series([list(map(int, ids)) for ids in ids_rows])
 
     return tok

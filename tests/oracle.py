@@ -42,13 +42,29 @@ def clean_text(s: str) -> str:
     return s.strip()
 
 
-def _page_lines(page: dict):
-    """anno_page.get('lines', anno_page)['text'] — raises KeyError when the
-    text key is missing entirely (ref doc_processor.py:40-43)."""
-    p = page.get("lines", page)
-    if not isinstance(p, dict):
+def _page_lines(page):
+    """Effective text list: ``lines.text`` when a 'lines' branch exists, else
+    top-level ``text`` — raises KeyError when the effective value is
+    absent or null (ref doc_processor.py:40-43).
+
+    Engine-contract note (mirrored by extract.py:_prepare): Spark's from_json
+    conflates an absent key with an explicit JSON ``null``, so the engine
+    defines null == missing on both branches.  The reference would treat an
+    explicit ``"text": null`` as a falsy page to skip rather than a KeyError —
+    a shape its corpora never produce; we document the deviation here and
+    keep both sides of THIS engine exactly aligned."""
+    if not isinstance(page, dict):
         raise KeyError("text")
-    return p["text"]
+    lines = page.get("lines")
+    if lines is not None:
+        if not isinstance(lines, dict):
+            raise KeyError("text")
+        v = lines.get("text")
+    else:
+        v = page.get("text")
+    if v is None:
+        raise KeyError("text")
+    return v
 
 
 def next_valid_page_index(cur: int, num_pages: int, pages: list) -> int:
@@ -68,6 +84,11 @@ def select_page_indices(doc_id: str, pages: list, page_sampling: str, seed: int)
             idx = [next_valid_page_index(start, n, pages)]
         elif page_sampling == "first":
             idx = [next_valid_page_index(-1, n, pages)]
+        elif page_sampling == "last":
+            # literal last page (ref wds/decode.py:228-231 page_indices=[-1]):
+            # no valid-page scan; missing text key still errors the doc
+            _page_lines(pages[-1])
+            idx = [n - 1]
         elif page_sampling == "all_valid":
             cur = -1
             for _ in range(n):

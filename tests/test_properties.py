@@ -21,6 +21,13 @@ page_st = st.one_of(
     st.fixed_dictionaries({"text": lines_st}),
     st.fixed_dictionaries({"lines": st.fixed_dictionaries({"text": lines_st})}),
     st.fixed_dictionaries({"bbox": st.just([])}),  # missing text key entirely
+    # null-vs-absent shapes (engine contract: null == missing, both branches)
+    st.fixed_dictionaries({"text": st.none()}),            # explicit null text
+    st.fixed_dictionaries(                                  # lines lacks text,
+        {"lines": st.fixed_dictionaries({"bbox": st.just([])}),
+         "text": lines_st}),                                # top-level NOT used
+    st.fixed_dictionaries({"lines": st.none(), "text": lines_st}),  # null lines
+    st.none(),                                              # null page element
 )
 
 anno_st = st.one_of(
@@ -56,7 +63,7 @@ def corpus_st(draw):
 
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
-@given(corpus_st(), st.sampled_from(["all_valid", "first", "all", "random"]))
+@given(corpus_st(), st.sampled_from(["all_valid", "first", "last", "all", "random"]))
 def test_fuzzed_corpus_matches_oracle(spark, rows, policy):
     docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
     spans_out, errors = extract_docread(
