@@ -64,6 +64,10 @@ def _docread_sql(which: str, seed: int = 0) -> str:
     elif which == "first":
         sel = "(SELECT * FROM pages WHERE p = 0)"
         k = "0"
+    elif which == "last":
+        # literal last page (ref wds/decode.py:228-231 page_indices=[-1])
+        sel = "(SELECT * FROM pages WHERE p = n_pages - 1)"
+        k = "0"
     elif which == "random":
         pick = _RAND_PICK.format(seed=seed)
         sel = f"(SELECT * FROM pages WHERE p = {pick})"
@@ -163,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docread_all_valid": _docread("all_valid"),
         "docread_first": _docread("first"),
+        "docread_last": _docread("last"),
         "docread_all": _docread("all"),
         "docread_random": _docread("random", seed=0),
         "spans_derive": _spans_derive,
@@ -178,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "docread_all_valid": _docread_sql("all_valid"),
         "docread_first": _docread_sql("first"),
+        "docread_last": _docread_sql("last"),
         "docread_all": _docread_sql("all"),
         "docread_random": _docread_sql("random", seed=0),
         "spans_derive": _SPANS_DERIVE_SQL,

@@ -5,20 +5,43 @@ upstream) — these are the ops a 10^12-doc extraction pipeline needs next to
 the decoder, built Spark-first:
 
 - exact dedup: hash-groupBy (map-side partial agg, one shuffle on the hash)
-- MinHash+LSH: per-band signatures computed with higher-order functions (no
-  explode, no UDF), candidate pairs via self-join on (band, signature) —
-  the join key is the LSH bucket so the shuffle is tiny vs all-pairs
-- SimHash: 16-bit signature from per-hex-position majority vote
-- n-gram Jaccard: shingle-explode + equi-join + ratio; exact verification
-  for candidate pairs
+- MinHash+LSH: md5 each distinct shingle ONCE to a 60-bit int, then derive
+  the per-band signatures with universal-hash permutations
+  ``(a_b * h + c_b) mod p`` (cheap JVM integer ops instead of ``bands``
+  separate md5 passes); candidate pairs via self-join on the (band, sig)
+  bucket — with a bucket-size cap so one degenerate bucket (boilerplate
+  corpus) can never go quadratic
+- SimHash: 64-bit signature (per-bit majority over md5(word) bits) + banded
+  Hamming candidate join (4 × 16-bit bands; pigeonhole: any pair within
+  Hamming distance 3 shares at least one band)
+- n-gram Jaccard: shingle-explode + equi-join + ratio, with a shingle
+  document-frequency cap: a stop-phrase shingle appearing in f docs would
+  otherwise contribute f² join rows
 
-All hashes are md5-based so DuckDB oracles compute identical values.
+All hashes are md5-based so DuckDB oracles compute identical values; the
+caps are mirrored in the oracle SQL, so capped results stay hash-identical
+across engines.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: the universal-hash modulus for MinHash permutations.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_perm_constants(bands: int) -> list[tuple[int, int]]:
+    """Deterministic (a_b, c_b) multiplier/offset pairs for the per-band
+    permutations h_b(x) = (a_b * x + c_b) mod p.  Plain-int LCG derivation —
+    embedded as literals in both the Spark plan and the DuckDB oracle SQL."""
+    out = []
+    for b in range(bands):
+        a = (1103515245 * (b + 1) + 12345) % (MINHASH_P - 2) + 1  # a in [1, p-1)
+        c = (69069 * (b + 7) + 1) % MINHASH_P
+        out.append((a, c))
+    return out
 
 
 def normalize_text(col):
@@ -71,34 +94,65 @@ def word_shingles(col, n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_hash(s: Column) -> Column:
+    """60-bit integer hash of a shingle: first 15 md5 hex chars, folded mod p.
+    One md5 per distinct shingle — the per-band signatures derive from this
+    single hash with integer permutations (8× fewer md5 calls than hashing
+    per band)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(MINHASH_P)
+    )
+
+
 def minhash_signatures(docs: DataFrame, bands: int = 8, shingle_n: int = 3) -> DataFrame:
     """Per-doc MinHash LSH signatures: for band b, sig = min over shingles of
-    md5(b || '|' || shingle).  One row per (doc, band); no explode of the
-    shingle set — array_min(transform(...)) per band, zero shuffle before the
-    bucket join.  (Measured faster than the explode→groupBy(min) formulation
-    at sf0.1: the per-band HOF pass avoids the doc_id shuffle entirely.)"""
+    (a_b * h(shingle) + c_b) mod p.  One row per (doc, band); no explode of
+    the shingle set — array_min(transform(...)) per band, zero shuffle before
+    the bucket join.  (HOF pass measured faster than explode→groupBy(min);
+    the single-md5 + integer-permutation scheme replaces 8 md5 passes.)"""
     sh = word_shingles(F.col("text"), shingle_n)
+    consts = minhash_perm_constants(bands)
     docs = docs.select(F.col("doc_id").cast("long").alias("doc_id"), sh.alias("sh"))
-    band_sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.md5(F.concat(b.cast("string"), F.lit("|"), s)),
-            )
-        ),
+    hashes = F.transform(F.col("sh"), shingle_hash)
+    docs = docs.filter(F.size("sh") > 0).select("doc_id", hashes.alias("hs"))
+    def perm(a: int, c: int):
+        # closure factory: Spark derives the HOF lambda arity from the Python
+        # signature, so the returned lambda must take exactly one argument
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(c), F.lit(MINHASH_P))
+
+    band_sigs = F.array(
+        *[F.array_min(F.transform(F.col("hs"), perm(a, c))) for a, c in consts]
     )
+    return docs.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+
+
+def cap_buckets(df: DataFrame, keys: list[str], max_size: int) -> DataFrame:
+    """Drop rows belonging to buckets larger than ``max_size`` (degenerate-
+    bucket guard: a single hot LSH bucket would otherwise contribute size²
+    rows to the self-join).  Window count over the bucket key — one shuffle,
+    co-partitioned with the subsequent self-join on the same key."""
+    if not max_size:
+        return df
+    w = Window.partitionBy(*keys)
     return (
-        docs.filter(F.size("sh") > 0)
-        .select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+        df.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_size)
+        .drop("_bn")
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame, bands: int = 8, shingle_n: int = 3) -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame, bands: int = 8, shingle_n: int = 3, max_bucket_size: int = 64
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, signature) bucket.
     The self-join shuffles on the bucket key (band, sig) — pairs only form
-    inside buckets, which is the whole point of LSH at 10^12 docs."""
-    sigs = minhash_signatures(docs, bands, shingle_n)
+    inside buckets, which is the whole point of LSH at 10^12 docs.  Buckets
+    larger than ``max_bucket_size`` are dropped entirely before the join
+    (standard LSH practice: a bucket that big is boilerplate, not near-dup
+    signal, and would cost size² join rows)."""
+    sigs = cap_buckets(
+        minhash_signatures(docs, bands, shingle_n), ["band", "sig"], max_bucket_size
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -111,43 +165,128 @@ def minhash_candidate_pairs(docs: DataFrame, bands: int = 8, shingle_n: int = 3)
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash over words: bit i = majority of (hex digit i of
-    md5(word) >= 8).  Returns (doc_id, simhash bitstring)."""
+SIMHASH_BITS = 64
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """64-bit SimHash over words: bit i = majority vote of bit (i%4) of hex
+    digit (i//4) of md5(word).  md5 is computed ONCE per word; the 64 bit
+    extractions are cheap string/integer ops over that array.  Returns
+    (doc_id, simhash bitstring, length ``bits``).
+
+    16-bit signatures (round 1) are useless at 10^12 docs — 65k distinct
+    values; 64 bits keep collision-by-chance negligible at corpus scale."""
     words = F.split(F.col("text"), " ")
-    bits = F.transform(
-        F.sequence(F.lit(1), F.lit(16)),
+    hashes = F.transform(words, lambda w: F.md5(w))
+    n = F.size(words)
+    bit_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda i: F.when(
             F.size(
                 F.filter(
-                    words,
-                    lambda w: F.conv(F.substring(F.md5(w), i, 1), 16, 10).cast("int") >= 8,
+                    hashes,
+                    lambda m: F.pmod(
+                        F.floor(
+                            F.conv(
+                                m.substr(
+                                    F.floor(i / 4).cast("int") + 1, F.lit(1)
+                                ),
+                                16,
+                                10,
+                            ).cast("int")
+                            / F.pow(F.lit(2.0), F.pmod(i, F.lit(4)))
+                        ),
+                        F.lit(2),
+                    )
+                    == 1,
                 )
             )
             * 2
-            > F.size(words),
+            > n,
             F.lit("1"),
         ).otherwise(F.lit("0")),
     )
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.array_join(bits, "").alias("simhash"),
+        F.array_join(bit_arr, "").alias("simhash"),
+    )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded Hamming candidate join.  The 64-bit
+    signature splits into ``bands`` equal substrings; by pigeonhole, any pair
+    within Hamming distance < ``bands`` shares at least one identical band →
+    the equi-join on (band, key) finds all such pairs without an all-pairs
+    comparison.  Exact Hamming distance verifies candidates; degenerate
+    bands (e.g. all-zero prefixes in templated corpora) are capped like the
+    MinHash buckets."""
+    assert SIMHASH_BITS % bands == 0
+    band_len = SIMHASH_BITS // bands
+    sigs = simhash_signatures(docs)
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.col("simhash").substr(b * band_len + 1, F.lit(band_len)),
+    )
+    e = cap_buckets(
+        sigs.select("doc_id", "simhash", F.posexplode(band_keys).alias("band", "key")),
+        ["band", "key"],
+        max_bucket_size,
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+            lambda i: F.col("sig_a").substr(i, F.lit(1))
+            != F.col("sig_b").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, shingle_n: int = 3, threshold: float = 0.2
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int = 64,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs found by shingle equi-join:
     explode distinct shingles → self-join on shingle → count intersections →
     |A∩B| / (|A|+|B|-|A∩B|).  Integer-ratio math — bit-identical in any
-    engine.  Shuffle key = shingle (high cardinality, well distributed)."""
+    engine.  Shuffle key = shingle (high cardinality, well distributed).
+
+    Shingles with document frequency > ``max_shingle_df`` are excluded from
+    the join (a shingle in f docs contributes f² join rows — one hot
+    stop-phrase would dominate the job at corpus scale).  Denominators keep
+    the full shingle-set sizes, so the reported jaccard is a lower bound for
+    pairs that shared a dropped shingle; at the default cap that only
+    affects boilerplate-heavy pairs whose signal is spurious anyway."""
     sh = word_shingles(F.col("text"), shingle_n)
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), sh.alias("sh")
     ).filter(F.size("sh") > 0)
     sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = base.select("doc_id", F.explode("sh").alias("shingle"))
+    exploded = cap_buckets(exploded, ["shingle"], max_shingle_df)
     inter = (
         exploded.alias("a")
         .join(exploded.alias("b"), "shingle")

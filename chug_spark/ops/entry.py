@@ -48,10 +48,13 @@ GROUP BY 1
 def q_minhash_pairs(spark, sf_dir):
     from .dedup import minhash_candidate_pairs
 
-    return minhash_candidate_pairs(_docs(spark, sf_dir), bands=8, shingle_n=3)
+    return minhash_candidate_pairs(
+        _docs(spark, sf_dir), bands=8, shingle_n=3, max_bucket_size=64
+    )
 
 
-_SQL_MINHASH_PAIRS = """
+# shared corpus-derivation CTEs for the shingle-based queries
+_SHINGLES_CTE = """
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
 ),
@@ -60,15 +63,41 @@ s AS (
          list_distinct(list_transform(generate_series(0, len(words) - 3),
                                       i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
   FROM d WHERE len(words) >= 3
+)
+"""
+
+
+def _minhash_pairs_sql(bands: int = 8, max_bucket_size: int = 64) -> str:
+    """Generated from the SAME permutation constants the Spark plan uses
+    (dedup.minhash_perm_constants) — constants can never drift apart."""
+    from .dedup import MINHASH_P, minhash_perm_constants
+
+    values = ", ".join(
+        f"({b}, {a}, {c})" for b, (a, c) in enumerate(minhash_perm_constants(bands))
+    )
+    return f"""
+{_SHINGLES_CTE},
+hs AS (
+  SELECT doc_id,
+         list_transform(sh, x ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1 AS BIGINT))),
+             (a, b) -> a * 16 + b) % {MINHASH_P}) AS hs
+  FROM s WHERE len(sh) > 0
 ),
+consts(band, ca, cc) AS (VALUES {values}),
 sig AS (
-  SELECT doc_id, u.band AS band,
-         list_min(list_transform(sh, x -> md5(CAST(u.band AS VARCHAR) || '|' || x))) AS sig
-  FROM s, unnest(generate_series(0, 7)) AS u(band)
-  WHERE len(sh) > 0
+  SELECT doc_id, band,
+         list_min(list_transform(hs, h -> (ca * h + cc) % {MINHASH_P})) AS sig
+  FROM hs, consts
+),
+capped AS (
+  SELECT * FROM sig
+  QUALIFY count(*) OVER (PARTITION BY band, sig) <= {max_bucket_size}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
 
@@ -79,37 +108,82 @@ def q_simhash(spark, sf_dir):
     return simhash_signatures(_docs(spark, sf_dir))
 
 
-_SQL_SIMHASH = """
-SELECT doc_id,
-       array_to_string(
-         list_transform(generate_series(1, 16),
-           i -> CASE WHEN 2 * len(list_filter(string_split(text, ' '),
-                                  w -> strpos('89abcdef', substr(md5(w), i, 1)) > 0))
-                        > len(string_split(text, ' '))
-                THEN '1' ELSE '0' END),
-         '') AS simhash
-FROM documents
+# 64-bit simhash: bit i = majority of bit (i%4) of hex digit (i//4) of
+# md5(word); md5 computed once per word on both engines
+_SIMHASH_SIG_CTE = """
+WITH w AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), x -> md5(x)) AS mw,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(generate_series(0, 63),
+             i -> CASE WHEN 2 * len(list_filter(mw,
+                         m -> ((strpos('0123456789abcdef',
+                                       substr(m, CAST(i // 4 AS INT) + 1, 1)) - 1)
+                               // CAST(pow(2, i % 4) AS INT)) % 2 = 1))
+                          > n
+                  THEN '1' ELSE '0' END),
+           '') AS simhash
+  FROM w
+)
+"""
+
+_SQL_SIMHASH = _SIMHASH_SIG_CTE + "\nSELECT doc_id, simhash FROM sig\n"
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from .dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _docs(spark, sf_dir), max_distance=16, bands=4, max_bucket_size=64
+    )
+
+
+_SQL_SIMHASH_PAIRS = _SIMHASH_SIG_CTE + """,
+e AS (
+  SELECT doc_id, simhash, u.band AS band,
+         substr(simhash, u.band * 16 + 1, 16) AS key
+  FROM sig, unnest(generate_series(0, 3)) AS u(band)
+),
+capped AS (
+  SELECT * FROM e QUALIFY count(*) OVER (PARTITION BY band, key) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+                              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b,
+         CAST(len(list_filter(generate_series(1, 64),
+                i -> substr(sa, CAST(i AS INT), 1) <> substr(sb, CAST(i AS INT), 1)))
+              AS INT) AS hamming
+  FROM cand
+) WHERE hamming <= 16
 """
 
 
 def q_ngram_jaccard(spark, sf_dir):
     from .dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.12)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), shingle_n=3, threshold=0.12, max_shingle_df=64
+    )
 
 
-_SQL_NGRAM_JACCARD = """
-WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-),
-s AS (
-  SELECT doc_id,
-         list_distinct(list_transform(generate_series(0, len(words) - 3),
-                                      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
-  FROM d WHERE len(words) >= 3
-),
+_SQL_NGRAM_JACCARD = _SHINGLES_CTE + """,
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
-e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+e0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+e AS (
+  -- document-frequency cap, mirrored from the Spark plan: hot shingles are
+  -- excluded from the intersection join (df > 64)
+  SELECT * FROM e0 QUALIFY count(*) OVER (PARTITION BY shingle) <= 64
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -156,11 +230,51 @@ FROM pairs WHERE round(c, 4) >= 0.2
 
 
 def q_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (window rank inside buckets) —
-    rows-only check (the scale path; exactness not SQL-replicated)."""
+    """LSH-bucketed approximate top-k (window rank inside buckets).  The
+    hyperplane bits are md5-derived, so the DuckDB oracle reproduces the
+    buckets, cosines, and ranks exactly."""
     from .similarity import ann_topk_lsh
 
     return ann_topk_lsh(_emb(spark, sf_dir), n_queries=5, k=5, n_planes=4)
+
+
+# sequential list_reduce folds reproduce Spark's aggregate() order → the
+# projections/cosines are bit-identical doubles; hyperplane sign h_p[d] =
+# ±1 from the first hex digit of md5('p|d') mirrors similarity.hyperplane_bit
+_SQL_ANN_TOPK = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+bk AS (
+  SELECT vec_id, emb,
+         array_to_string(list_transform(generate_series(0, 3), pl ->
+           CASE WHEN list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(emb)),
+                    d -> emb[d] * CAST(((strpos('0123456789abcdef',
+                           substr(md5(CAST(pl AS VARCHAR) || '|' || CAST(d - 1 AS VARCHAR)), 1, 1)) - 1)
+                           % 2) * 2 - 1 AS DOUBLE))),
+                  (a, b) -> a + b) >= 0
+           THEN '1' ELSE '0' END), '') AS bucket
+  FROM base
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM bk WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(
+           list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.emb)),
+                       i -> q.q_emb[i] * b.emb[i])), (a, x) -> a + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(q.q_emb, x -> x * x)), (a, x) -> a + x))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(b.emb, x -> x * x)), (a, x) -> a + x))),
+           4) AS cosine
+  FROM bk b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM pairs
+QUALIFY rank <= 5
+"""
 
 
 # --- text analysis ----------------------------------------------------------
@@ -288,6 +402,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_threshold": q_cosine_threshold,
         "ann_topk": q_ann_topk,
@@ -301,11 +416,12 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def ops_oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": _SQL_DEDUP_EXACT,
-        "minhash_pairs": _SQL_MINHASH_PAIRS,
+        "minhash_pairs": _minhash_pairs_sql(bands=8, max_bucket_size=64),
         "simhash": _SQL_SIMHASH,
+        "simhash_pairs": _SQL_SIMHASH_PAIRS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "cosine_threshold": _SQL_COSINE_THRESHOLD,
-        # ann_topk: LSH+window — rows-only
+        "ann_topk": _SQL_ANN_TOPK,
         "token_count": _SQL_TOKEN_COUNT,
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _SQL_LANG_ID,

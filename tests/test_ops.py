@@ -44,6 +44,22 @@ def test_minhash_finds_near_duplicates(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def _py_simhash64(text):
+    """Independent pure-Python 64-bit simhash oracle (same md5-bit contract)."""
+    import hashlib
+
+    words = text.split(" ")
+    bits = []
+    for i in range(64):
+        hexpos, bit = i // 4, i % 4
+        n_set = sum(
+            (int(hashlib.md5(w.encode()).hexdigest()[hexpos], 16) >> bit) & 1
+            for w in words
+        )
+        bits.append("1" if 2 * n_set > len(words) else "0")
+    return "".join(bits)
+
+
 def test_simhash_similar_docs_close(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = base.replace("today", "tomorrow")
@@ -52,8 +68,50 @@ def test_simhash_similar_docs_close(spark):
             simhash_signatures(_docs(spark, [base, near, other])).collect()}
     def ham(a, b):
         return sum(x != y for x, y in zip(a, b))
-    assert len(sigs[0]) == 16
-    assert ham(sigs[0], sigs[1]) <= ham(sigs[0], sigs[2])
+    assert len(sigs[0]) == 64
+    assert sigs[0] == _py_simhash64(base)
+    assert sigs[2] == _py_simhash64(other)
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
+
+
+def test_simhash_hamming_pairs_banded(spark):
+    from chug_spark.ops.dedup import simhash_hamming_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "zq xw vv kk jj pp mm nn bb cc dd ee ff gg"
+    docs = _docs(spark, [base, near, base, other])
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_hamming_pairs(docs, max_distance=8).collect()}
+    assert rows[(0, 2)] == 0          # identical docs → distance 0
+    assert (0, 1) in rows             # near-dup within banded reach
+    assert (0, 3) not in rows and (1, 3) not in rows
+
+
+def test_lsh_bucket_caps_bound_join_size(spark):
+    """Adversarial corpus: many docs sharing one hot shingle must NOT create
+    a quadratic join — the df/bucket caps drop the degenerate key entirely."""
+    from chug_spark.ops.dedup import minhash_candidate_pairs, word_shingles
+
+    hot = "common boiler plate"
+    texts = [f"{hot} unique{i} tail{i} words{i}" for i in range(50)]
+    docs = _docs(spark, texts)
+
+    # every doc shares the 'common boiler plate' shingle → uncapped would
+    # yield ≥ C(50,2)=1225 intersection rows for that shingle alone
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.0,
+                                max_shingle_df=16).count()
+    assert pairs == 0  # hot shingle dropped; nothing else shared
+
+    # same corpus, uncapped (max_shingle_df=0 → no cap) DOES pair everything
+    pairs_uncapped = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.0,
+                                         max_shingle_df=0).count()
+    assert pairs_uncapped == 50 * 49 // 2
+
+    # minhash: identical docs form one giant bucket per band → capped out
+    same = _docs(spark, ["x y z w v u"] * 40)
+    assert minhash_candidate_pairs(same, max_bucket_size=16).count() == 0
+    assert minhash_candidate_pairs(same, max_bucket_size=64).count() == 40 * 39 // 2
 
 
 def test_ngram_jaccard_exact_value(spark):
