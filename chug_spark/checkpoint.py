@@ -61,6 +61,16 @@ def done_buckets(spark: SparkSession, checkpoint_dir: str, run_id: str) -> DataF
     )
 
 
+def _partition_count(spark: SparkSession, path: str):
+    """Read one written partition dir back; zero-row partitions write no
+    directory at all, so a missing path means empty."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return None
+    return df
+
+
 def write_with_checkpoint(
     spark: SparkSession,
     docs: DataFrame,
@@ -68,6 +78,7 @@ def write_with_checkpoint(
     out_dir: str,
     n_buckets: int = 8,
     fail_after: int | None = None,
+    stage_input: bool = True,
 ) -> None:
     """Run doc-read extraction bucket-by-bucket with checkpointed lineage.
 
@@ -75,6 +86,18 @@ def write_with_checkpoint(
     simulate a mid-job crash; a subsequent call resumes the remaining buckets.
     Output parquet is partitioned by bucket so each bucket's write is
     idempotent (overwrite-by-partition).
+
+    Read-amplification contract (scale design):
+
+    - the input is STAGED once, written partitioned by bucket
+      (``stage_input=True``, default): each bucket iteration then scans only
+      its own partition via partition pruning — total input read = 2× (one
+      stage write + one partitioned read) instead of n_buckets× full scans
+      of a computed bucket column;
+    - per-bucket lineage metrics (doc/span/error counts) are computed from
+      the parquet just written, never by re-running the extraction plan;
+    - the staging dir is keyed by run_id — a resumed run reuses it, a new
+      run_id re-stages.
     """
     from .extract import extract_docread, flatten_spans  # local import, no cycle
 
@@ -83,7 +106,6 @@ def write_with_checkpoint(
     data_path = os.path.join(out_dir, "spans")
     err_path = os.path.join(out_dir, "errors")
 
-    docs_b = docs.withColumn("bucket", bucket_col(cfg.seed, n_buckets))
     done = {r["bucket"] for r in done_buckets(spark, out_dir, cfg.run_id).collect()}
     attempt = 1 + (
         read_checkpoint(spark, out_dir, cfg.run_id)
@@ -93,6 +115,20 @@ def write_with_checkpoint(
     )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    if stage_input:
+        staged_path = os.path.join(out_dir, f"staged_{cfg.run_id}")
+        if not os.path.exists(os.path.join(staged_path, "_SUCCESS")):
+            (
+                docs.withColumn("bucket", bucket_col(cfg.seed, n_buckets))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(staged_path)
+            )
+        docs_b = spark.read.parquet(staged_path)
+    else:
+        docs_b = docs.withColumn("bucket", bucket_col(cfg.seed, n_buckets))
+
     completed = 0
     for b in range(n_buckets):
         if b in done:
@@ -105,18 +141,22 @@ def write_with_checkpoint(
         err_rows = errors.withColumn("bucket", F.lit(b))
         err_rows.write.mode("overwrite").partitionBy("bucket").parquet(err_path)
 
-        stats = (
-            flat.groupBy()
-            .agg(
+        # lineage metrics from the *written* partitions — the extraction plan
+        # (incl. the policy/decode UDFs) never re-runs for stats
+        written = _partition_count(spark, os.path.join(data_path, f"bucket={b}"))
+        if written is not None:
+            stats = written.agg(
                 F.countDistinct("doc_id").alias("doc_count"),
                 F.count(F.lit(1)).alias("span_count"),
-            )
-            .collect()[0]
-        )
-        err_count = errors.count()
+            ).collect()[0]
+            doc_count, span_count = stats["doc_count"], stats["span_count"]
+        else:
+            doc_count = span_count = 0
+        written_err = _partition_count(spark, os.path.join(err_path, f"bucket={b}"))
+        err_count = written_err.count() if written_err is not None else 0
         wall_ms = int((time.monotonic() - t0) * 1000)
         row = [
-            (cfg.run_id, b, stats["doc_count"], stats["span_count"],
+            (cfg.run_id, b, doc_count, span_count,
              err_count, "done", attempt, wall_ms)
         ]
         spark.createDataFrame(row, CHECKPOINT_TABLE_SCHEMA).write.mode("append").parquet(cp_path)

@@ -9,9 +9,16 @@ streaming analogue that matters for a batch extraction engine is
 ``run_stream_extract`` reads the span table as a file stream and runs the
 identical batch plan per micro-batch via foreachBatch —
 ``Trigger.AvailableNow`` drains everything currently available and stops;
-the streaming checkpoint gives exactly-once file-level progress, so re-runs
-after failure or after new files arrive decode only unseen input (the
-streaming twin of the bucket checkpoint table).
+the streaming checkpoint tracks file-level progress, so re-runs after
+failure or after new files arrive decode only unseen input (the streaming
+twin of the bucket checkpoint table).
+
+foreachBatch delivery is at-least-once: a crash after the data write but
+before the checkpoint commit replays the batch on restart.  The per-batch
+writes are therefore made idempotent by partitioning the output on
+``batch_id`` with dynamic partition-overwrite — a replayed batch overwrites
+its own partition instead of appending duplicates, so resumed output equals
+a clean run (end-to-end effectively-once).
 """
 
 from __future__ import annotations
@@ -26,6 +33,37 @@ from ..extract import extract_docread, flatten_spans
 from ..schema import DOCUMENTS_SCHEMA
 
 
+def process_one_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    cfg: ExtractJobCfg,
+    spans_path: str,
+    errors_path: str,
+) -> None:
+    """The foreachBatch body, idempotent under at-least-once replay: output
+    is partitioned by batch_id and written with dynamic partition-overwrite,
+    so re-processing a batch replaces its own partition instead of appending
+    duplicates."""
+    from pyspark.sql import functions as F
+
+    ss = batch_df.sparkSession
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spans_out, errors = extract_docread(ss, batch_df, cfg)
+    (
+        flatten_spans(spans_out)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(spans_path)
+    )
+    (
+        errors.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(errors_path)
+    )
+
+
 def run_stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -34,9 +72,11 @@ def run_stream_extract(
     max_files_per_trigger: Optional[int] = None,
 ) -> None:
     """Drain all currently-available document files through the extraction
-    plan (Trigger.AvailableNow) with exactly-once progress tracking.
+    plan (Trigger.AvailableNow); idempotent per-batch writes (see module
+    docstring) make restarts effectively-once.
 
-    Layout under ``output_dir``: spans/ errors/ _checkpoint/.
+    Layout under ``output_dir``: spans/ errors/ _checkpoint/; data files are
+    partitioned by batch_id (dropped again by :func:`read_stream_output`).
     """
     cfg = (cfg or ExtractJobCfg()).validate()
     spans_path = os.path.join(output_dir, "spans")
@@ -49,9 +89,7 @@ def run_stream_extract(
     stream = reader.parquet(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spans_out, errors = extract_docread(batch_df.sparkSession, batch_df, cfg)
-        flatten_spans(spans_out).write.mode("append").parquet(spans_path)
-        errors.write.mode("append").parquet(errors_path)
+        process_one_batch(batch_df, batch_id, cfg, spans_path, errors_path)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
@@ -63,4 +101,4 @@ def run_stream_extract(
 
 
 def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_dir, "spans"))
+    return spark.read.parquet(os.path.join(output_dir, "spans")).drop("batch_id")

@@ -51,6 +51,29 @@ def test_resume_after_simulated_crash(spark, tmp_path):
     assert _flat_set(read_output(spark, out_dir)) == clean
 
 
+def test_staged_input_partition_prunes(spark, tmp_path):
+    """The per-bucket read must scan only its own staged partition: the
+    physical plan carries the bucket predicate as a PartitionFilter (100 TB
+    contract: 2x total input read, not n_buckets full scans)."""
+    docs = _corpus(spark, n=30)
+    cfg = ExtractJobCfg(render_dpi=12, run_id="runC")
+    out_dir = str(tmp_path / "outC")
+    write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=4)
+
+    staged = spark.read.parquet(f"{out_dir}/staged_runC")
+    plan = (
+        staged.filter(F.col("bucket") == 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+
+    # error-bucket accounting comes from the written partitions
+    cp = read_checkpoint(spark, out_dir, "runC")
+    total_err = sum(r["error_count"] for r in cp.collect())
+    err = spark.read.parquet(f"{out_dir}/errors")
+    assert total_err == err.count()
+
+
 def test_checkpoint_lineage_metrics(spark, tmp_path):
     docs = _corpus(spark, n=40)
     cfg = ExtractJobCfg(render_dpi=12, run_id="runB")

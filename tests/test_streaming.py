@@ -39,3 +39,15 @@ def test_stream_incremental_equals_batch(spark, tmp_path):
     # idempotent: draining again with nothing new changes nothing
     run_stream_extract(spark, in_dir, out_dir, cfg)
     assert _flat_set(read_stream_output(spark, out_dir)) == streamed
+
+    # at-least-once replay: a crash between the data write and the streaming
+    # checkpoint commit re-delivers the batch with the SAME batch_id — the
+    # partition-overwrite write must replace, not append duplicates.
+    from chug_spark.streaming.stream import process_one_batch
+
+    replay_df = spark.createDataFrame(rows2, DOCUMENTS_SCHEMA)
+    process_one_batch(replay_df, 1, cfg, f"{out_dir}/spans", f"{out_dir}/errors")
+    process_one_batch(replay_df, 1, cfg, f"{out_dir}/spans", f"{out_dir}/errors")
+    replayed = read_stream_output(spark, out_dir)
+    assert replayed.count() == len(streamed)  # no duplicate rows appended
+    assert _flat_set(replayed) == streamed
