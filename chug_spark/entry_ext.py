@@ -342,6 +342,40 @@ FROM k
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.7: document-level weighted multi-source mixing (split_sources /
+# source_to_shard_spec analogue, ref common/config.py:181-258)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.mixing import weighted_union
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    names = [f"src{i}" for i in range(20)]
+    sources = [
+        (n, d.filter(F.col("source") == n), (i % 4 + 1) / 4.0)
+        for i, n in enumerate(names)
+    ]
+    return weighted_union(sources, seed=0)
+
+
+_SQL_WEIGHTED_MIX = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
+FROM documents
+WHERE list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 16),
+            i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR) || '|0|mix:' || source), i, 1)) - 1
+                 AS BIGINT))),
+        (a, b) -> (a * 16 + b) % 1000000)
+      < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 250000
+"""
+
+
 def q_urldir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import urldir
 
@@ -371,6 +405,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vqa_prompt": q_vqa_prompt,
         "line_join": q_line_join,
         "target_mask": q_target_mask,
+        "weighted_mix": q_weighted_mix,
     }
     from .ops.entry import ops_queries
 
@@ -388,6 +423,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "vqa_prompt": _SQL_VQA_PROMPT,
         "line_join": _SQL_LINE_JOIN,
         "target_mask": _SQL_TARGET_MASK,
+        "weighted_mix": _SQL_WEIGHTED_MIX,
     }
     from .ops.entry import ops_oracle_sql
 

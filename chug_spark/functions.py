@@ -136,6 +136,25 @@ def vqa_prompt(
     ).otherwise(base)
 
 
+def rand_below_col(key: Column, seed: int, n: int, tag: str = "") -> Column:
+    """Column form of :func:`chug_spark.determinism.doc_rand_below`: the
+    first 16 md5 hex chars of ``"{key}|{seed}|{tag}"`` as a big-endian u64,
+    mod n — computed as a left fold ``(acc*16 + digit) % n`` so the value
+    never leaves signed-64 range.  Identical in Python (int.from_bytes % n),
+    Spark, and DuckDB (list_reduce) — the engine-portable uniform int in
+    [0, n)."""
+    hx = F.md5(F.concat_ws("|", key.cast("string"), F.lit(str(seed)), F.lit(tag)))
+    digits = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda i: F.conv(hx.substr(i, F.lit(1)), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        digits,
+        F.lit(0).cast("long"),
+        lambda acc, d: F.pmod(acc * 16 + d, F.lit(n)),
+    )
+
+
 def md5_pick_index(key: Column, n: Column) -> Column:
     """Deterministic 'random' index in [0, n): first two md5 hex chars → 0..255
     → mod n.  Engine-portable (md5 is identical in Spark and DuckDB), used to

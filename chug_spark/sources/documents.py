@@ -14,18 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_documents(spark: SparkSession, source: str) -> DataFrame:
-    """source = catalog table name (with dots), a parquet path/dir, or a
-    ``.jsonl``/``.json`` path (alternate-connector case: the reference runs
-    the identical task pipeline over wds or HF-datasets sources,
-    README.md:84 — here the same extraction plan runs over any scan that
-    yields the span schema)."""
-    from ..schema import DOCUMENTS_SCHEMA
+    """Resolve any registered source spec (``scheme://locator`` or bare
+    path/table) to a span-schema DataFrame via
+    :mod:`chug_spark.sources.registry` — the alternate-connector invariant:
+    the reference runs the identical task pipeline over wds or HF-datasets
+    sources (README.md:84); here the same extraction plan runs over any
+    scan that yields the span schema."""
+    from .registry import read_source
 
-    if source.endswith((".jsonl", ".json")) or source.rstrip("/").endswith("_jsonl"):
-        return spark.read.schema(DOCUMENTS_SCHEMA).json(source)
-    if "." in source and "/" not in source:
-        return spark.read.table(source)
-    return spark.read.parquet(source)
+    return read_source(spark, source)
 
 
 def write_spans(df: DataFrame, target: str, partition_cols: tuple[str, ...] = ()) -> None:

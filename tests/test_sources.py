@@ -83,3 +83,118 @@ def test_resampled_shards_weighted(spark):
     # deterministic
     again = resampled_shards(m, nshards=300, seed=0).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# S9: pluggable source registry — the same extraction plan over any scan
+# ---------------------------------------------------------------------------
+
+
+def _registry_corpus(n=25):
+    from chug_spark.synth import make_doc
+
+    return [make_doc(i, seed=91) for i in range(n)]
+
+
+def test_registry_same_plan_over_three_sources(spark, tmp_path):
+    """Identical extraction output from parquet://, jsonl://, and mem://
+    sources — the reference's wds-vs-HF loader interchangeability
+    (README.md:84, hfds/loader.py:32-189) as a scan-level invariant."""
+    import json as _json
+
+    from chug_spark.config import ExtractJobCfg
+    from chug_spark.extract import extract_docread, flatten_spans
+    from chug_spark.schema import DOCUMENTS_SCHEMA
+    from chug_spark.sources.documents import read_documents
+    from chug_spark.sources.registry import register_mem_dataset
+
+    rows = _registry_corpus()
+    pq = str(tmp_path / "docs_pq")
+    spark.createDataFrame(rows, DOCUMENTS_SCHEMA).write.parquet(pq)
+    jl = str(tmp_path / "docs_jsonl")
+    os.makedirs(jl)
+    with open(os.path.join(jl, "part0.jsonl"), "w") as f:
+        for doc_id, spans in rows:
+            f.write(_json.dumps({"doc_id": doc_id, "spans": spans}) + "\n")
+    register_mem_dataset("fixture91", rows)
+
+    cfg = ExtractJobCfg(render_dpi=12)
+    outs = []
+    for spec in (f"parquet://{pq}", f"jsonl://{jl}/*.jsonl", "mem://fixture91"):
+        docs = read_documents(spark, spec)
+        spans_out, _ = extract_docread(spark, docs, cfg)
+        outs.append({
+            (r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"])
+            for r in flatten_spans(spans_out).collect()
+        })
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0
+
+
+def test_registry_unknown_scheme_and_custom_registration(spark):
+    from chug_spark.sources.registry import read_source, register_source
+
+    with pytest.raises(ValueError, match="unknown source scheme"):
+        read_source(spark, "bogus://x")
+
+    @register_source("rangegen")
+    def _range_source(spark_, locator):
+        from pyspark.sql import functions as F
+
+        return spark_.range(int(locator)).select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.array().cast(
+                "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+            ).alias("spans"),
+        )
+
+    assert read_source(spark, "rangegen://7").count() == 7
+
+
+# ---------------------------------------------------------------------------
+# §2.7: weighted multi-source mixing
+# ---------------------------------------------------------------------------
+
+
+def test_split_source_specs_parses_reference_grammar():
+    from chug_spark.sources.mixing import split_source_specs
+
+    specs, total = split_source_specs(
+        "a-{0..1}.tar::b.tar", sampling_weights="2::1", num_samples="100::50"
+    )
+    assert [s.url for s in specs] == ["a-{0..1}.tar", "b.tar"]
+    assert [s.sampling_weight for s in specs] == [2.0, 1.0]
+    assert [s.num_samples for s in specs] == [100, 50] and total == 150
+
+    specs, total = split_source_specs("x.tar", num_samples=500)
+    assert specs[0].num_samples is None and total == 500
+
+
+def test_weighted_union_deterministic_and_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from chug_spark.functions import rand_below_col
+    from chug_spark.determinism import doc_rand_below
+    from chug_spark.sources.mixing import weighted_union
+
+    base = spark.range(4000).select(F.col("id").cast("string").alias("doc_id"))
+    sources = [("heavy", base, 1.0), ("light", base, 0.25)]
+    out = weighted_union(sources, seed=5)
+    counts = out.groupBy().count().collect()[0]["count"]
+
+    # heavy passes in full; light keeps ~25%
+    n_light = counts - 4000
+    assert 800 < n_light < 1200
+
+    # schedule independence: different partitioning, same kept set
+    kept1 = {r["doc_id"] for r in out.collect()}
+    out2 = weighted_union([("heavy", base.repartition(13), 1.0),
+                           ("light", base.repartition(3), 0.25)], seed=5)
+    assert {r["doc_id"] for r in out2.collect()} == kept1
+
+    # Column rule ≡ Python oracle rule
+    got = {r["doc_id"]: r["v"] for r in base.limit(50).select(
+        "doc_id", rand_below_col(F.col("doc_id"), 5, 1_000_000, tag="mix:light").alias("v")
+    ).collect()}
+    for d, v in got.items():
+        assert v == doc_rand_below(d, 5, 1_000_000, tag="mix:light")
