@@ -112,8 +112,11 @@ def main() -> int:
     n_decoded = timed("extract_payload_decode", run_decode)
     extra["decode_docs_per_sec"] = round(n_decoded / timings["extract_payload_decode"], 1)
 
-    # q3-q6: curation ops
+    # q3-q7: curation ops
+    from chug_spark.ops.dedup import simhash_hamming_pairs
+
     timed("minhash_pairs", lambda: minhash_candidate_pairs(docs_pq).count())
+    timed("simhash_pairs", lambda: simhash_hamming_pairs(docs_pq, max_distance=16).count())
     timed("ngram_jaccard", lambda: ngram_jaccard_pairs(docs_pq, threshold=0.12).count())
     timed("cosine_threshold", lambda: cosine_pairs_threshold(emb_pq).count())
     timed("quality_score", lambda: quality_score(docs_pq).count())

@@ -277,6 +277,57 @@ QUALIFY rank <= 5
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (deterministic centroid sample, nearest-list
+    assignment, 2-probe search) — fully oracle-checked incl. ranks."""
+    from .similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), n_queries=5, k=5, probes=2)
+
+
+# sequential-fold cosine as a SQL macro body (bit-identical to Spark's
+# aggregate(): dot, |a|, |b| each folded left in element order)
+def _cos_sql(a: str, b: str) -> str:
+    return f"""(
+      list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({b})),
+                  i -> {a}[i] * {b}[i])), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), (x, y) -> x + y))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform({b}, x -> x * x)), (x, y) -> x + y)))
+    )"""
+
+
+_SQL_IVF_TOPK = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM base WHERE vec_id % 37 = 3),
+scored AS (
+  SELECT b.vec_id, b.emb, c.centroid_id, {_cos_sql('b.emb', 'c.c_emb')} AS c_cos
+  FROM base b CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY c_cos DESC, centroid_id) AS crank
+  FROM scored
+),
+assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE crank = 1),
+probe AS (SELECT vec_id AS query_id, emb AS q_emb, centroid_id
+          FROM ranked WHERE vec_id < 5 AND crank <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_cos_sql('p.q_emb', 'a.emb')}, 4) AS cosine
+  FROM assigned a JOIN probe p USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM cand
+QUALIFY rank <= 5
+"""
+
+
 # --- text analysis ----------------------------------------------------------
 
 
@@ -292,6 +343,27 @@ SELECT doc_id,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
        CAST(ceil(length(text) / 4.0) AS INT) AS n_subword_est
 FROM documents
+"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    from .textstats import bpe_token_count
+
+    return bpe_token_count(_docs(spark, sf_dir))
+
+
+_SQL_BPE_TOKEN_COUNT = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_regex_tokens,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))),
+              (a, b) -> a + b) AS INT) AS n_pieces
+FROM t
 """
 
 
@@ -406,7 +478,9 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_threshold": q_cosine_threshold,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -422,7 +496,9 @@ def ops_oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "cosine_threshold": _SQL_COSINE_THRESHOLD,
         "ann_topk": _SQL_ANN_TOPK,
+        "ivf_topk": _SQL_IVF_TOPK,
         "token_count": _SQL_TOKEN_COUNT,
+        "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _SQL_LANG_ID,
         "fingerprint": _SQL_FINGERPRINT,

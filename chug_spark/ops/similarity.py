@@ -92,6 +92,71 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 6) -> DataFrame:
     )
 
 
+def ivf_centroids(base: DataFrame, centroid_mod: int = 37, centroid_rem: int = 3) -> DataFrame:
+    """Deterministic IVF 'training': every vector whose id ≡ rem (mod m) is a
+    centroid — a hash-style deterministic sample (~N/m centroids), chosen so
+    the DuckDB oracle reproduces the exact same index with one predicate.
+    (Production would k-means these; the partition/probe machinery — the part
+    that matters at 10^12 rows — is identical.)"""
+    return base.filter(
+        F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == centroid_rem
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    probes: int = 2,
+    centroid_mod: int = 37,
+    centroid_rem: int = 3,
+) -> DataFrame:
+    """IVF-style ANN top-k — the coarse-quantizer scale path next to the LSH
+    one: assign every vector to its nearest centroid (the inverted lists),
+    probe each query's ``probes`` nearest lists, exact cosine + rank within
+    the candidates.  Centroids are broadcast (small side); candidate
+    generation shuffles on centroid_id only — never all-pairs.  Sequential-
+    fold cosines are bit-identical in DuckDB, so assignment, probing, and
+    ranks are oracle-checkable end to end."""
+    from pyspark.sql import Window
+
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    cents = ivf_centroids(base, centroid_mod, centroid_rem)
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    ranked = scored.withColumn("crank", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    probe = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("crank") <= probes)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+    )
+    cand = assigned.join(F.broadcast(probe), "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame, n_queries: int = 5, k: int = 5, n_planes: int = 4
 ) -> DataFrame:

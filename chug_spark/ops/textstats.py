@@ -34,6 +34,30 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish tokenization regex: letter runs, digit runs, single punctuation.
+# Deliberately plain ASCII classes — identical semantics in Java and RE2/DuckDB.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+BPE_PIECE_CHARS = 4  # ≈ chars per subword piece (standard BPE heuristic)
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """Regex 'BPE-ish' token counting (the pre-tokenizer split a byte-BPE
+    vocab would see) + a per-token subword-piece estimate: each regex token
+    contributes ceil(len/4) pieces — a far better length estimate than
+    chars/4 for punctuation-heavy text."""
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_TOKEN_RE}', 0)")
+    pieces = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / BPE_PIECE_CHARS).cast("long"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).alias("n_regex_tokens"),
+        pieces.cast("int").alias("n_pieces"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length/stopword/repetition quality features + a composite score.
     Integer-ratio math, rounded to 4 — engine-portable."""

@@ -168,3 +168,30 @@ def test_lang_id_heuristic(spark):
     )
     got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
     assert got[0] == "en" and got[1] == "es" and got[2] == "und"
+
+
+def test_ivf_topk_finds_exact_duplicate(spark):
+    import random
+
+    from chug_spark.ops.similarity import ivf_topk
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(1, 120)]
+    dup = [(0, vecs[39][1])]  # vec 0 == vec 40 → same centroid list, cosine 1.0
+    emb = spark.createDataFrame(dup + vecs, "vec_id long, embedding array<float>")
+    rows = ivf_topk(emb, n_queries=1, k=3, probes=2).collect()
+    top = min(rows, key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 40 and top["cosine"] == 1.0
+    # candidates only come from probed lists → never more than k rows/query
+    assert len(rows) <= 3
+
+
+def test_bpe_token_count_values(spark):
+    from chug_spark.ops.textstats import bpe_token_count
+
+    docs = _docs(spark, ["hello, world42!", "abcdefgh"])
+    got = {r["doc_id"]: r for r in bpe_token_count(docs).collect()}
+    # tokens: hello , world 42 !  → 5; pieces: 2+1+2+1+1 = 7
+    assert got[0]["n_regex_tokens"] == 5 and got[0]["n_pieces"] == 7
+    # one 8-char token → 2 pieces
+    assert got[1]["n_regex_tokens"] == 1 and got[1]["n_pieces"] == 2
