@@ -6,11 +6,13 @@ implemented with numpy (no torch/PIL in this sandbox):
 
 - crop_margin: threshold-bounded content crop
   (ref src/chug/image/transforms_torch.py:107-128 CropMargin)
-- bitmap: LUT threshold <200 → 0 else 255
-  (ref src/chug/image/transforms_torch.py:59-68 Bitmap)
+- bitmap: LUT threshold <200 → 0, else keep value
+  (ref src/chug/image/transforms_torch.py:29-38 Bitmap)
 - erosion/dilation: min/max pooling over a k×k window
-  (ref src/chug/image/transforms_torch.py:71-104)
-- resize_keep_ratio + pad (ref build_transforms_doc.py resize/pad steps)
+  (ref src/chug/image/transforms_torch.py:41-74)
+- align_long_axis: orientation-mismatch rotate (transforms_torch.py:10-26)
+- resize_keep_ratio + center_crop_or_pad, composed by doc_eval_transform —
+  the full is_training=False pipeline of build_transforms_doc.py:25-42
 
 Training-time *augmentations* (albumentations randomness) are out of scope —
 SURVEY.md §2.9 D13.
@@ -40,8 +42,10 @@ from .. import media as media_mod
 
 
 def bitmap(arr: np.ndarray, threshold: int = 200) -> np.ndarray:
-    """LUT threshold: <threshold → 0, else 255 (transforms_torch.py:59-68)."""
-    return np.where(arr < threshold, 0, 255).astype(np.uint8)
+    """LUT threshold: <threshold → 0, else KEEP the value — the reference LUT
+    is ``[0 if i < threshold else i]`` (transforms_torch.py:29-38), not a
+    binarize-to-255."""
+    return np.where(arr < threshold, 0, arr).astype(np.uint8)
 
 
 def erosion(arr: np.ndarray, k: int = 3) -> np.ndarray:
@@ -89,6 +93,56 @@ def resize_keep_ratio(arr: np.ndarray, longest: int) -> np.ndarray:
     ys = (np.arange(nh) * (h / nh)).astype(np.int64)
     xs = (np.arange(nw) * (w / nw)).astype(np.int64)
     return arr[ys][:, xs]
+
+
+def align_long_axis(arr: np.ndarray, target_hw: tuple[int, int]) -> np.ndarray:
+    """Rotate 90° clockwise (rotate(-90, expand=True)) when the image's
+    orientation mismatches the target's (transforms_torch.py:10-26): portrait
+    target + landscape image, or landscape target + portrait image."""
+    th, tw = target_hw
+    h, w = arr.shape[:2]
+    if (th > tw and w > h) or (th < tw and w < h):
+        return np.rot90(arr, k=-1).copy()
+    return arr
+
+
+def center_crop_or_pad(
+    arr: np.ndarray, target_hw: tuple[int, int], fill: int = 255
+) -> np.ndarray:
+    """CenterCropOrPad(image_size, fill) — per axis: center-crop when larger,
+    center-pad with ``fill`` when smaller (the Donut prepare_input pad,
+    build_transforms_doc.py:41)."""
+    th, tw = target_hw
+    h, w = arr.shape[:2]
+    # crop (center; extra pixel goes to the end, matching floor-div offsets)
+    top = max(0, (h - th) // 2)
+    left = max(0, (w - tw) // 2)
+    arr = arr[top : top + th, left : left + tw]
+    h, w = arr.shape[:2]
+    out = np.full((th, tw), fill, dtype=arr.dtype)
+    ot, ol = (th - h) // 2, (tw - w) // 2
+    out[ot : ot + h, ol : ol + w] = arr
+    return out
+
+
+def doc_eval_transform(
+    arr: np.ndarray,
+    image_size: tuple[int, int],
+    do_crop_margin: bool = True,
+    do_align_long_axis: bool = True,
+    fill: int = 255,
+) -> np.ndarray:
+    """The eval-path transform pipeline of build_transforms_doc.py:25-42
+    (is_training=False): CropMargin → AlignLongAxis → ResizeKeepRatio
+    (longest) → CenterCropOrPad — deterministic end to end, output always
+    exactly ``image_size``."""
+    if do_crop_margin:
+        top, left, ch, cw = crop_margin(arr)
+        arr = arr[top : top + ch, left : left + cw]
+    if do_align_long_axis:
+        arr = align_long_axis(arr, image_size)
+    arr = resize_keep_ratio(arr, max(image_size))
+    return center_crop_or_pad(arr, image_size, fill=fill)
 
 
 def frame_sample_indices(num_frames: int, every: int) -> list[int]:

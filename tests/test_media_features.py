@@ -17,8 +17,47 @@ from chug_spark.ops.media_features import (
 
 
 def test_bitmap_threshold():
+    # reference LUT keeps values >= threshold (transforms_torch.py:29-38)
     arr = np.array([[0, 199, 200, 255]], dtype=np.uint8)
-    assert bitmap(arr).tolist() == [[0, 0, 255, 255]]
+    assert bitmap(arr).tolist() == [[0, 0, 200, 255]]
+
+
+def test_align_long_axis_rotates_on_mismatch():
+    from chug_spark.ops.media_features import align_long_axis
+
+    landscape = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    # portrait target + landscape image → rotate 90 cw (dims swap)
+    out = align_long_axis(landscape, (30, 20))
+    assert out.shape == (3, 2)
+    # rotate(-90) clockwise: first row of input becomes last column
+    assert out[:, 1].tolist() == [0, 1, 2]
+    # matching orientation → untouched
+    assert align_long_axis(landscape, (20, 30)).shape == (2, 3)
+
+
+def test_center_crop_or_pad_both_directions():
+    from chug_spark.ops.media_features import center_crop_or_pad
+
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    padded = center_crop_or_pad(arr, (6, 6), fill=9)
+    assert padded.shape == (6, 6)
+    assert padded[0].tolist() == [9] * 6 and padded[1, 1] == arr[0, 0]
+    cropped = center_crop_or_pad(arr, (2, 2))
+    assert cropped.tolist() == [[5, 6], [9, 10]]
+
+
+def test_doc_eval_transform_output_size_invariant():
+    from chug_spark.ops.media_features import doc_eval_transform
+
+    rng = np.random.default_rng(5)
+    for shape in [(40, 90), (90, 40), (10, 10), (200, 37)]:
+        arr = (rng.random(shape) * 255).astype(np.uint8)
+        out = doc_eval_transform(arr, (64, 48))
+        assert out.shape == (64, 48)
+    # deterministic
+    a = doc_eval_transform(arr, (64, 48))
+    b = doc_eval_transform(arr.copy(), (64, 48))
+    assert (a == b).all()
 
 
 def test_erosion_dilation():
