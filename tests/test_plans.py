@@ -73,3 +73,41 @@ def test_decode_stage_is_partitioned(spark, span_parquet):
     spans_out, _ = extract_docread(spark, docs, ExtractJobCfg(render_dpi=12))
     plan = _phys(spans_out)
     assert "hashpartitioning(doc_id" in plan and "chunk_id" in plan, plan
+
+
+def test_curation_ops_never_cartesian(spark):
+    """LSH/IVF candidate generation must stay bucket/broadcast joins — a
+    CartesianProduct in any of these plans is the all-pairs scale killer."""
+    from chug_spark.ops.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+        simhash_hamming_pairs,
+    )
+    from chug_spark.ops.similarity import ann_topk_lsh, cosine_pairs_threshold, ivf_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z common tail", "en", "s", 20) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    for name, df in [
+        ("minhash", minhash_candidate_pairs(docs)),
+        ("jaccard", ngram_jaccard_pairs(docs)),
+        ("simhash_pairs", simhash_hamming_pairs(docs)),
+        ("ann_lsh", ann_topk_lsh(emb)),
+        ("ivf", ivf_topk(emb, centroid_mod=7)),
+        ("cosine", cosine_pairs_threshold(emb)),
+    ]:
+        plan = _phys(df)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+    # the small sides really broadcast
+    for name, df in [
+        ("cosine", cosine_pairs_threshold(emb)),
+        ("ann_lsh", ann_topk_lsh(emb)),
+        ("ivf", ivf_topk(emb, centroid_mod=7)),
+    ]:
+        assert "Broadcast" in _phys(df), name
