@@ -129,27 +129,55 @@ def main() -> int:
     try:
         zpath = make_zip(tmp)
         corpus = write_corpus(zpath, args.docs, tmp)
-        results = {}
-        for cores in (args.n, args.n * 4):
-            walls, rates, docs_out = [], [], None
-            for r in range(args.runs + 1):
+        n, n4 = args.n, args.n * 4
+
+        def wait_for_quiet_vm(min_rate: float = 2400.0, tries: int = 20) -> float:
+            """This VM has noisy neighbors: the pure-compute control rate has
+            been observed to swing 2755 → 1573 sha256-MB/s between sessions.
+            Measuring scaling during such a dip biases local[4N] (it needs 4×
+            the cores the hypervisor is currently short on).  Poll until the
+            2-proc control recovers, or proceed with the best observed."""
+            import time as _t
+
+            best = 0.0
+            for _ in range(tries):
+                r = hardware_control(2)
+                best = max(best, r)
+                if r >= min_rate:
+                    return r
+                print(f"vm busy (sha256 2-proc {r:.0f}/s < {min_rate:.0f}) — waiting",
+                      flush=True)
+                _t.sleep(30)
+            return best
+
+        # cold runs (JVM/page-cache warm-up), discarded
+        for cores in (n, n4):
+            res = run_once(zpath, cores, corpus, args.dpi,
+                           os.path.join(tmp, f"out_{cores}_0"))
+            print(f"local[{cores}] run0 (cold, discarded): {res}", flush=True)
+
+        # interleaved measurement pairs: VM-load drift hits both levels of a
+        # pair roughly equally, so the per-pair ratio is robust where
+        # level-grouped medians are not
+        results = {c: {"walls": [], "rates": [], "docs_out": None} for c in (n, n4)}
+        pair_effs = []
+        for r in range(1, args.runs + 1):
+            wait_for_quiet_vm()
+            pair = {}
+            for cores in (n, n4):
                 out = os.path.join(tmp, f"out_{cores}_{r}")
                 res = run_once(zpath, cores, corpus, args.dpi, out)
-                print(f"local[{cores}] run{r}{' (cold, discarded)' if r == 0 else ''}: {res}",
-                      flush=True)
-                if r == 0:
-                    continue  # discard the cold run (OS page cache, JVM artifacts)
-                walls.append(res["wall_sec"])
-                rates.append(res["docs_per_sec"])
-                docs_out = res["docs_out"]
-            results[cores] = {
-                "wall_median": statistics.median(walls),
-                "rate_median": statistics.median(rates),
-                "walls": walls,
-                "docs_out": docs_out,
-            }
-        n, n4 = args.n, args.n * 4
-        eff = results[n4]["rate_median"] / results[n]["rate_median"] / 4.0
+                print(f"local[{cores}] run{r}: {res}", flush=True)
+                results[cores]["walls"].append(res["wall_sec"])
+                results[cores]["rates"].append(res["docs_per_sec"])
+                results[cores]["docs_out"] = res["docs_out"]
+                pair[cores] = res
+            pair_effs.append(pair[n]["wall_sec"] / pair[n4]["wall_sec"] / 4.0)
+            print(f"pair{r} efficiency: {pair_effs[-1]:.3f}", flush=True)
+        for c in (n, n4):
+            results[c]["wall_median"] = statistics.median(results[c]["walls"])
+            results[c]["rate_median"] = statistics.median(results[c]["rates"])
+        eff = statistics.median(pair_effs)
         # north-rule invariant: span-sequence equality between the two
         # cluster sizes — order-insensitive hash over the final run outputs
         eq = output_hash(os.path.join(tmp, f"out_{n}_{args.runs}")) == output_hash(
@@ -160,6 +188,7 @@ def main() -> int:
             "hw_control_sha256_per_sec": hw,
             "hw_control_eff_n_4n": round(hw[n4] / hw[n] / 4.0, 3),
             "hw_control_eff_8_32": round(hw[32] / hw[8] / 4.0, 3),
+            "pair_efficiencies": [round(e, 3) for e in pair_effs],
             "metric": "throughput_scaling_efficiency",
             "N": n,
             "4N": n4,
@@ -197,8 +226,12 @@ running the identical job at two local parallelism levels.
   the decode UDF); identical input at both levels
 - wall time measured inside the job (extraction + write), excluding
   SparkSession startup and an untimed JIT/worker warmup pass (long-lived
-  executors have these warm in production); {s['runs']} runs/level, median
+  executors have these warm in production); {s['runs']} interleaved
+  (N, 4N) run pairs after cold discards — efficiency = median of per-pair
+  wall ratios, robust to this VM's noisy-neighbor load drift (a health
+  probe additionally waits for the machine to quiesce before each pair)
 - shuffle partitions scaled with cores (2×)
+- per-pair efficiencies: {s.get('pair_efficiencies')}
 
 ## Results
 
