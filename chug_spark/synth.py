@@ -82,18 +82,22 @@ def make_doc(
                 f"w{rng.randint(0, 9999)} line{p}-{j} of {doc_id}"
                 for j in range(rng.randint(1, 4))
             ]
-        shape = rng.random()
-        if shape < 0.02:
+        # null/absent adversarial page shapes are confined to every 13th doc:
+        # per-page probabilities would compound (a 12-page doc with ~9%/page
+        # weird rate errors out 50%+ of the corpus) and starve the normal
+        # decode/skew paths of coverage
+        shape = rng.random() if i % 13 == 5 else 1.0
+        if shape < 0.25:
             # 'lines' branch lacking 'text' → missing key even though a
             # top-level 'text' exists (no cross-branch fallback)
             pages.append({"lines": {"bbox": []}, "text": lines})
-        elif shape < 0.04:
+        elif shape < 0.5:
             pages.append({"text": None})  # explicit null == missing (contract)
-        elif shape < 0.05:
+        elif shape < 0.65:
             pages.append(None)  # null page element == missing
-        elif shape < 0.07:
+        elif shape < 0.9:
             pages.append({"lines": None, "text": lines})  # null lines → top-level
-        elif shape < 0.52:
+        elif rng.random() < 0.5:
             pages.append({"text": lines, "bbox": [[0.0, 0.0, 1.0, 1.0]] * len(lines)})
         else:  # nested 'lines' format (doc_read_processor.py:94-108)
             pages.append(
