@@ -44,7 +44,7 @@ def assert_equal_corpus(got, errs, want, want_errs):
     assert sorted(errs) == sorted(want_errs)
 
 
-@pytest.mark.parametrize("policy", ["all_valid", "first", "all", "random"])
+@pytest.mark.parametrize("policy", ["all_valid", "first", "last", "all", "random"])
 def test_policies_match_oracle(spark, policy):
     rows = [make_doc(i, seed=11) for i in range(80)]
     docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
@@ -221,3 +221,36 @@ def test_generated_corpus_larger(spark):
     got, errs = spark_extract(spark, docs, page_sampling="all_valid", seed=1)
     want, want_errs = oracle_extract(rows, page_sampling="all_valid", seed=1)
     assert_equal_corpus(got, errs, want, want_errs)
+
+
+def _doc(doc_id, pages, n_media=2):
+    spans = [{"kind": "anno", "text": json.dumps({"pages": pages}),
+              "media_ref": None, "offset": 0}]
+    for m in range(n_media):
+        spans.append({"kind": "media", "text": None,
+                      "media_ref": f"page:{doc_id}:{m}", "offset": m + 1})
+    return (doc_id, spans)
+
+
+def test_last_policy_edge_semantics(spark):
+    """'last' is the literal final page (ref wds/decode.py:228-231 [-1]):
+    no valid-page scan — an empty last page yields an empty text span; a
+    missing text key on the last page errors the whole doc even when every
+    other page is valid."""
+    rows = [
+        _doc("ok", [{"text": ["a"]}, {"text": ["b", "c"]}]),          # → page 1
+        _doc("empty_last", [{"text": ["a"]}, {"text": []}]),          # → "" span
+        _doc("missing_last", [{"text": ["a"]}, {"bbox": []}]),        # → error
+        _doc("wraps", [{"text": ["a"]}] * 5, n_media=2),              # 4 % 2 = 0
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    got, errs = spark_extract(spark, docs, page_sampling="last", seed=0)
+    want, want_errs = oracle_extract(rows, page_sampling="last", seed=0)
+    assert_equal_corpus(got, errs, want, want_errs)
+
+    assert got["ok"] == [("text", "b\nc", None, 0), ("media", None, "page:ok:1", 1)]
+    assert got["empty_last"][0] == ("text", "", None, 0)
+    assert "missing_last" not in got
+    assert ("missing_last", "anno", "missing_text_key") in errs
+    # literal index n-1 wraps over the media list: 4 % 2 = 0
+    assert got["wraps"][1] == ("media", None, "page:wraps:0", 1)
