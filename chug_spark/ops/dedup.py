@@ -265,6 +265,75 @@ def simhash_hamming_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup clusters from candidate pairs: (doc_id, cluster) where
+    cluster = min doc_id in the connected component — the canonical-
+    representative rule every dedup pipeline needs between candidate pairs
+    and "keep one per group".
+
+    Min-label propagation: each round every vertex takes the min of its own
+    label and its neighbors' labels; converges in O(component diameter)
+    rounds (LSH dedup graphs are shallow — near-clique components).  Each
+    round is one broadcast-free shuffle on doc_id; the loop stops early via
+    a cheap changed-count check.  At 10^12 docs this is the standard
+    large-scale CC recipe (alternating small/large star would halve rounds;
+    diameter here stays tiny, so simple propagation wins on constant
+    factors)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("n_cluster"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("n_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        # truncate lineage each round: without this the accumulated join tree
+        # grows linearly in iterations and planning blows the JVM stack long
+        # before the data is big (cluster deployments: use checkpoint() with
+        # a reliable checkpoint dir instead of localCheckpoint)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_representative(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Doc ids surviving near-dup dedup: every doc except non-representative
+    members of a cluster (representative = min doc_id).  Broadcast-anti-join
+    of the (small) non-representative set against the corpus — the corpus is
+    never shuffled."""
+    cc = connected_components(pairs)
+    drop = cc.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).join(
+        F.broadcast(drop), "doc_id", "left_anti"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle_n: int = 3,

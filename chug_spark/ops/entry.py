@@ -328,6 +328,131 @@ QUALIFY rank <= 5
 """
 
 
+def q_knn_exact(spark, sf_dir):
+    from .similarity import knn_topk_exact
+
+    return knn_topk_exact(_emb(spark, sf_dir), n_queries=5, k=5)
+
+
+_SQL_KNN_EXACT = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round({_cos_sql('q.q_emb', 'b.emb')}, 4) AS cosine
+  FROM base b, q WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_recall(spark, sf_dir):
+    """recall@5 of the LSH ANN vs the exact top-5 — quality metric, fully
+    SQL-expressible end to end."""
+    from .similarity import ann_recall_at_k
+
+    return ann_recall_at_k(_emb(spark, sf_dir), n_queries=5, k=5, n_planes=4)
+
+
+_SQL_ANN_RECALL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+bk AS (
+  SELECT vec_id, emb,
+         array_to_string(list_transform(generate_series(0, 3), pl ->
+           CASE WHEN list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(emb)),
+                    d -> emb[d] * CAST(((strpos('0123456789abcdef',
+                           substr(md5(CAST(pl AS VARCHAR) || '|' || CAST(d - 1 AS VARCHAR)), 1, 1)) - 1)
+                           % 2) * 2 - 1 AS DOUBLE))),
+                  (a, b) -> a + b) >= 0
+           THEN '1' ELSE '0' END), '') AS bucket
+  FROM base
+),
+qb AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM bk WHERE vec_id < 5),
+ann_pairs AS (
+  SELECT qb.query_id, b.vec_id AS neighbor_id,
+         round({_cos_sql('qb.q_emb', 'b.emb')}, 4) AS cosine
+  FROM bk b JOIN qb ON b.bucket = qb.bucket AND b.vec_id <> qb.query_id
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ann_pairs
+  ) WHERE rank <= 5
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 5),
+exact_pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round({_cos_sql('q.q_emb', 'b.emb')}, 4) AS cosine
+  FROM base b, q WHERE b.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM exact_pairs
+  ) WHERE rank <= 5
+),
+hits AS (
+  SELECT query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT query_id,
+       CAST(coalesce(n_hit, 0) AS INT) AS n_hit,
+       coalesce(n_hit, 0) / 5 AS recall
+FROM (SELECT DISTINCT query_id FROM exact)
+LEFT JOIN hits USING (query_id)
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters over the MinHash candidate pairs: connected
+    components, cluster = min doc_id in component (iterative min-label
+    propagation; oracle = DuckDB recursive CTE transitive closure)."""
+    from .dedup import connected_components, minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(
+        _docs(spark, sf_dir), bands=8, shingle_n=3, max_bucket_size=64
+    )
+    return connected_components(pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    pairs = _minhash_pairs_sql(bands=8, max_bucket_size=64)
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+  )
+  SELECT * FROM r
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster
+FROM reach GROUP BY src
+"""
+
+
 # --- text analysis ----------------------------------------------------------
 
 
@@ -479,6 +604,9 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_threshold": q_cosine_threshold,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "knn_exact": q_knn_exact,
+        "ann_recall": q_ann_recall,
+        "dedup_clusters": q_dedup_clusters,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
@@ -497,6 +625,9 @@ def ops_oracle_sql() -> dict[str, str]:
         "cosine_threshold": _SQL_COSINE_THRESHOLD,
         "ann_topk": _SQL_ANN_TOPK,
         "ivf_topk": _SQL_IVF_TOPK,
+        "knn_exact": _SQL_KNN_EXACT,
+        "ann_recall": _SQL_ANN_RECALL,
+        "dedup_clusters": _dedup_clusters_sql(),
         "token_count": _SQL_TOKEN_COUNT,
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "quality_score": _SQL_QUALITY_SCORE,

@@ -57,6 +57,56 @@ def cosine_pairs_threshold(
     )
 
 
+def knn_topk_exact(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Brute-force EXACT cosine top-k — the correctness baseline the ANN
+    variants are measured against.  Small query side broadcast against the
+    full scan: linear in corpus size, no shuffle of the big side."""
+    from pyspark.sql import Window
+
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_recall_at_k(
+    emb: DataFrame, n_queries: int = 5, k: int = 5, n_planes: int = 4
+) -> DataFrame:
+    """recall@k of the LSH ANN against the exact brute-force top-k — the
+    quality gauge that decides bucket width (n_planes) at scale.  Returns
+    (query_id, n_hit, recall)."""
+    exact = knn_topk_exact(emb, n_queries, k).select("query_id", "neighbor_id")
+    approx = ann_topk_lsh(emb, n_queries, k, n_planes).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / k).alias("recall"),
+        )
+    )
+
+
 def hyperplane_bit(emb: Column, plane: int) -> Column:
     """Sign of <v, h_plane> where h_plane[d] = ±1 derived from md5(plane|d) —
     deterministic pseudo-random hyperplanes, no RNG state anywhere."""

@@ -195,3 +195,22 @@ def test_bpe_token_count_values(spark):
     assert got[0]["n_regex_tokens"] == 5 and got[0]["n_pieces"] == 7
     # one 8-char token → 2 pieces
     assert got[1]["n_regex_tokens"] == 1 and got[1]["n_pieces"] == 2
+
+
+def test_connected_components_chain_and_keep_representative(spark):
+    from chug_spark.ops.dedup import connected_components, dedup_keep_representative
+
+    # chain 1-2-3-4 (diameter > 1 → propagation must iterate), pair (10,11),
+    # and an isolated doc 99 that appears in no pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    cc = {r["doc_id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in (1, 2, 3, 4, 10, 11, 99)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_representative(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # one per cluster + untouched isolate
