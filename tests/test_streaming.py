@@ -51,3 +51,29 @@ def test_stream_incremental_equals_batch(spark, tmp_path):
     replayed = read_stream_output(spark, out_dir)
     assert replayed.count() == len(streamed)  # no duplicate rows appended
     assert _flat_set(replayed) == streamed
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: a fingerprint emitted in an
+    earlier drain is suppressed in later drains (state store, not driver
+    memory); within a batch the min doc_id wins."""
+    from chug_spark.streaming.stateful import read_dedup_output, run_stream_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    batch1 = [("d3", "hello world"), ("d1", "HELLO   world"), ("d2", "other text")]
+    spark.createDataFrame(batch1, "doc_id string, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    run_stream_dedup(spark, in_dir, out_dir)
+    got1 = {r["doc_id"]: r["fingerprint"] for r in read_dedup_output(spark, out_dir).collect()}
+    # d1 < d3 within the batch for the same normalized fingerprint
+    assert set(got1) == {"d1", "d2"}
+
+    # second drain: duplicate of batch1 content + one genuinely new doc
+    batch2 = [("d9", "hello world"), ("d8", "other text"), ("d7", "brand new")]
+    spark.createDataFrame(batch2, "doc_id string, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    run_stream_dedup(spark, in_dir, out_dir)
+    got2 = {r["doc_id"] for r in read_dedup_output(spark, out_dir).collect()}
+    assert got2 == {"d1", "d2", "d7"}  # d9/d8 suppressed by state
