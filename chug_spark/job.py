@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     p.add_argument("--run-id", default="run0")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="single-pass run without the bucketed checkpoint loop")
+    p.add_argument("--stream", action="store_true",
+                   help="incremental mode: drain --input (a parquet dir of "
+                        "document files) via Structured Streaming "
+                        "Trigger.AvailableNow; re-runs process only new files")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the untimed JIT/worker warmup pass")
     args = p.parse_args(argv)
@@ -80,7 +84,13 @@ def main(argv=None) -> int:
         flatten_spans(spans_w).count()
 
     t0 = time.monotonic()
-    if args.no_checkpoint:
+    if args.stream:
+        if not args.input:
+            p.error("--stream requires --input (a parquet directory)")
+        from chug_spark.streaming.stream import run_stream_extract
+
+        run_stream_extract(spark, args.input, args.output, cfg)
+    elif args.no_checkpoint:
         spans_out, errors = extract_docread(spark, docs, cfg)
         flat = flatten_spans(spans_out)
         flat.write.mode("overwrite").parquet(args.output + "/spans")

@@ -319,6 +319,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never return silently-wrong labels: a component with diameter >
+        # max_iter has not converged (raise rather than under-merge clusters)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
     return labels
 
 
