@@ -572,6 +572,66 @@ FROM w
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    from .textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), gram_n=2)
+
+
+_SQL_REPETITION_STATS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, i.i + 1, i.i + 2), ' ') AS gram
+  FROM w, unnest(generate_series(0, len(words) - 2)) AS i(i)
+  WHERE len(words) >= 2
+),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS INT) AS n_grams,
+       CAST(count(*) AS INT) AS n_distinct_grams,
+       CAST(max(c) AS INT) AS top_gram_count,
+       CAST(floor((sum(c) - count(*)) * 10000 / sum(c)) AS INT) AS dup_gram_bp,
+       CAST(floor(max(c) * 10000 / sum(c)) AS INT) AS top_gram_bp
+FROM pg GROUP BY doc_id
+"""
+
+
+def q_gopher_filter(spark, sf_dir):
+    from .textstats import gopher_quality_filter
+
+    return gopher_quality_filter(_docs(spark, sf_dir))
+
+
+_SQL_GOPHER_FILTER = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words, length(text) AS nc, text
+  FROM documents
+),
+r AS (
+  SELECT doc_id, len(words) AS n,
+         floor((nc - (len(words) - 1)) * 10000 / len(words)) AS mwl,
+         floor(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 10000 / nc) AS sym,
+         len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a'))) AS sh
+  FROM w
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_words,
+       CAST(mwl AS INT) AS mean_wlen_bp,
+       CAST(sym AS INT) AS symbol_bp,
+       CAST(sh AS INT) AS stopword_hits,
+       n >= 5 AND n <= 100000 AS pass_words,
+       mwl >= 20000 AND mwl <= 120000 AS pass_wlen,
+       sym <= 1000 AS pass_symbol,
+       sh >= 1 AS pass_stopwords,
+       (n >= 5 AND n <= 100000) AND (mwl >= 20000 AND mwl <= 120000)
+         AND sym <= 1000 AND sh >= 1 AS keep
+FROM r
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal per-page feature extraction over deterministic synthetic
     payloads derived from doc_ids — exercises the full mapInPandas plumbing
@@ -609,6 +669,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
+        "repetition_stats": q_repetition_stats,
+        "gopher_filter": q_gopher_filter,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -630,6 +692,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "token_count": _SQL_TOKEN_COUNT,
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
+        "repetition_stats": _SQL_REPETITION_STATS,
+        "gopher_filter": _SQL_GOPHER_FILTER,
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _SQL_LANG_ID,
         "fingerprint": _SQL_FINGERPRINT,

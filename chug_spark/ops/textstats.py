@@ -108,6 +108,85 @@ def lang_id(docs: DataFrame) -> DataFrame:
                       best.alias("lang_pred"))
 
 
+def repetition_stats(docs: DataFrame, gram_n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals: duplicate word-n-gram ratio and the
+    mass of the single most frequent n-gram.  Explode n-grams → one
+    map-side-combined count aggregation keyed on (doc_id, gram), then a
+    per-doc rollup — two narrow shuffles, no all-pairs anything.  Integer /
+    floor-basis-point math keeps values engine-portable."""
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - gram_n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, gram_n)),
+    )
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), grams.alias("g"))
+    base = base.filter(F.size(F.split(F.col("g")[0], " ")) >= gram_n).select(
+        "doc_id", F.explode("g").alias("gram")
+    )
+    per_gram = base.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.max("c").alias("top_gram_count"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.col("n_distinct_grams").cast("int").alias("n_distinct_grams"),
+            F.col("top_gram_count").cast("int").alias("top_gram_count"),
+            F.floor(
+                (F.col("n_grams") - F.col("n_distinct_grams")) * 10000 / F.col("n_grams")
+            ).cast("int").alias("dup_gram_bp"),
+            F.floor(F.col("top_gram_count") * 10000 / F.col("n_grams"))
+            .cast("int").alias("top_gram_bp"),
+        )
+    )
+
+
+# Gopher-rule thresholds (Rae et al. 2021 §A1.1, adapted to this corpus's
+# scale-free stand-ins) — module constants so the SQL oracle mirrors exactly.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN_BP = 20_000   # mean word length ≥ 2.0 chars
+GOPHER_MAX_MEAN_WLEN_BP = 120_000  # ≤ 12.0 chars
+GOPHER_MAX_SYMBOL_BP = 1_000       # non-alnum-nonspace chars ≤ 10% of chars
+GOPHER_MIN_STOPWORD_HITS = 1       # ≥ 1 English stopword
+
+
+def gopher_quality_filter(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality gate: per-rule boolean flags + the
+    composite keep decision, all Column expressions (whole-stage codegen;
+    the filter pushes into the scan when used as a predicate)."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    nc = F.length("text")
+    mean_wlen_bp = F.floor((nc - (n - 1)) * 10000 / n)
+    symbol_bp = F.floor(
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9 ]", "")) * 10000 / nc
+    )
+    stop_hits = _stopword_hits(words, "en")
+    flag_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    flag_wlen = (mean_wlen_bp >= GOPHER_MIN_MEAN_WLEN_BP) & (
+        mean_wlen_bp <= GOPHER_MAX_MEAN_WLEN_BP
+    )
+    flag_symbol = symbol_bp <= GOPHER_MAX_SYMBOL_BP
+    flag_stop = stop_hits >= GOPHER_MIN_STOPWORD_HITS
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.alias("n_words"),
+        mean_wlen_bp.cast("int").alias("mean_wlen_bp"),
+        symbol_bp.cast("int").alias("symbol_bp"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        flag_words.alias("pass_words"),
+        flag_wlen.alias("pass_wlen"),
+        flag_symbol.alias("pass_symbol"),
+        flag_stop.alias("pass_stopwords"),
+        (flag_words & flag_wlen & flag_symbol & flag_stop).alias("keep"),
+    )
+
+
 def fingerprint(docs: DataFrame, window: int = 16) -> DataFrame:
     """Document fingerprint: md5 of normalized text + a positional rolling
     fingerprint (md5 of each ``window``-word block, minimum kept) — the

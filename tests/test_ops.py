@@ -214,3 +214,34 @@ def test_connected_components_chain_and_keep_representative(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_keep_representative(docs, pairs).collect())
     assert kept == [1, 10, 99]  # one per cluster + untouched isolate
+
+
+def test_repetition_stats_values(spark):
+    from chug_spark.ops.textstats import repetition_stats
+
+    docs = _docs(spark, ["a b a b a", "x y z w", "solo"])
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc0 2-grams: "a b","b a","a b","b a" → 4 total, 2 distinct, top=2
+    assert got[0]["n_grams"] == 4 and got[0]["n_distinct_grams"] == 2
+    assert got[0]["top_gram_count"] == 2
+    assert got[0]["dup_gram_bp"] == 5000 and got[0]["top_gram_bp"] == 5000
+    # doc1: all distinct
+    assert got[1]["dup_gram_bp"] == 0 and got[1]["top_gram_bp"] == 3333
+    # single-word doc yields no grams at all
+    assert 2 not in got
+
+
+def test_gopher_quality_filter_rules(spark):
+    from chug_spark.ops.textstats import gopher_quality_filter
+
+    docs = _docs(spark, [
+        "the cat sat on the mat today here now",   # passes everything
+        "a b",                                     # too few words
+        "the ##### !!!! @@@@ %%%% ^^^^ &&&&",      # symbol-heavy
+        "zz qq ww ee rr tt yy uu",                 # no stopwords
+    ])
+    got = {r["doc_id"]: r for r in gopher_quality_filter(docs).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False and got[1]["pass_words"] is False
+    assert got[2]["keep"] is False and got[2]["pass_symbol"] is False
+    assert got[3]["keep"] is False and got[3]["pass_stopwords"] is False
