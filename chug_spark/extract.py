@@ -296,6 +296,14 @@ def extract_docread(
     # prefix alone (no json parse, no UDF), so each branch runs the heavy
     # derivation only over its own subset of rows; for a pure-passthrough
     # corpus the payload subtree filters everything out at the scan.
+    #
+    # Deliberate trade-off: the two branches each scan the input (2× read)
+    # instead of materializing a probe-tagged intermediate.  The probe is a
+    # cheap columnar expression evaluated during the scan, while a shared
+    # intermediate would cost a full-corpus shuffle or cache — infeasible at
+    # 10^12 docs — and would drag passthrough rows (zero-shuffle HOF path)
+    # through the payload subtree's exchanges.  Scans are the cheap,
+    # horizontally-scaling resource here; shuffles are not.
     _probe = F.coalesce(
         F.get(
             F.expr(

@@ -81,6 +81,28 @@ def split_source_specs(
     return specs, total
 
 
+def cap_num_samples(
+    df: DataFrame, num_samples: int, seed: int = 0, name: str = "", key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic exact-count subsample: the ``num_samples`` documents
+    with the smallest (md5-hash, key) — the batch analogue of the
+    reference's per-source ``num_samples`` (common/config.py:200-214, used
+    there for epoch sizing).
+
+    Plan shape: ``orderBy(hash, key).limit(n)`` compiles to
+    TakeOrderedAndProject — per-partition top-n then a driver merge of
+    n·partitions candidates.  Exact and cheap for n up to ~10^7; beyond
+    that, use :func:`weighted_union`'s rate-based keep rule instead (no
+    global ordering at all)."""
+    h = rand_below_col(F.col(key), seed, MIX_RESOLUTION, tag=f"cap:{name}")
+    return (
+        df.withColumn("_h", h)
+        .orderBy("_h", key)
+        .limit(num_samples)
+        .drop("_h")
+    )
+
+
 def weighted_union(
     sources: Sequence[tuple[str, DataFrame, float]],
     seed: int = 0,

@@ -198,3 +198,20 @@ def test_weighted_union_deterministic_and_proportional(spark):
     ).collect()}
     for d, v in got.items():
         assert v == doc_rand_below(d, 5, 1_000_000, tag="mix:light")
+
+
+def test_cap_num_samples_exact_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from chug_spark.sources.mixing import cap_num_samples
+
+    base = spark.range(1000).select(F.col("id").cast("string").alias("doc_id"))
+    a = {r["doc_id"] for r in cap_num_samples(base, 100, seed=1, name="s").collect()}
+    assert len(a) == 100
+    # deterministic under different partitioning
+    b = {r["doc_id"] for r in
+         cap_num_samples(base.repartition(17), 100, seed=1, name="s").collect()}
+    assert a == b
+    # different seed → different sample
+    c = {r["doc_id"] for r in cap_num_samples(base, 100, seed=2, name="s").collect()}
+    assert a != c
