@@ -632,6 +632,48 @@ FROM r
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII sweep over text with deterministically injected email/IP/phone —
+    counts and the redacted string are value-checked exactly."""
+    from pyspark.sql import functions as F
+
+    from .textstats import pii_scrub
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" mail doc"), F.col("doc_id").cast("string"),
+            F.lit("@ex-a.com ip 10.20."),
+            F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+            F.lit(".7 tel +1 555 000 1234 end"),
+        ).alias("text"),
+    )
+    return pii_scrub(d)
+
+
+_SQL_PII_SCRUB = """
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' mail doc' || CAST(doc_id AS VARCHAR)
+           || '@ex-a.com ip 10.20.' || CAST(doc_id % 250 AS VARCHAR)
+           || '.7 tel +1 555 000 1234 end' AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '\\+[0-9][0-9 -]{7,14}[0-9]')) AS INT) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+      '[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?', '<IP>', 'g'),
+    '\\+[0-9][0-9 -]{7,14}[0-9]', '<PHONE>', 'g') AS redacted
+FROM d
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal per-page feature extraction over deterministic synthetic
     payloads derived from doc_ids — exercises the full mapInPandas plumbing
@@ -671,6 +713,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
+        "pii_scrub": q_pii_scrub,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -694,6 +737,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "gopher_filter": _SQL_GOPHER_FILTER,
+        "pii_scrub": _SQL_PII_SCRUB,
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _SQL_LANG_ID,
         "fingerprint": _SQL_FINGERPRINT,

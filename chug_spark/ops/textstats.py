@@ -187,6 +187,39 @@ def gopher_quality_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns: plain character classes only — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB).  Deliberately high-precision/low-recall
+# (curation pipelines over-redact with NER models downstream; the regex pass
+# is the cheap first sweep).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_IPV4_RE = (
+    "[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?[.]"
+    "[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?"
+)
+PII_PHONE_RE = r"\+[0-9][0-9 -]{7,14}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII sweep: count and redact emails, IPv4s, and international
+    phone numbers.  Pure Column expressions — runs inside whole-stage
+    codegen; at corpus scale this is a map-only pass with zero shuffle."""
+    t = F.col(text_col)
+
+    def count_of(pattern):
+        return F.size(F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)"))
+
+    redacted = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        count_of(PII_EMAIL_RE).cast("int").alias("n_emails"),
+        count_of(PII_IPV4_RE).cast("int").alias("n_ips"),
+        count_of(PII_PHONE_RE.replace("\\", "\\\\")).cast("int").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
 def fingerprint(docs: DataFrame, window: int = 16) -> DataFrame:
     """Document fingerprint: md5 of normalized text + a positional rolling
     fingerprint (md5 of each ``window``-word block, minimum kept) — the

@@ -245,3 +245,17 @@ def test_gopher_quality_filter_rules(spark):
     assert got[1]["keep"] is False and got[1]["pass_words"] is False
     assert got[2]["keep"] is False and got[2]["pass_symbol"] is False
     assert got[3]["keep"] is False and got[3]["pass_stopwords"] is False
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from chug_spark.ops.textstats import pii_scrub
+
+    docs = _docs(spark, [
+        "reach me at jane.doe+spam@mail.example.org or 10.0.0.1 or +44 20 7946 0958",
+        "no pii here at all",
+    ])
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == (1, 1, 1)
+    assert got[0]["redacted"] == "reach me at <EMAIL> or <IP> or <PHONE>"
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (0, 0, 0)
+    assert got[1]["redacted"] == "no pii here at all"
