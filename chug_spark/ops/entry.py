@@ -453,6 +453,93 @@ FROM reach GROUP BY src
 """
 
 
+def q_curation_keep(spark, sf_dir):
+    """The composed curation funnel end-to-end: quality gate → exact dedup →
+    near-dup representatives; the FULL composition is value-checked, not
+    just its pieces."""
+    from .pipeline import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
+def _curation_sql(bands: int = 8, max_bucket_size: int = 64) -> str:
+    from .dedup import MINHASH_P, minhash_perm_constants
+
+    values = ", ".join(
+        f"({b}, {a}, {c})" for b, (a, c) in enumerate(minhash_perm_constants(bands))
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, len(words) AS n,
+           floor((nc - (len(words) - 1)) * 10000 / len(words)) AS mwl,
+           floor(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 10000 / nc) AS sym,
+           len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a'))) AS sh
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS words, length(text) AS nc
+          FROM documents)
+  ) WHERE n >= 5 AND n <= 100000 AND mwl >= 20000 AND mwl <= 120000
+        AND sym <= 1000 AND sh >= 1
+),
+s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)),
+ex AS (
+  SELECT min(doc_id) AS doc_id FROM s1
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+),
+s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN ex USING (doc_id)),
+d2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM s2),
+sh2 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(0, len(words) - 3),
+                                      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+  FROM d2 WHERE len(words) >= 3
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(sh, x ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1 AS BIGINT))),
+             (a, b) -> a * 16 + b) % {MINHASH_P}) AS hs
+  FROM sh2 WHERE len(sh) > 0
+),
+consts(band, ca, cc) AS (VALUES {values}),
+sig AS (
+  SELECT doc_id, band,
+         list_min(list_transform(hs, h -> (ca * h + cc) % {MINHASH_P})) AS sig
+  FROM hs, consts
+),
+capped AS (
+  SELECT * FROM sig
+  QUALIFY count(*) OVER (PARTITION BY band, sig) <= {max_bucket_size}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+                             AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+  )
+  SELECT * FROM r
+),
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src
+),
+dropd AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster)
+SELECT doc_id FROM s2
+WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
+"""
+
+
 # --- text analysis ----------------------------------------------------------
 
 
@@ -709,6 +796,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "ann_recall": q_ann_recall,
         "dedup_clusters": q_dedup_clusters,
+        "curation_keep": q_curation_keep,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
@@ -733,6 +821,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "knn_exact": _SQL_KNN_EXACT,
         "ann_recall": _SQL_ANN_RECALL,
         "dedup_clusters": _dedup_clusters_sql(),
+        "curation_keep": _curation_sql(),
         "token_count": _SQL_TOKEN_COUNT,
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,

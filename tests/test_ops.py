@@ -259,3 +259,18 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[0]["redacted"] == "reach me at <EMAIL> or <IP> or <PHONE>"
     assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (0, 0, 0)
     assert got[1]["redacted"] == "no pii here at all"
+
+
+def test_curate_corpus_funnel(spark):
+    from chug_spark.ops.pipeline import curate_corpus
+
+    base = "the cat and the dog sat on the mat in the house today"
+    docs = _docs(spark, [
+        base,                                   # 0: representative
+        base.replace("today", "tomorrow"),      # 1: near-dup of 0 → dropped
+        base,                                   # 2: exact dup of 0 → dropped
+        "the sun is bright and the sky is blue over the hills now",  # 3: kept
+        "zz",                                   # 4: fails quality gate
+    ])
+    kept = sorted(r["doc_id"] for r in curate_corpus(docs).collect())
+    assert kept == [0, 3]
