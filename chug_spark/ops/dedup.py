@@ -265,6 +265,43 @@ def simhash_hamming_pairs(
     )
 
 
+def minhash_jaccard_verified(
+    docs: DataFrame,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """The production near-dup pattern: LSH candidates + EXACT Jaccard
+    verification.  Unlike :func:`ngram_jaccard_pairs` (exploded shingle
+    self-join — cost grows with shingle co-occurrence), this joins the
+    candidate PAIRS back to the per-doc shingle arrays and computes
+    ``|A∩B| / |A∪B|`` with array_intersect per pair: cost is
+    O(candidates × shingles-per-doc), independent of corpus-wide shingle
+    frequencies.  Integer-ratio math — bit-identical in any engine."""
+    sh = word_shingles(F.col("text"), shingle_n)
+    shingles = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), sh.alias("sh")
+    ).filter(F.size("sh") > 0)
+    cand = minhash_candidate_pairs(docs, bands, shingle_n, max_bucket_size)
+    joined = (
+        cand.join(
+            shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Near-dup clusters from candidate pairs: (doc_id, cluster) where
     cluster = min doc_id in the connected component — the canonical-

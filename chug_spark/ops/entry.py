@@ -102,6 +102,39 @@ GROUP BY 1, 2
 """
 
 
+def q_minhash_verified(spark, sf_dir):
+    """LSH candidates + exact Jaccard verification (the production pattern:
+    verification cost scales with candidates, not shingle co-occurrence)."""
+    from .dedup import minhash_jaccard_verified
+
+    return minhash_jaccard_verified(
+        _docs(spark, sf_dir), bands=8, shingle_n=3, threshold=0.12,
+        max_bucket_size=64,
+    )
+
+
+def _minhash_verified_sql(bands: int = 8, max_bucket_size: int = 64) -> str:
+    pairs = _minhash_pairs_sql(bands, max_bucket_size)
+    return f"""
+WITH cand AS ({pairs}),
+dsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(0, len(words) - 3),
+                                      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+  WHERE len(words) >= 3
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM cand
+JOIN dsh a ON a.doc_id = cand.doc_a
+JOIN dsh b ON b.doc_id = cand.doc_b
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.12
+"""
+
+
 def q_simhash(spark, sf_dir):
     from .dedup import simhash_signatures
 
@@ -787,6 +820,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_verified": q_minhash_verified,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -812,6 +846,7 @@ def ops_oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_pairs": _minhash_pairs_sql(bands=8, max_bucket_size=64),
+        "minhash_verified": _minhash_verified_sql(bands=8, max_bucket_size=64),
         "simhash": _SQL_SIMHASH,
         "simhash_pairs": _SQL_SIMHASH_PAIRS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -274,3 +274,20 @@ def test_curate_corpus_funnel(spark):
     ])
     kept = sorted(r["doc_id"] for r in curate_corpus(docs).collect())
     assert kept == [0, 3]
+
+
+def test_minhash_verified_matches_full_jaccard_on_candidates(spark):
+    from chug_spark.ops.dedup import minhash_jaccard_verified
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words describing some unrelated topic entirely here"
+    docs = _docs(spark, [base, near, other])
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in minhash_jaccard_verified(docs, threshold=0.0).collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got  # never an LSH candidate
+    # verified jaccard == the full exploded-join jaccard for the same pair
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=0).collect()}
+    assert got[(0, 1)] == full[(0, 1)]
