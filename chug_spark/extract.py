@@ -56,8 +56,9 @@ def _policy_udf(page_sampling: str, seed: int):
     Faithful to the reference's control flow:
     - ``get_next_valid_page_index`` advance-with-wraparound, ≤10 retries,
       RuntimeError when exhausted (doc_processor.py:18-45);
-    - policy branches random/first/all_valid/all
-      (doc_read_processor.py:52-68), including the wraparound *duplicates*
+    - policy branches random/first/last/all_valid/all
+      (doc_read_processor.py:52-68; 'last' from the decode path,
+      wds/decode.py:228-231), including the wraparound *duplicates*
       ``all_valid`` produces when invalid pages exist;
     - mid-loop RuntimeError in all_valid keeps indices collected so far
       (doc_read_processor.py:69-70 ``except RuntimeError: pass``);
