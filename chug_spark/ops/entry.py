@@ -506,7 +506,9 @@ WITH g AS (
   SELECT doc_id FROM (
     SELECT doc_id, len(words) AS n,
            floor((nc - (len(words) - 1)) * 10000 / len(words)) AS mwl,
-           floor(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 10000 / nc) AS sym,
+           CASE WHEN nc > 0
+                THEN floor(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 10000 / nc)
+                ELSE 10000 END AS sym,
            len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a'))) AS sh
     FROM (SELECT doc_id, text, string_split(text, ' ') AS words, length(text) AS nc
           FROM documents)
@@ -733,7 +735,9 @@ WITH w AS (
 r AS (
   SELECT doc_id, len(words) AS n,
          floor((nc - (len(words) - 1)) * 10000 / len(words)) AS mwl,
-         floor(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 10000 / nc) AS sym,
+         CASE WHEN nc > 0
+              THEN floor(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 10000 / nc)
+              ELSE 10000 END AS sym,
          len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a'))) AS sh
   FROM w
 )

@@ -163,9 +163,14 @@ def gopher_quality_filter(docs: DataFrame) -> DataFrame:
     n = F.size(words)
     nc = F.length("text")
     mean_wlen_bp = F.floor((nc - (n - 1)) * 10000 / n)
-    symbol_bp = F.floor(
-        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9 ]", "")) * 10000 / nc
-    )
+    # ANSI mode: integer division by zero throws — empty text counts as
+    # fully-symbolic (fails the gate) rather than erroring the job
+    symbol_bp = F.when(
+        nc > 0,
+        F.floor(
+            F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9 ]", "")) * 10000 / nc
+        ),
+    ).otherwise(F.lit(10000))
     stop_hits = _stopword_hits(words, "en")
     flag_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
     flag_wlen = (mean_wlen_bp >= GOPHER_MIN_MEAN_WLEN_BP) & (
