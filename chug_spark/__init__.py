@@ -18,8 +18,11 @@ from .config import (
 )
 from .extract import extract_docread, flatten_spans, run_extract
 from .schema import DOCUMENTS_SCHEMA, FLAT_SPANS_SCHEMA, SPAN_STRUCT
+from .sources.documents import read_documents, write_spans
+from .sources.mixing import cap_num_samples, split_source_specs, weighted_union
+from .sources.registry import read_source, register_mem_dataset, register_source
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "ExtractJobCfg",
@@ -33,4 +36,12 @@ __all__ = [
     "DOCUMENTS_SCHEMA",
     "FLAT_SPANS_SCHEMA",
     "SPAN_STRUCT",
+    "read_documents",
+    "write_spans",
+    "read_source",
+    "register_source",
+    "register_mem_dataset",
+    "split_source_specs",
+    "weighted_union",
+    "cap_num_samples",
 ]
