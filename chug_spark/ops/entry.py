@@ -486,6 +486,34 @@ FROM reach GROUP BY src
 """
 
 
+def q_cluster_histogram(spark, sf_dir):
+    """Dedup observability: distribution of near-dup cluster sizes (how much
+    of the corpus collapses, and into how many groups) — the number you
+    watch when tuning bands/thresholds at scale."""
+    from pyspark.sql import functions as F
+
+    cc = q_dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            F.col("n_clusters").cast("int").alias("n_clusters"),
+        )
+    )
+
+
+def _cluster_histogram_sql() -> str:
+    return f"""
+WITH cc AS ({_dedup_clusters_sql()}),
+sizes AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT CAST(cluster_size AS INT) AS cluster_size,
+       CAST(count(*) AS INT) AS n_clusters
+FROM sizes GROUP BY 1
+"""
+
+
 def q_curation_keep(spark, sf_dir):
     """The composed curation funnel end-to-end: quality gate → exact dedup →
     near-dup representatives; the FULL composition is value-checked, not
@@ -834,6 +862,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "ann_recall": q_ann_recall,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_histogram": q_cluster_histogram,
         "curation_keep": q_curation_keep,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -860,6 +889,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "knn_exact": _SQL_KNN_EXACT,
         "ann_recall": _SQL_ANN_RECALL,
         "dedup_clusters": _dedup_clusters_sql(),
+        "cluster_histogram": _cluster_histogram_sql(),
         "curation_keep": _curation_sql(),
         "token_count": _SQL_TOKEN_COUNT,
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
