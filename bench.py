@@ -116,7 +116,7 @@ def main() -> int:
     from chug_spark.ops.dedup import simhash_hamming_pairs
 
     timed("minhash_pairs", lambda: minhash_candidate_pairs(docs_pq).count())
-    timed("simhash_pairs", lambda: simhash_hamming_pairs(docs_pq, max_distance=16).count())
+    timed("simhash_pairs", lambda: simhash_hamming_pairs(docs_pq, max_distance=3).count())
     timed("ngram_jaccard", lambda: ngram_jaccard_pairs(docs_pq, threshold=0.12).count())
     timed("cosine_threshold", lambda: cosine_pairs_threshold(emb_pq).count())
     timed("quality_score", lambda: quality_score(docs_pq).count())

@@ -43,6 +43,27 @@ def bucket_col(seed: int, n_buckets: int):
     return F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(n_buckets)).cast("int")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — works for any
+    scheme the cluster's Hadoop conf knows (file://, hdfs://, s3a://...),
+    unlike driver-local ``os.path`` probes (round-2 advice: an os.path.exists
+    check made every HDFS/S3 resume silently re-stage the full input)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.delete(hpath, True)
+
+
 def read_checkpoint(spark: SparkSession, checkpoint_dir: str, run_id: str) -> DataFrame:
     path = os.path.join(checkpoint_dir, "checkpoint")
     try:
@@ -96,8 +117,9 @@ def write_with_checkpoint(
       of a computed bucket column;
     - per-bucket lineage metrics (doc/span/error counts) are computed from
       the parquet just written, never by re-running the extraction plan;
-    - the staging dir is keyed by run_id — a resumed run reuses it, a new
-      run_id re-stages.
+    - the staging dir is keyed by run_id — a resumed run reuses it (probed
+      via the Hadoop FileSystem API, so reuse works on HDFS/S3 paths too),
+      a new run_id re-stages — and it is deleted once every bucket is done.
     """
     from .extract import extract_docread, flatten_spans  # local import, no cycle
 
@@ -116,9 +138,9 @@ def write_with_checkpoint(
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    staged_path = os.path.join(out_dir, f"staged_{cfg.run_id}")
     if stage_input:
-        staged_path = os.path.join(out_dir, f"staged_{cfg.run_id}")
-        if not os.path.exists(os.path.join(staged_path, "_SUCCESS")):
+        if not _fs_exists(spark, os.path.join(staged_path, "_SUCCESS")):
             (
                 docs.withColumn("bucket", bucket_col(cfg.seed, n_buckets))
                 .write.mode("overwrite")
@@ -166,6 +188,12 @@ def write_with_checkpoint(
         completed += 1
         if fail_after is not None and completed >= fail_after:
             raise RuntimeError(f"simulated failure after {completed} buckets")
+
+    # all buckets checkpointed done → the staged full-corpus copy has served
+    # its purpose; delete it so a completed run leaves no 1×-corpus residue
+    # (a crashed run keeps it for the resume — that's the 2×-read contract)
+    if stage_input and _fs_exists(spark, staged_path):
+        _fs_delete(spark, staged_path)
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:

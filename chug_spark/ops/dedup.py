@@ -224,10 +224,21 @@ def simhash_hamming_pairs(
     signature splits into ``bands`` equal substrings; by pigeonhole, any pair
     within Hamming distance < ``bands`` shares at least one identical band →
     the equi-join on (band, key) finds all such pairs without an all-pairs
-    comparison.  Exact Hamming distance verifies candidates; degenerate
-    bands (e.g. all-zero prefixes in templated corpora) are capped like the
-    MinHash buckets."""
+    comparison.  Completeness therefore REQUIRES max_distance < bands
+    (enforced below — a pair at distance d ≥ bands can differ in every band
+    and silently vanish from the candidate join).  Exact Hamming distance
+    verifies candidates; degenerate bands (e.g. all-zero prefixes in
+    templated corpora) are capped like the MinHash buckets — the cap is the
+    one documented recall loss (oversized buckets are boilerplate, not
+    near-dup signal)."""
     assert SIMHASH_BITS % bands == 0
+    if max_distance >= bands:
+        raise ValueError(
+            f"banded pigeonhole completeness requires max_distance < bands "
+            f"(got max_distance={max_distance}, bands={bands}); raise bands "
+            f"or lower max_distance — otherwise pairs at Hamming distance "
+            f">= {bands} are silently missed"
+        )
     band_len = SIMHASH_BITS // bands
     sigs = simhash_signatures(docs)
     band_keys = F.transform(
@@ -367,13 +378,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 def dedup_keep_representative(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Doc ids surviving near-dup dedup: every doc except non-representative
-    members of a cluster (representative = min doc_id).  Broadcast-anti-join
-    of the (small) non-representative set against the corpus — the corpus is
-    never shuffled."""
+    members of a cluster (representative = min doc_id).  Plain left_anti join
+    — the drop set is UNBOUNDED (on a dup-heavy corpus it is a large fraction
+    of all docs), so no broadcast hint: a shuffle anti-join is safe at any
+    scale and AQE still converts it to a broadcast join at runtime when the
+    drop side turns out small."""
     cc = connected_components(pairs)
     drop = cc.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
     return docs.select(F.col("doc_id").cast("long").alias("doc_id")).join(
-        F.broadcast(drop), "doc_id", "left_anti"
+        drop, "doc_id", "left_anti"
     )
 
 

@@ -171,8 +171,11 @@ _SQL_SIMHASH = _SIMHASH_SIG_CTE + "\nSELECT doc_id, simhash FROM sig\n"
 def q_simhash_pairs(spark, sf_dir):
     from .dedup import simhash_hamming_pairs
 
+    # max_distance < bands: the banded join is COMPLETE for distance <= 3
+    # (pigeonhole) — round-2 advice: distance 16 with 4 bands silently missed
+    # pairs differing in every band
     return simhash_hamming_pairs(
-        _docs(spark, sf_dir), max_distance=16, bands=4, max_bucket_size=64
+        _docs(spark, sf_dir), max_distance=3, bands=4, max_bucket_size=64
     )
 
 
@@ -197,7 +200,7 @@ SELECT doc_a, doc_b, hamming FROM (
                 i -> substr(sa, CAST(i AS INT), 1) <> substr(sb, CAST(i AS INT), 1)))
               AS INT) AS hamming
   FROM cand
-) WHERE hamming <= 16
+) WHERE hamming <= 3
 """
 
 
@@ -315,7 +318,7 @@ def q_ivf_topk(spark, sf_dir):
     assignment, 2-probe search) — fully oracle-checked incl. ranks."""
     from .similarity import ivf_topk
 
-    return ivf_topk(_emb(spark, sf_dir), n_queries=5, k=5, probes=2)
+    return ivf_topk(_emb(spark, sf_dir), n_queries=5, k=5, probes=2, n_centroids=32)
 
 
 # sequential-fold cosine as a SQL macro body (bit-identical to Spark's
@@ -334,7 +337,8 @@ WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM base WHERE vec_id % 37 = 3),
+cents AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM base
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
 scored AS (
   SELECT b.vec_id, b.emb, c.centroid_id, {_cos_sql('b.emb', 'c.c_emb')} AS c_cos
   FROM base b CROSS JOIN cents c

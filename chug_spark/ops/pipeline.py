@@ -51,6 +51,8 @@ def curate_corpus(
     pairs = minhash_candidate_pairs(
         s2, bands=bands, shingle_n=shingle_n, max_bucket_size=max_bucket_size
     )
+    # no broadcast hint: the drop set is unbounded (dup-heavy corpora), so a
+    # plain shuffle anti-join; AQE broadcasts it at runtime if actually small
     cc = connected_components(pairs)
     drop = cc.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
-    return s2.select("doc_id").join(F.broadcast(drop), "doc_id", "left_anti")
+    return s2.select("doc_id").join(drop, "doc_id", "left_anti")

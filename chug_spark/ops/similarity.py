@@ -142,15 +142,24 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 6) -> DataFrame:
     )
 
 
-def ivf_centroids(base: DataFrame, centroid_mod: int = 37, centroid_rem: int = 3) -> DataFrame:
-    """Deterministic IVF 'training': every vector whose id ≡ rem (mod m) is a
-    centroid — a hash-style deterministic sample (~N/m centroids), chosen so
-    the DuckDB oracle reproduces the exact same index with one predicate.
-    (Production would k-means these; the partition/probe machinery — the part
-    that matters at 10^12 rows — is identical.)"""
-    return base.filter(
-        F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == centroid_rem
-    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
+def ivf_centroids(base: DataFrame, n_centroids: int = 64) -> DataFrame:
+    """Deterministic IVF 'training': the ``n_centroids`` vectors with the
+    smallest md5(vec_id) are the centroids — a fixed-SIZE hash-ordered sample,
+    so the broadcast side and the O(N·K) assignment cost are bounded by K
+    regardless of corpus size.  (A mod-based sample — round 2 — grew with N:
+    ~N/m centroids made assignment O(N²/m) and the broadcast unbounded.)
+    Spark plans the selection as TakeOrderedAndProject (per-partition top-K
+    merge: one scan, K-bounded memory); DuckDB reproduces the identical set
+    with ORDER BY md5 LIMIT K.  (Production would k-means these; the
+    partition/probe machinery — the part that matters at 10^12 rows — is
+    identical.)"""
+    return (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
+    )
 
 
 def ivf_topk(
@@ -158,20 +167,20 @@ def ivf_topk(
     n_queries: int = 5,
     k: int = 5,
     probes: int = 2,
-    centroid_mod: int = 37,
-    centroid_rem: int = 3,
+    n_centroids: int = 64,
 ) -> DataFrame:
     """IVF-style ANN top-k — the coarse-quantizer scale path next to the LSH
     one: assign every vector to its nearest centroid (the inverted lists),
     probe each query's ``probes`` nearest lists, exact cosine + rank within
-    the candidates.  Centroids are broadcast (small side); candidate
-    generation shuffles on centroid_id only — never all-pairs.  Sequential-
-    fold cosines are bit-identical in DuckDB, so assignment, probing, and
-    ranks are oracle-checkable end to end."""
+    the candidates.  The centroid set is a FIXED size (``n_centroids``), so
+    its broadcast never grows with the corpus; candidate generation shuffles
+    on centroid_id only — never all-pairs.  Sequential-fold cosines are
+    bit-identical in DuckDB, so assignment, probing, and ranks are
+    oracle-checkable end to end."""
     from pyspark.sql import Window
 
     base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
-    cents = ivf_centroids(base, centroid_mod, centroid_rem)
+    cents = ivf_centroids(base, n_centroids)
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",

@@ -44,10 +44,15 @@ def _dedup_fn(key, pdf_iter, state: GroupState):
         return iter(())
     best: Optional[tuple] = None
     for pdf in pdf_iter:
-        for _, row in pdf.iterrows():
-            cand = (str(row["doc_id"]), str(row["text"]))
-            if best is None or cand[0] < best[0]:
-                best = cand
+        if len(pdf) == 0:  # pragma: no cover
+            continue
+        # vectorized per-chunk min (no per-row Python loop in the hot path):
+        # idxmin over the string-cast ids, then reduce across chunks
+        ids = pdf["doc_id"].astype(str)
+        i = ids.idxmin()
+        cand = (ids.loc[i], str(pdf["text"].loc[i]))
+        if best is None or cand[0] < best[0]:
+            best = cand
     state.update((True,))
     if best is None:  # pragma: no cover
         return iter(())

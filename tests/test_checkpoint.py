@@ -54,18 +54,30 @@ def test_resume_after_simulated_crash(spark, tmp_path):
 def test_staged_input_partition_prunes(spark, tmp_path):
     """The per-bucket read must scan only its own staged partition: the
     physical plan carries the bucket predicate as a PartitionFilter (100 TB
-    contract: 2x total input read, not n_buckets full scans)."""
+    contract: 2x total input read, not n_buckets full scans).  The staged
+    copy survives a crash (resume reuses it) and is deleted once every
+    bucket is done."""
+    import os
+
     docs = _corpus(spark, n=30)
     cfg = ExtractJobCfg(render_dpi=12, run_id="runC")
     out_dir = str(tmp_path / "outC")
-    write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=4)
+    try:
+        write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=4, fail_after=2)
+    except RuntimeError:
+        pass
 
+    # crashed mid-run: staged copy still there, partition-pruned per bucket
     staged = spark.read.parquet(f"{out_dir}/staged_runC")
     plan = (
         staged.filter(F.col("bucket") == 2)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+
+    # resume to completion → staged full-corpus copy is cleaned up
+    write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=4)
+    assert not os.path.exists(f"{out_dir}/staged_runC")
 
     # error-bucket accounting comes from the written partitions
     cp = read_checkpoint(spark, out_dir, "runC")

@@ -82,7 +82,7 @@ def test_simhash_hamming_pairs_banded(spark):
     other = "zq xw vv kk jj pp mm nn bb cc dd ee ff gg"
     docs = _docs(spark, [base, near, base, other])
     rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
-            for r in simhash_hamming_pairs(docs, max_distance=8).collect()}
+            for r in simhash_hamming_pairs(docs, max_distance=8, bands=16).collect()}
     assert rows[(0, 2)] == 0          # identical docs → distance 0
     assert (0, 1) in rows             # near-dup within banded reach
     assert (0, 3) not in rows and (1, 3) not in rows
@@ -291,3 +291,31 @@ def test_minhash_verified_matches_full_jaccard_on_candidates(spark):
     full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
             for r in ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=0).collect()}
     assert got[(0, 1)] == full[(0, 1)]
+
+
+def test_simhash_pairs_rejects_incomplete_banding(spark):
+    """Pigeonhole completeness requires max_distance < bands — a silent
+    recall hole otherwise (round-2 advice)."""
+    import pytest
+
+    from chug_spark.ops.dedup import simhash_hamming_pairs
+
+    docs = _docs(spark, ["a b c", "a b d"])
+    with pytest.raises(ValueError, match="max_distance < bands"):
+        simhash_hamming_pairs(docs, max_distance=16, bands=4)
+
+
+def test_ivf_centroid_count_bounded(spark):
+    """The centroid set is a FIXED-size hash sample: K never grows with the
+    corpus (round-2 advice: a mod-based sample made assignment O(N^2/m))."""
+    from chug_spark.ops.similarity import ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(500)],
+        "vec_id long, embedding array<float>",
+    )
+    assert ivf_centroids(emb, n_centroids=16).count() == 16
+    # deterministic: same input -> same centroid ids
+    a = sorted(r["centroid_id"] for r in ivf_centroids(emb, 16).collect())
+    b = sorted(r["centroid_id"] for r in ivf_centroids(emb, 16).collect())
+    assert a == b

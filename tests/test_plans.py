@@ -98,7 +98,7 @@ def test_curation_ops_never_cartesian(spark):
         ("jaccard", ngram_jaccard_pairs(docs)),
         ("simhash_pairs", simhash_hamming_pairs(docs)),
         ("ann_lsh", ann_topk_lsh(emb)),
-        ("ivf", ivf_topk(emb, centroid_mod=7)),
+        ("ivf", ivf_topk(emb, n_centroids=8)),
         ("cosine", cosine_pairs_threshold(emb)),
     ]:
         plan = _phys(df)
@@ -108,6 +108,6 @@ def test_curation_ops_never_cartesian(spark):
     for name, df in [
         ("cosine", cosine_pairs_threshold(emb)),
         ("ann_lsh", ann_topk_lsh(emb)),
-        ("ivf", ivf_topk(emb, centroid_mod=7)),
+        ("ivf", ivf_topk(emb, n_centroids=8)),
     ]:
         assert "Broadcast" in _phys(df), name
