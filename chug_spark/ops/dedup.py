@@ -8,9 +8,10 @@ the decoder, built Spark-first:
 - MinHash+LSH: md5 each distinct shingle ONCE to a 60-bit int, then derive
   the per-band signatures with universal-hash permutations
   ``(a_b * h + c_b) mod p`` (cheap JVM integer ops instead of ``bands``
-  separate md5 passes); candidate pairs via self-join on the (band, sig)
-  bucket — with a bucket-size cap so one degenerate bucket (boilerplate
-  corpus) can never go quadratic
+  separate md5 passes); candidate pairs generated inside each (band, sig)
+  bucket by in-array expansion (:func:`bucket_pairs` — no self-join), with
+  a bucket-size cap so one degenerate bucket (boilerplate corpus) can never
+  go quadratic
 - SimHash: 64-bit signature (per-bit majority over md5(word) bits) + banded
   Hamming candidate join (4 × 16-bit bands; pigeonhole: any pair within
   Hamming distance 3 shares at least one band)
@@ -129,8 +130,10 @@ def minhash_signatures(docs: DataFrame, bands: int = 8, shingle_n: int = 3) -> D
 def cap_buckets(df: DataFrame, keys: list[str], max_size: int) -> DataFrame:
     """Drop rows belonging to buckets larger than ``max_size`` (degenerate-
     bucket guard: a single hot LSH bucket would otherwise contribute size²
-    rows to the self-join).  Window count over the bucket key — one shuffle,
-    co-partitioned with the subsequent self-join on the same key."""
+    rows to pair generation).  Window count over the bucket key — one
+    shuffle; the window is SORT-BASED and streams, so a hot key of any size
+    is counted and dropped without ever materializing its rows in memory
+    (unlike a collect_list-first plan)."""
     if not max_size:
         return df
     w = Window.partitionBy(*keys)
@@ -141,28 +144,57 @@ def cap_buckets(df: DataFrame, keys: list[str], max_size: int) -> DataFrame:
     )
 
 
+def bucket_pairs(
+    df: DataFrame, keys: list[str], max_bucket_size: int, payload: list[str] = ()
+) -> DataFrame:
+    """(doc_a, doc_b[, <p>_a, <p>_b...]) candidate pairs: all unordered doc
+    pairs sharing a bucket key, one output row per (bucket, pair).
+
+    Physical strategy (A/B-measured 20% faster than the capped self-join at
+    sf0.1, tools/ab_ngram.py): window-cap first (streaming — memory-safe on
+    arbitrarily hot keys), then collect the ≤cap survivors of each bucket
+    into one sorted array and expand the C(n,2) pairs with higher-order
+    functions — no join at all, and the groupBy reuses the window's hash
+    partitioning on the bucket key (zero extra shuffle).  Per-group memory
+    is bounded by the cap, so the plan survives degenerate corpora at any
+    scale."""
+    capped = cap_buckets(df, keys, max_bucket_size)
+    item = F.struct(F.col("doc_id"), *[F.col(p) for p in payload])
+    buckets = (
+        capped.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(item)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    out = buckets.select(F.explode(pairs).alias("p"))
+    cols = [
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+    ]
+    for p in payload:
+        cols += [F.col(f"p.a.{p}").alias(f"{p}_a"), F.col(f"p.b.{p}").alias(f"{p}_b")]
+    return out.select(*cols)
+
+
 def minhash_candidate_pairs(
     docs: DataFrame, bands: int = 8, shingle_n: int = 3, max_bucket_size: int = 64
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, signature) bucket.
-    The self-join shuffles on the bucket key (band, sig) — pairs only form
-    inside buckets, which is the whole point of LSH at 10^12 docs.  Buckets
-    larger than ``max_bucket_size`` are dropped entirely before the join
+    Pairs form only inside buckets via :func:`bucket_pairs` (cap → in-bucket
+    array expansion, no self-join), which is the whole point of LSH at 10^12
+    docs.  Buckets larger than ``max_bucket_size`` are dropped entirely
     (standard LSH practice: a bucket that big is boilerplate, not near-dup
-    signal, and would cost size² join rows)."""
-    sigs = cap_buckets(
-        minhash_signatures(docs, bands, shingle_n), ["band", "sig"], max_bucket_size
-    )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    return (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    signal, and would cost size² pair rows)."""
+    sigs = minhash_signatures(docs, bands, shingle_n)
+    return bucket_pairs(sigs, ["band", "sig"], max_bucket_size).distinct()
 
 
 SIMHASH_BITS = 64
@@ -245,21 +277,13 @@ def simhash_hamming_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.col("simhash").substr(b * band_len + 1, F.lit(band_len)),
     )
-    e = cap_buckets(
-        sigs.select("doc_id", "simhash", F.posexplode(band_keys).alias("band", "key")),
-        ["band", "key"],
-        max_bucket_size,
+    e = sigs.select(
+        "doc_id", "simhash", F.posexplode(band_keys).alias("band", "key")
     )
-    a, b = e.alias("a"), e.alias("b")
     cand = (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
+        bucket_pairs(e, ["band", "key"], max_bucket_size, payload=["simhash"])
+        .withColumnRenamed("simhash_a", "sig_a")
+        .withColumnRenamed("simhash_b", "sig_b")
         .distinct()
     )
     hamming = F.size(
@@ -402,7 +426,7 @@ def ngram_jaccard_pairs(
     engine.  Shuffle key = shingle (high cardinality, well distributed).
 
     Shingles with document frequency > ``max_shingle_df`` are excluded from
-    the join (a shingle in f docs contributes f² join rows — one hot
+    pair generation (a shingle in f docs contributes f² pair rows — one hot
     stop-phrase would dominate the job at corpus scale).  Denominators keep
     the full shingle-set sizes, so the reported jaccard is a lower bound for
     pairs that shared a dropped shingle; at the default cap that only
@@ -413,14 +437,9 @@ def ngram_jaccard_pairs(
     ).filter(F.size("sh") > 0)
     sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = base.select("doc_id", F.explode("sh").alias("shingle"))
-    exploded = cap_buckets(exploded, ["shingle"], max_shingle_df)
     inter = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        bucket_pairs(exploded, ["shingle"], max_shingle_df)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (

@@ -117,7 +117,7 @@ def main():
     docs.count()  # warm scan
 
     results = {}
-    for name, fn in [("A_window", variant_a), ("B_anti", variant_b), ("C_arraypairs", variant_c)]:
+    for name, fn in [("A_window", variant_a), ("B_anti", variant_b), ("C_arraypairs", variant_c), ("D_cap_then_pairs", variant_d)]:
         spark.catalog.clearCache()
         # warmup pass on a slice for codegen
         fn(docs.limit(200)).count()
@@ -130,5 +130,37 @@ def main():
     spark.stop()
 
 
+
+
+def variant_d(docs):
+    """window-cap (streaming, memory-safe on hot keys) THEN array-pair
+    expansion over the <=CAP buckets — no self-join, groupBy reuses the
+    window's hash partitioning on shingle."""
+    sizes, exploded = base_exploded(docs)
+    w = Window.partitionBy("shingle")
+    capped = (
+        exploded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= CAP).drop("_bn")
+    )
+    buckets = (
+        capped.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    inter = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return finish(inter, sizes)
 if __name__ == "__main__":
     main()
