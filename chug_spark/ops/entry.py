@@ -851,9 +851,130 @@ def q_media_features(spark, sf_dir):
                                   resize_longest=128)
 
 
+def q_media_train(spark, sf_dir):
+    """Train-path augmentation pipeline over synthetic payloads: render →
+    doc_train_transform (hash-keyed stochastic stages) → tensor stats +
+    applied-stage flags.  Pixels are numpy (rows-only check); the stage
+    SCHEDULE itself is value-checked by the ``aug_schedule`` oracle query."""
+    from pyspark.sql import functions as F
+
+    from .media_features import extract_train_tensors
+
+    fixture = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+    ).limit(100)
+    return extract_train_tensors(fixture, image_size=(64, 96), render_dpi=24)
+
+
+def _aug_consts():
+    """(name, lo, span, prob) per oracle-checked stage — computed ONCE in
+    Python and embedded verbatim (full repr precision) in both the Spark
+    plan and the generated DuckDB SQL, so lo + span*u is the identical
+    double expression on both engines."""
+    from .media_features import DOC_TRAIN_DEFAULTS as P
+
+    return {
+        "scale": (P["scale_range"][0], P["scale_range"][1] - P["scale_range"][0],
+                  P["scale_prob"]),
+        "bitmap": (None, None, P["bitmap_prob"]),
+        "shearx": (P["shear_range_x"][0],
+                   P["shear_range_x"][1] - P["shear_range_x"][0], P["shear_prob"]),
+        "bright": (1 - P["brightness_range"], 2 * P["brightness_range"],
+                   P["brightness_contrast_prob"]),
+        "blursig": (0.1, 0.8 - 0.1, P["gaussian_blur_prob"]),
+    }
+
+
+def q_aug_schedule(spark, sf_dir):
+    """The deterministic augmentation SCHEDULE of the train path as a pure
+    Column-expression query: per (doc, page), which stochastic stages fire
+    and the drawn magnitudes — u = md5-fold/2^32, the exact draw the pixel
+    UDF consumes (media_features.aug_draw).  Fully oracle-checked: the
+    'randomness' of the training pipeline is itself value-verified."""
+    from pyspark.sql import functions as F
+
+    c = _aug_consts()
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(4)).cast("int"))
+        ).alias("page"),
+    )
+    key = F.concat(
+        F.lit("aug|"), F.col("doc_id").cast("string"), F.lit("|"),
+        F.col("page").cast("string"), F.lit("|0"),
+    )
+
+    def u(stage):
+        m = F.md5(F.concat(key, F.lit("|" + stage)))
+        return F.conv(F.substring(m, 1, 8), 16, 10).cast("long") / F.lit(2.0**32)
+
+    def bp(col):
+        return F.floor(col * 10000).cast("int")
+
+    cols = [F.col("doc_id"), F.col("page")]
+    for name, probe_stage, mag_stage in [
+        ("scale", "scale?", "scale"),
+        ("bitmap", "bitmap?", None),
+        ("shearx", "shear?", "shearx"),
+        ("bright", "jitter?", "bright"),
+        ("blursig", "blur?", "blursig"),
+    ]:
+        lo, span, prob = c[name]
+        cols.append((u(probe_stage) < F.lit(prob)).alias(f"apply_{name}"))
+        if mag_stage is not None:
+            mag = F.lit(lo) + F.lit(span) * u(mag_stage)
+            cols.append(bp(mag).alias(f"{name}_bp"))
+    return d.select(*cols)
+
+
+def _aug_schedule_sql() -> str:
+    c = _aug_consts()
+    fold = (
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', substr(md5({key} || '|' || '{stage}'), "
+        "CAST(i AS INT), 1)) - 1 AS BIGINT))), (a, b) -> a * 16 + b) / 4294967296.0)"
+    )
+    key_sql = "'aug|' || CAST(doc_id AS VARCHAR) || '|' || CAST(page AS VARCHAR) || '|0'"
+
+    def u(stage):
+        return fold.format(key=key_sql, stage=stage)
+
+    sel = ["doc_id", "page"]
+    for name, probe_stage, mag_stage in [
+        ("scale", "scale?", "scale"),
+        ("bitmap", "bitmap?", None),
+        ("shearx", "shear?", "shearx"),
+        ("bright", "jitter?", "bright"),
+        ("blursig", "blur?", "blursig"),
+    ]:
+        lo, span, prob = c[name]
+        sel.append(f"{u(probe_stage)} < {prob!r} AS apply_{name}")
+        if mag_stage is not None:
+            sel.append(
+                f"CAST(floor(({lo!r} + {span!r} * {u(mag_stage)}) * 10000) AS INT)"
+                f" AS {name}_bp"
+            )
+    return (
+        "SELECT " + ",\n       ".join(sel) + "\n"
+        "FROM (SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 4 AS INT))) AS page\n"
+        "      FROM documents)"
+    )
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
+        "media_train": q_media_train,
+        "aug_schedule": q_aug_schedule,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
@@ -881,6 +1002,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def ops_oracle_sql() -> dict[str, str]:
     return {
+        "aug_schedule": _aug_schedule_sql(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_pairs": _minhash_pairs_sql(bands=8, max_bucket_size=64),
         "minhash_verified": _minhash_verified_sql(bands=8, max_bucket_size=64),

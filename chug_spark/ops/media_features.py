@@ -14,8 +14,13 @@ implemented with numpy (no torch/PIL in this sandbox):
 - resize_keep_ratio + center_crop_or_pad, composed by doc_eval_transform —
   the full is_training=False pipeline of build_transforms_doc.py:25-42
 
-Training-time *augmentations* (albumentations randomness) are out of scope —
-SURVEY.md §2.9 D13.
+The training-time *augmentation* path (ref build_transforms_doc.py:70-162,
+``is_training=True``) is implemented too — with DETERMINISTIC hash-keyed
+draws instead of torch RNG state: every random decision (apply-or-not, drawn
+scale/shear/offset...) is a pure function of (doc_id, page, stage, seed) via
+md5, the same schedule-independence discipline as the page-sampling policies.
+That makes the augmentation *schedule* oracle-checkable in SQL (query
+``aug_schedule``) while the pixel kernels stay numpy (rows-only checked).
 
 Real decoders for true image/audio/video bytes are STUBBED behind
 ``decode_real_media`` (no codec libraries in this container); the Spark-side
@@ -145,6 +150,265 @@ def doc_eval_transform(
     return center_crop_or_pad(arr, image_size, fill=fill)
 
 
+# ---------------------------------------------------------------------------
+# train-path augmentations (ref build_transforms_doc.py:70-162, is_training) —
+# deterministic md5-keyed draws replace torch RNG state
+# ---------------------------------------------------------------------------
+
+# defaults lifted verbatim from the reference's doc_better train path
+# (src/chug/image/build_transforms_doc.py:72-95)
+DOC_TRAIN_DEFAULTS = dict(
+    scale_prob=0.05,
+    scale_range=(0.85, 1.04),
+    ratio_prob=0.05,
+    ratio_range=(0.9, 1.11),
+    bitmap_prob=0.55,
+    erosion_dilation_prob=0.02,
+    shear_prob=0.05,
+    shear_range_x=(0.0, 3.0),
+    shear_range_y=(-3.0, 0.0),
+    shift_scale_rotate_prob=0.03,
+    shift_range_x=0.04,
+    shift_range_y=0.03,
+    rotate_range=3,
+    elastic_prob=0.04,
+    elastic_alpha=50.0,
+    elastic_sigma=12.0,
+    brightness_contrast_prob=0.04,
+    brightness_range=0.1,
+    contrast_range=0.1,
+    gaussian_blur_prob=0.03,
+    gaussian_blur_kernel=3,
+)
+
+
+def aug_draw(key: str) -> float:
+    """Uniform [0,1) from the first 8 md5 hex chars of ``key`` — the one
+    randomness primitive of the train path.  Engine-portable: DuckDB
+    reproduces it as conv(substr(md5(key),1,8),16,10)/2^32, so every
+    apply-or-not decision and drawn magnitude is oracle-checkable."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 2**32
+
+
+def aug_uniform(key: str, lo: float, hi: float) -> float:
+    return lo + (hi - lo) * aug_draw(key)
+
+
+def random_crop_or_pad(
+    arr: np.ndarray, target_hw: tuple[int, int], key: str, fill: int = 255
+) -> np.ndarray:
+    """timm RandomCropOrPad semantics: per axis, a uniformly drawn crop
+    offset when larger than target, a uniformly drawn pad offset when
+    smaller (build_transforms_doc.py:160 — the train-time counterpart of
+    CenterCropOrPad)."""
+    th, tw = target_hw
+    h, w = arr.shape[:2]
+    top = int(aug_draw(key + "|croptop") * (h - th + 1)) if h > th else 0
+    left = int(aug_draw(key + "|cropleft") * (w - tw + 1)) if w > tw else 0
+    arr = arr[top : top + th, left : left + tw]
+    h, w = arr.shape[:2]
+    out = np.full((th, tw), fill, dtype=arr.dtype)
+    ot = int(aug_draw(key + "|padtop") * (th - h + 1)) if h < th else 0
+    ol = int(aug_draw(key + "|padleft") * (tw - w + 1)) if w < tw else 0
+    out[ot : ot + h, ol : ol + w] = arr
+    return out
+
+
+def affine_warp(
+    arr: np.ndarray,
+    shear_x_deg: float = 0.0,
+    shear_y_deg: float = 0.0,
+    rotate_deg: float = 0.0,
+    shift_x: float = 0.0,
+    shift_y: float = 0.0,
+    fill: int = 255,
+) -> np.ndarray:
+    """Nearest-neighbor affine about the image center (torchvision
+    RandomAffine semantics: rotate ∘ shear ∘ translate, fill outside) —
+    shared kernel for the shear stage and the shift-scale-rotate stage."""
+    h, w = arr.shape[:2]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    a = np.deg2rad(rotate_deg)
+    sx, sy = np.tan(np.deg2rad(shear_x_deg)), np.tan(np.deg2rad(shear_y_deg))
+    # forward matrix M = R @ Shear; sample with the inverse map
+    m = np.array(
+        [
+            [np.cos(a) - np.sin(a) * sy, np.cos(a) * sx - np.sin(a)],
+            [np.sin(a) + np.cos(a) * sy, np.sin(a) * sx + np.cos(a)],
+        ]
+    )
+    minv = np.linalg.inv(m)
+    ys, xs = np.mgrid[0:h, 0:w]
+    dy, dx = ys - cy - shift_y * h, xs - cx - shift_x * w
+    src_y = minv[0, 0] * dy + minv[0, 1] * dx + cy
+    src_x = minv[1, 0] * dy + minv[1, 1] * dx + cx
+    syi = np.round(src_y).astype(np.int64)
+    sxi = np.round(src_x).astype(np.int64)
+    valid = (syi >= 0) & (syi < h) & (sxi >= 0) & (sxi < w)
+    out = np.full((h, w), fill, dtype=arr.dtype)
+    out[valid] = arr[syi[valid], sxi[valid]]
+    return out
+
+
+def _box_blur_1d(arr: np.ndarray, radius: int, axis: int) -> np.ndarray:
+    """Running-mean box blur along one axis (edge-replicated): windowed sums
+    as a difference of cumulative sums — O(n) regardless of radius."""
+    if radius <= 0:
+        return arr
+    n = arr.shape[axis]
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (radius, radius)
+    c = np.cumsum(np.pad(arr, pad, mode="edge"), axis=axis, dtype=np.float64)
+    width = 2 * radius + 1
+
+    def take(lo, hi):
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(lo, hi)
+        return c[tuple(sl)]
+
+    upper = take(width - 1, width - 1 + n)
+    first = take(width - 1, width)
+    lower = np.concatenate([np.zeros_like(first), take(0, n - 1)], axis=axis)
+    return (upper - lower) / width
+
+
+def gaussian_blur(arr: np.ndarray, sigma: float, passes: int = 3) -> np.ndarray:
+    """Separable Gaussian approximation: ``passes`` box blurs per axis whose
+    composed variance matches sigma² (the standard 3-box approximation —
+    exactness is not required; determinism is)."""
+    if sigma <= 0:
+        return arr.astype(np.float64)
+    radius = max(1, int(round(np.sqrt(sigma * sigma * 3.0 / passes))))
+    out = arr.astype(np.float64)
+    for _ in range(passes):
+        out = _box_blur_1d(out, radius, 0)
+        out = _box_blur_1d(out, radius, 1)
+    return out
+
+
+def elastic_warp(
+    arr: np.ndarray, key: str, alpha: float = 50.0, sigma: float = 12.0,
+    fill: int = 255,
+) -> np.ndarray:
+    """ElasticTransform: displacement field = smoothed uniform noise × alpha
+    (torchvision semantics; smoothing by the deterministic box-Gaussian).
+    Noise is md5-keyed per 8×8 coarse cell, upsampled — pixel-exact
+    reproducible anywhere."""
+    h, w = arr.shape[:2]
+    gh, gw = max(1, h // 8), max(1, w // 8)
+    seed = int.from_bytes(
+        __import__("hashlib").md5(key.encode()).digest()[:8], "big"
+    )
+    rng = np.random.default_rng(seed)  # seeded from md5 → deterministic
+    coarse = rng.uniform(-1.0, 1.0, size=(2, gh, gw))
+    ys, xs = np.mgrid[0:h, 0:w]
+    cy, cx = ys * gh // h, xs * gw // w  # nearest upsample to exactly (h, w)
+    dy = gaussian_blur(coarse[0][cy, cx], sigma / 8) * alpha
+    dx = gaussian_blur(coarse[1][cy, cx], sigma / 8) * alpha
+    syi = np.clip(np.round(ys + dy), 0, h - 1).astype(np.int64)
+    sxi = np.clip(np.round(xs + dx), 0, w - 1).astype(np.int64)
+    out = arr[syi, sxi]
+    return out
+
+
+def color_jitter(arr: np.ndarray, brightness: float, contrast: float) -> np.ndarray:
+    """Brightness/contrast jitter (ColorJitter): multiply by the brightness
+    factor, then blend toward the mean by the contrast factor; clip to u8."""
+    out = arr.astype(np.float64) * brightness
+    mean = out.mean()
+    out = (out - mean) * contrast + mean
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def aug_schedule_for(key: str, params: dict = DOC_TRAIN_DEFAULTS) -> dict:
+    """The full deterministic draw schedule for one (doc, page) train sample:
+    which stages apply and the drawn magnitudes.  Pure md5 math — mirrored
+    1:1 in the ``aug_schedule`` DuckDB oracle."""
+    p = params
+    sched = {
+        "apply_scale": aug_draw(key + "|scale?") < p["scale_prob"],
+        "scale": aug_uniform(key + "|scale", *p["scale_range"]),
+        "apply_ratio": aug_draw(key + "|ratio?") < p["ratio_prob"],
+        "ratio": aug_uniform(key + "|ratio", *p["ratio_range"]),
+        "apply_bitmap": aug_draw(key + "|bitmap?") < p["bitmap_prob"],
+        "apply_erode_dilate": aug_draw(key + "|eros?") < p["erosion_dilation_prob"],
+        "choose_dilation": aug_draw(key + "|erosdil") < 0.5,
+        "apply_shear": aug_draw(key + "|shear?") < p["shear_prob"],
+        "shear_x": aug_uniform(key + "|shearx", *p["shear_range_x"]),
+        "shear_y": aug_uniform(key + "|sheary", *p["shear_range_y"]),
+        "apply_ssr": aug_draw(key + "|ssr?") < p["shift_scale_rotate_prob"],
+        "shift_x": aug_uniform(key + "|shiftx", -p["shift_range_x"], p["shift_range_x"]),
+        "shift_y": aug_uniform(key + "|shifty", -p["shift_range_y"], p["shift_range_y"]),
+        "rotate": aug_uniform(key + "|rot", -p["rotate_range"], p["rotate_range"]),
+        "apply_elastic": aug_draw(key + "|elastic?") < p["elastic_prob"],
+        "apply_jitter": aug_draw(key + "|jitter?") < p["brightness_contrast_prob"],
+        "brightness": aug_uniform(
+            key + "|bright", 1 - p["brightness_range"], 1 + p["brightness_range"]
+        ),
+        "contrast": aug_uniform(
+            key + "|contrast", 1 - p["contrast_range"], 1 + p["contrast_range"]
+        ),
+        "apply_blur": aug_draw(key + "|blur?") < p["gaussian_blur_prob"],
+        "blur_sigma": aug_uniform(key + "|blursig", 0.1, 0.8),
+    }
+    return sched
+
+
+def doc_train_transform(
+    arr: np.ndarray,
+    image_size: tuple[int, int],
+    key: str,
+    do_crop_margin: bool = True,
+    do_align_long_axis: bool = True,
+    fill: int = 255,
+    params: dict = DOC_TRAIN_DEFAULTS,
+) -> np.ndarray:
+    """The is_training=True pipeline of build_transforms_doc_better
+    (ref build_transforms_doc.py:52-162), stage order preserved:
+    CropMargin → AlignLongAxis → ResizeKeepRatio(random scale/aspect) →
+    Bitmap? → Erosion|Dilation? → shear affine? → shift/rotate affine? →
+    elastic? → brightness/contrast? → blur? → RandomCropOrPad → CenterCrop.
+    All randomness via ``aug_schedule_for(key)`` — rerunning any partition
+    on any executor reproduces the same pixels."""
+    s = aug_schedule_for(key, params)
+    if do_crop_margin:
+        top, left, ch, cw = crop_margin(arr)
+        arr = arr[top : top + ch, left : left + cw]
+    if do_align_long_axis:
+        arr = align_long_axis(arr, image_size)
+    longest = max(image_size)
+    if s["apply_scale"]:
+        longest = max(1, int(round(longest * s["scale"])))
+    arr = resize_keep_ratio(arr, longest)
+    if s["apply_ratio"] and arr.shape[0] > 1:
+        # aspect jitter: stretch rows by ratio (nearest), width unchanged
+        nh = max(1, int(round(arr.shape[0] * s["ratio"])))
+        ys = (np.arange(nh) * (arr.shape[0] / nh)).astype(np.int64)
+        arr = arr[ys]
+    if s["apply_bitmap"]:
+        arr = bitmap(arr)
+    if s["apply_erode_dilate"]:
+        arr = dilation(arr, 3) if s["choose_dilation"] else erosion(arr, 3)
+    if s["apply_shear"]:
+        arr = affine_warp(arr, shear_x_deg=s["shear_x"], shear_y_deg=s["shear_y"], fill=fill)
+    if s["apply_ssr"]:
+        arr = affine_warp(
+            arr, rotate_deg=s["rotate"], shift_x=s["shift_x"], shift_y=s["shift_y"],
+            fill=fill,
+        )
+    if s["apply_elastic"]:
+        arr = elastic_warp(arr, key + "|efield", params["elastic_alpha"],
+                           params["elastic_sigma"], fill=fill)
+    if s["apply_jitter"]:
+        arr = color_jitter(arr, s["brightness"], s["contrast"])
+    if s["apply_blur"]:
+        arr = np.clip(np.round(gaussian_blur(arr, s["blur_sigma"])), 0, 255).astype(np.uint8)
+    arr = random_crop_or_pad(arr, image_size, key, fill=fill)
+    return center_crop_or_pad(arr, image_size, fill=fill)
+
+
 def frame_sample_indices(num_frames: int, every: int) -> list[int]:
     """Deterministic frame sampling for video-like multi-page media."""
     return list(range(0, num_frames, max(1, every)))
@@ -239,4 +503,77 @@ def extract_media_features(
         docs_media.select("doc_id", "media_ref")
         .repartition(n_parts, "doc_id")
         .mapInPandas(body, schema=MEDIA_FEATURES_SCHEMA)
+    )
+
+
+TRAIN_TENSOR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("applied_bitmap", T.BooleanType()),
+        T.StructField("applied_shear", T.BooleanType()),
+        T.StructField("applied_jitter", T.BooleanType()),
+        T.StructField("applied_blur", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def extract_train_tensors(
+    docs_media: DataFrame,
+    image_size: tuple[int, int] = (96, 128),
+    render_dpi: int = 96,
+    seed: int = 0,
+) -> DataFrame:
+    """Train-path counterpart of :func:`extract_media_features`: render each
+    page, run :func:`doc_train_transform` (deterministic hash-keyed
+    augmentations), emit the tensor stats + which stochastic stages actually
+    fired.  Every output is a pure function of (doc_id, page, seed) — a
+    retried partition reproduces identical rows, which is what makes an
+    augmenting pipeline safe under Spark task retries."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in TRAIN_TENSOR_SCHEMA.fields}
+
+            def emit(**kw):
+                for k in out:
+                    out[k].append(kw.get(k))
+
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                try:
+                    if not media_mod.is_payload_ref(ref):
+                        emit(doc_id=doc_id, media_ref=ref, error="not_decodable")
+                        continue
+                    _mode, n_pages, pseed = media_mod.parse_payload_ref(ref)
+                    for page in range(n_pages):
+                        key = f"aug|{doc_id}|{page}|{seed}"
+                        arr = media_mod.render_page(pseed, page, "L", render_dpi)
+                        s = aug_schedule_for(key)
+                        t = doc_train_transform(arr, image_size, key)
+                        emit(
+                            doc_id=doc_id, media_ref=ref, page=page,
+                            height=int(t.shape[0]), width=int(t.shape[1]),
+                            mean_px=float(t.mean()),
+                            applied_bitmap=bool(s["apply_bitmap"]),
+                            applied_shear=bool(s["apply_shear"]),
+                            applied_jitter=bool(s["apply_jitter"]),
+                            applied_blur=bool(s["apply_blur"]),
+                        )
+                        del arr, t
+                except Exception as exn:
+                    emit(doc_id=doc_id, media_ref=ref, error=type(exn).__name__)
+            yield pd.DataFrame(out)
+
+    n_parts = int(
+        docs_media.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return (
+        docs_media.select("doc_id", "media_ref")
+        .repartition(n_parts, "doc_id")
+        .mapInPandas(body, schema=TRAIN_TENSOR_SCHEMA)
     )

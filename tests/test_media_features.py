@@ -114,3 +114,113 @@ def test_extract_media_features_pipeline(spark):
     key = lambda r: (r["doc_id"], r["page"] if r["page"] is not None else -1)
     assert sorted(map(tuple, got), key=lambda t: (t[0], t[2] or -1)) == \
            sorted(map(tuple, again), key=lambda t: (t[0], t[2] or -1))
+
+
+# --- train-path augmentations (D13 is_training=True, hash-keyed draws) ------
+
+
+def test_doc_train_transform_deterministic_and_sized():
+    from chug_spark.ops.media_features import doc_train_transform
+
+    arr = media_mod.render_page(7, 0, "L", 24)
+    a = doc_train_transform(arr, (64, 96), "aug|7|0|0")
+    b = doc_train_transform(arr.copy(), (64, 96), "aug|7|0|0")
+    assert a.shape == (64, 96) and a.dtype == np.uint8
+    assert np.array_equal(a, b)  # same key -> identical pixels (retry-safe)
+    # a different key flips at least one stochastic stage over a few tries
+    diffs = [
+        not np.array_equal(a, doc_train_transform(arr, (64, 96), f"aug|7|0|{s}"))
+        for s in range(1, 6)
+    ]
+    assert any(diffs)
+
+
+def test_random_crop_or_pad_bounds():
+    from chug_spark.ops.media_features import random_crop_or_pad
+
+    big = np.arange(30 * 40, dtype=np.uint8).reshape(30, 40) % 200
+    out = random_crop_or_pad(big, (10, 12), "k1")
+    assert out.shape == (10, 12)
+    small = np.zeros((4, 5), dtype=np.uint8)
+    out2 = random_crop_or_pad(small, (10, 12), "k1", fill=255)
+    assert out2.shape == (10, 12)
+    assert (out2 == 0).sum() == 20 and (out2 == 255).sum() == 100
+    assert np.array_equal(out, random_crop_or_pad(big, (10, 12), "k1"))
+
+
+def test_affine_warp_identity_and_fill():
+    from chug_spark.ops.media_features import affine_warp
+
+    arr = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    assert np.array_equal(affine_warp(arr), arr)  # zero params = identity
+    rot = affine_warp(arr, rotate_deg=90.0, fill=7)
+    assert rot.shape == arr.shape and rot.dtype == arr.dtype
+    shifted = affine_warp(arr, shift_x=0.5, fill=7)
+    assert (shifted[:, :4] == 7).all()  # vacated half is fill
+
+
+def test_color_jitter_identity_and_clip():
+    from chug_spark.ops.media_features import color_jitter
+
+    arr = np.array([[0, 128, 255]], dtype=np.uint8)
+    assert np.array_equal(color_jitter(arr, 1.0, 1.0), arr)
+    bright = color_jitter(arr, 2.0, 1.0)
+    assert bright.max() == 255 and bright.dtype == np.uint8
+
+
+def test_gaussian_blur_constant_invariant():
+    from chug_spark.ops.media_features import gaussian_blur
+
+    const = np.full((20, 20), 80.0)
+    out = gaussian_blur(const, 0.5)
+    assert np.allclose(out, 80.0)
+    # blur shrinks the range of a step image
+    step = np.zeros((20, 20)); step[:, 10:] = 255.0
+    blurred = gaussian_blur(step, 0.5)
+    assert 0 < blurred[5, 10] < 255
+
+
+def test_elastic_warp_deterministic():
+    from chug_spark.ops.media_features import elastic_warp
+
+    arr = media_mod.render_page(3, 0, "L", 24)
+    a = elastic_warp(arr, "e1")
+    assert a.shape == arr.shape
+    assert np.array_equal(a, elastic_warp(arr, "e1"))
+    assert not np.array_equal(a, elastic_warp(arr, "e2"))
+
+
+def test_train_tensor_flags_match_sql_schedule(spark):
+    """The flags the pixel UDF reports must equal the Column-expression
+    schedule that the aug_schedule oracle query verifies — i.e. the UDF
+    really consumes the SQL-checkable draws."""
+    from pyspark.sql import functions as F
+
+    from chug_spark.ops.entry import q_aug_schedule
+    from chug_spark.ops.media_features import extract_train_tensors
+
+    import os
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata missing")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    fixture = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit(media_mod.SYNTH_PREFIX), F.lit("L/"),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("string"),
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+    )
+    udf_flags = {
+        (r["doc_id"], r["page"]): r["applied_bitmap"]
+        for r in extract_train_tensors(fixture, (32, 48), render_dpi=12).collect()
+        if r["error"] is None
+    }
+    sched = {
+        (str(r["doc_id"]), r["page"]): r["apply_bitmap"]
+        for r in q_aug_schedule(spark, sf_dir).collect()
+    }
+    assert udf_flags and all(
+        sched[k] == v for k, v in udf_flags.items()
+    )
