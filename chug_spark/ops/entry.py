@@ -365,6 +365,114 @@ QUALIFY rank <= 5
 """
 
 
+# hyperplane-bucket CTE shared by the semantic-dedup oracles (same md5
+# formula as _SQL_ANN_TOPK / similarity.hyperplane_bit, 4 planes)
+_BUCKETS_CTE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+bk AS (
+  SELECT vec_id, emb,
+         array_to_string(list_transform(generate_series(0, 3), pl ->
+           CASE WHEN list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(emb)),
+                    d -> emb[d] * CAST(((strpos('0123456789abcdef',
+                           substr(md5(CAST(pl AS VARCHAR) || '|' || CAST(d - 1 AS VARCHAR)), 1, 1)) - 1)
+                           % 2) * 2 - 1 AS DOUBLE))),
+                  (a, b) -> a + b) >= 0
+           THEN '1' ELSE '0' END), '') AS bucket
+  FROM base
+),
+capped AS (
+  SELECT * FROM bk QUALIFY count(*) OVER (PARTITION BY bucket) <= 64
+)
+"""
+
+
+def q_semantic_pairs(spark, sf_dir):
+    """Embedding near-dup pairs (SemDeDup-style): same-LSH-bucket vectors
+    with exact cosine >= 0.3 — the embedding-space sibling of the
+    MinHash/SimHash candidate generators."""
+    from .similarity import semantic_pairs
+
+    return semantic_pairs(_emb(spark, sf_dir), threshold=0.3, n_planes=4)
+
+
+_SQL_SEMANTIC_PAIRS = _BUCKETS_CTE + f""",
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round({_cos_sql('a.emb', 'b.emb')}, 4) AS cosine
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT doc_a, doc_b, cosine FROM pairs WHERE cosine >= 0.3
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """vec_ids surviving embedding near-dup removal: connected components
+    over the semantic pairs, keep min vec_id per component."""
+    from .similarity import semantic_dedup_keep
+
+    return semantic_dedup_keep(_emb(spark, sf_dir), threshold=0.3, n_planes=4)
+
+
+_SQL_SEMANTIC_DEDUP = _BUCKETS_CTE + f""",
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a.emb', 'b.emb')}, 4) >= 0.3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+  )
+  SELECT * FROM r
+),
+cc AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster)
+"""
+
+
+def q_events_window(spark, sf_dir):
+    """Tumbling event-time windows over the events table — the batch form of
+    the streaming watermark+window aggregation (streaming twin tested in
+    tests/test_streaming.py).  Window start rendered as a local wall-clock
+    string and the value sum in integer cents, so the result is identical
+    across engines, time zones, and parallelism."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import tumbling_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tumbling_counts(events, minutes=5).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+_SQL_EVENTS_WINDOW = """
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(count(*) AS INT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_knn_exact(spark, sf_dir):
     from .similarity import knn_topk_exact
 
@@ -986,6 +1094,9 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "knn_exact": q_knn_exact,
         "ann_recall": q_ann_recall,
+        "semantic_pairs": q_semantic_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        "events_window": q_events_window,
         "dedup_clusters": q_dedup_clusters,
         "cluster_histogram": q_cluster_histogram,
         "curation_keep": q_curation_keep,
@@ -1014,6 +1125,9 @@ def ops_oracle_sql() -> dict[str, str]:
         "ivf_topk": _SQL_IVF_TOPK,
         "knn_exact": _SQL_KNN_EXACT,
         "ann_recall": _SQL_ANN_RECALL,
+        "semantic_pairs": _SQL_SEMANTIC_PAIRS,
+        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+        "events_window": _SQL_EVENTS_WINDOW,
         "dedup_clusters": _dedup_clusters_sql(),
         "cluster_histogram": _cluster_histogram_sql(),
         "curation_keep": _curation_sql(),

@@ -216,6 +216,57 @@ def ivf_topk(
     )
 
 
+def semantic_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Embedding near-dup candidate pairs (SemDeDup-style): vectors sharing
+    an LSH sign bucket whose exact cosine ≥ threshold.  Pair generation via
+    :func:`chug_spark.ops.dedup.bucket_pairs` (cap → in-bucket array
+    expansion — no self-join, memory bounded by the cap), so the op is the
+    embedding-space sibling of the MinHash/SimHash text dedups and scales
+    the same way: cost is buckets × cap², never corpus²."""
+    from .dedup import bucket_pairs
+
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    with_b = base.join(lsh_buckets(base, n_planes), "vec_id").select(
+        F.col("vec_id").alias("doc_id"), "bucket", "embedding"
+    )
+    pairs = bucket_pairs(
+        with_b, ["bucket"], max_bucket_size, payload=["embedding"]
+    )
+    cos = F.round(cosine(F.col("embedding_a"), F.col("embedding_b")), 4)
+    return (
+        pairs.select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def semantic_dedup_keep(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """vec_ids surviving embedding-space near-dup removal: connected
+    components over :func:`semantic_pairs`, keep the min vec_id per
+    component.  Plain left_anti against the (unbounded) drop set — AQE
+    broadcasts it when small."""
+    from .dedup import connected_components
+
+    pairs = semantic_pairs(emb, threshold, n_planes, max_bucket_size)
+    cc = connected_components(pairs)
+    drop = cc.filter(F.col("doc_id") != F.col("cluster")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.select(F.col("vec_id").cast("long").alias("vec_id")).join(
+        drop, "vec_id", "left_anti"
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame, n_queries: int = 5, k: int = 5, n_planes: int = 4
 ) -> DataFrame:

@@ -1,0 +1,84 @@
+"""Event-time windowed aggregation — the watermark + tumbling-window op of
+Structured Streaming (§2.11), expressed once and run both ways:
+
+- :func:`tumbling_counts` — the batch form over any (ts, event_type, value)
+  DataFrame: ``F.window`` tumbling buckets, count + exact value sum.  Used
+  by the driver query ``events_window`` and oracle-checked against DuckDB
+  ``time_bucket``.
+- :func:`run_stream_window_counts` — the SAME aggregation as a streaming
+  query: file stream → ``withWatermark`` → window groupBy → append sink with
+  ``Trigger.AvailableNow``.  Late rows beyond the watermark are dropped by
+  the state store; at-least-once replays of a finalized window are
+  idempotent because append mode only emits a window once its watermark
+  passes.
+
+Value sums use integer cents (``round(value*100) :: long``) so the
+aggregation is order-independent and bit-identical across engines and
+parallelism levels — double sums are neither.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDOW_MINUTES = 5
+
+
+def tumbling_counts(events: DataFrame, minutes: int = WINDOW_MINUTES) -> DataFrame:
+    """Per (tumbling window, event_type): row count and exact value sum in
+    cents.  One hash aggregation; partial aggregation makes the shuffle
+    carry one row per (window, type) per task at any scale."""
+    win = F.window(F.col("ts"), f"{minutes} minutes")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select(win.alias("w"), F.col("event_type"), cents.alias("cents"))
+        .groupBy("w", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            F.col("n_events").cast("int").alias("n_events"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+def run_stream_window_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    minutes: int = WINDOW_MINUTES,
+    watermark: str = "10 minutes",
+) -> None:
+    """Streaming twin of :func:`tumbling_counts` over a parquet file stream
+    with schema (event_id long, ts timestamp, event_type string,
+    value double)."""
+    out_path = os.path.join(output_dir, "windows")
+    ckpt = os.path.join(output_dir, "_checkpoint")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = tumbling_counts(stream, minutes)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_window_output(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, "windows"))

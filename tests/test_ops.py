@@ -319,3 +319,27 @@ def test_ivf_centroid_count_bounded(spark):
     a = sorted(r["centroid_id"] for r in ivf_centroids(emb, 16).collect())
     b = sorted(r["centroid_id"] for r in ivf_centroids(emb, 16).collect())
     assert a == b
+
+
+def test_semantic_dedup_drops_near_duplicate_embeddings(spark):
+    from chug_spark.ops.similarity import semantic_dedup_keep, semantic_pairs
+
+    import random
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [x + 0.001 for x in base]           # cosine ~1 with base
+    ortho = [0.0] * 16
+    ortho[0] = 1.0
+    vecs = [(0, base), (1, near), (2, ortho)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(3, 40)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             semantic_pairs(emb, threshold=0.95, n_planes=2).collect()}
+    assert (0, 1) in pairs
+    kept = {r["vec_id"] for r in
+            semantic_dedup_keep(emb, threshold=0.95, n_planes=2).collect()}
+    assert 0 in kept and 1 not in kept and 2 in kept
+    # no all-pairs plan
+    plan = semantic_pairs(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

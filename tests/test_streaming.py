@@ -77,3 +77,52 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     run_stream_dedup(spark, in_dir, out_dir)
     got2 = {r["doc_id"] for r in read_dedup_output(spark, out_dir).collect()}
     assert got2 == {"d1", "d2", "d7"}  # d9/d8 suppressed by state
+
+
+def test_stream_window_counts_match_batch(spark, tmp_path):
+    """The streaming watermark+window aggregation emits exactly the batch
+    tumbling windows, except trailing windows still inside the watermark
+    (append mode finalizes a window only once the watermark passes it)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from chug_spark.streaming.windows import (
+        read_window_output,
+        run_stream_window_counts,
+        tumbling_counts,
+    )
+
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=37 * i), i % 5,
+         ["view", "click"][i % 2], float(i % 7) + 0.25)
+        for i in range(400)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    df = spark.createDataFrame(rows[:250], schema)
+    df.write.mode("append").parquet(in_dir)
+    run_stream_window_counts(spark, in_dir, out_dir)
+
+    # late-arriving second file -> second drain continues from checkpoint
+    spark.createDataFrame(rows[250:], schema).write.mode("append").parquet(in_dir)
+    run_stream_window_counts(spark, in_dir, out_dir)
+
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in read_window_output(spark, out_dir).collect()
+    }
+    batch = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in tumbling_counts(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert got, "no windows emitted"
+    # every emitted window matches the batch result exactly
+    assert all(batch[k] == v for k, v in got.items())
+    # everything missing is within the watermark horizon of the final batch
+    max_ts = max(r[1] for r in rows)
+    horizon = max_ts - dt.timedelta(minutes=10 + 5)
+    missing = set(batch) - set(got)
+    assert all(k[0] >= horizon for k in missing)
