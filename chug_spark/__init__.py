@@ -21,6 +21,7 @@ from .schema import DOCUMENTS_SCHEMA, FLAT_SPANS_SCHEMA, SPAN_STRUCT
 from .sources.documents import read_documents, write_spans
 from .sources.mixing import cap_num_samples, split_source_specs, weighted_union
 from .sources.registry import read_source, register_mem_dataset, register_source
+from .sources import hf as _hf_source  # noqa: F401  (registers the hf:// scheme)
 
 __version__ = "0.2.0"
 

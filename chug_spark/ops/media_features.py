@@ -30,6 +30,8 @@ tested via the synthetic media format.
 
 from __future__ import annotations
 
+import importlib.util
+import io
 from typing import Iterator
 
 import numpy as np
@@ -414,13 +416,76 @@ def frame_sample_indices(num_frames: int, every: int) -> list[int]:
     return list(range(0, num_frames, max(1, every)))
 
 
-def decode_real_media(payload: bytes, media_type: str):  # pragma: no cover
-    """Decoder slot for real image/audio/video bytes.  The codec libraries
-    (PIL/pypdfium2/av) are not in this container — plug them in here; the
-    surrounding Spark plumbing is format-agnostic."""
+def decode_real_media(
+    payload: bytes,
+    media_type: str,
+    image_mode: str = "L",
+    render_dpi: int = 96,
+    page_indices: list[int] | None = None,
+    _pdf_mod=None,
+    _pil_mod=None,
+):
+    """Decoder slot for real image/PDF bytes → list of uint8 numpy arrays.
+
+    Optional-import shim: dispatches to pypdfium2 for PDFs (reference render
+    call shape — ``page.render(scale=dpi/72, grayscale=..., rev_byteorder=...)``,
+    src/chug/wds/decode.py:99-117) and PIL for (multi-frame) images
+    (decode.py:125-164: ``n_frames`` probe, ``seek`` per frame,
+    ``convert(image_mode)``).  Neither library ships in this container, so
+    the import is lazy and the error message says what to install; tests
+    inject fakes via ``_pdf_mod`` / ``_pil_mod`` to lock the dispatch logic
+    and call shape.  Returns ``(pages, num_doc_pages)`` like the reference.
+    """
+    if media_type == "pdf":
+        pdf = _pdf_mod
+        if pdf is None:
+            if importlib.util.find_spec("pypdfium2") is None:
+                raise NotImplementedError(
+                    "pdf decode needs pypdfium2 (pip install pypdfium2); "
+                    "in this sandbox use the synthetic synth:// payload "
+                    "format (chug_spark.media)"
+                )
+            import pypdfium2 as pdf  # type: ignore[no-redef]
+        doc = pdf.PdfDocument(payload)
+        num_doc_pages = len(doc)
+        indices = page_indices if page_indices is not None else range(num_doc_pages)
+        pages = []
+        for i in indices:
+            bitmap = doc[i].render(
+                scale=render_dpi / 72,
+                grayscale=(image_mode == "L"),
+                rev_byteorder=("RGB" in image_mode),
+            )
+            pil_img = bitmap.to_pil()
+            if pil_img.mode != image_mode:
+                pil_img = pil_img.convert(image_mode)
+            pages.append(np.asarray(pil_img, dtype=np.uint8))
+        return pages, num_doc_pages
+    if media_type == "image":
+        pil = _pil_mod
+        if pil is None:
+            if importlib.util.find_spec("PIL") is None:
+                raise NotImplementedError(
+                    "image decode needs Pillow (pip install Pillow); "
+                    "in this sandbox use the synthetic synth:// payload "
+                    "format (chug_spark.media)"
+                )
+            from PIL import Image as pil  # type: ignore[no-redef]
+        img = pil.open(io.BytesIO(payload))
+        num_image_pages = getattr(img, "n_frames", 1)
+        indices = (
+            [p % num_image_pages for p in page_indices]
+            if page_indices is not None
+            else range(num_image_pages)
+        )
+        pages = []
+        for i in indices:
+            if num_image_pages > 1:
+                img.seek(i)
+            pages.append(np.asarray(img.convert(image_mode), dtype=np.uint8))
+        return pages, num_image_pages
     raise NotImplementedError(
-        f"no codec for media_type={media_type!r} in this environment; "
-        "use the synthetic synth:// payload format (chug_spark.media)"
+        f"no codec for media_type={media_type!r}; supported: pdf, image"
     )
 
 

@@ -116,3 +116,39 @@ def make_tokenize_udf(
         return pd.Series([list(map(int, ids)) for ids in ids_rows])
 
     return tok
+
+
+def hf_tokenizer_factory(name_or_path: str, _transformers_mod=None, **kwargs):
+    """Factory for :func:`make_tokenize_udf` backed by a HF tokenizer —
+    the production configuration from the reference
+    (src/chug/text/tokenization.py:42-58 uses a ``transformers`` tokenizer
+    with add_special_tokens=False / padding='max_length' / truncation=True,
+    which :func:`make_tokenize_udf` already applies).
+
+    Optional-import shim: ``transformers`` is not in this sandbox, so the
+    availability check happens eagerly on the driver (fail fast, not at
+    executor task time), while the actual ``AutoTokenizer.from_pretrained``
+    runs lazily once per executor inside the returned factory.  Tests inject
+    a fake module via ``_transformers_mod`` to lock the dispatch.
+
+    Usage::
+
+        tok_udf = make_tokenize_udf(hf_tokenizer_factory("gpt2"), max_length=512)
+    """
+    if _transformers_mod is None:
+        import importlib.util
+
+        if importlib.util.find_spec("transformers") is None:
+            raise ImportError(
+                "hf_tokenizer_factory needs the 'transformers' library "
+                "(pip install transformers); in this sandbox use the toy "
+                "Column-expression tokenizer (tokenize_col) instead"
+            )
+
+    def factory():
+        mod = _transformers_mod
+        if mod is None:
+            import transformers as mod  # type: ignore[no-redef]
+        return mod.AutoTokenizer.from_pretrained(name_or_path, **kwargs)
+
+    return factory
