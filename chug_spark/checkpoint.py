@@ -100,6 +100,7 @@ def write_with_checkpoint(
     n_buckets: int = 8,
     fail_after: int | None = None,
     stage_input: bool = True,
+    single_pass: bool = False,
 ) -> None:
     """Run doc-read extraction bucket-by-bucket with checkpointed lineage.
 
@@ -107,6 +108,17 @@ def write_with_checkpoint(
     simulate a mid-job crash; a subsequent call resumes the remaining buckets.
     Output parquet is partitioned by bucket so each bucket's write is
     idempotent (overwrite-by-partition).
+
+    ``single_pass=True`` removes the serial barrier chain: ALL unfinished
+    buckets run as ONE extraction over ``bucket IN (unfinished)`` with
+    dynamic-partition writes, then every checkpoint row lands in one append.
+    Per-bucket idempotency is preserved — a crash before the checkpoint
+    append leaves zero ``done`` rows for this pass and the resume dynamically
+    overwrites exactly the same partitions.  Resume granularity is coarser
+    (the whole pass repeats, not per bucket), which is the right trade when
+    few buckets remain or the cluster is reliable; the serial mode remains
+    the fine-grained default.  ``fail_after`` is a serial-mode concept and
+    rejected here.
 
     Read-amplification contract (scale design):
 
@@ -150,6 +162,68 @@ def write_with_checkpoint(
         docs_b = spark.read.parquet(staged_path)
     else:
         docs_b = docs.withColumn("bucket", bucket_col(cfg.seed, n_buckets))
+
+    if single_pass:
+        if fail_after is not None:
+            raise ValueError("fail_after is serial-mode only (one job here)")
+        unfinished = sorted(set(range(n_buckets)) - done)
+        if unfinished:
+            t0 = time.monotonic()
+            sub = docs_b.filter(F.col("bucket").isin(unfinished)).drop("bucket")
+            spans_out, errors = extract_docread(spark, sub, cfg)
+            # bucket is a pure function of doc_id — recompute on the outputs
+            # instead of threading it through the extraction plan
+            flat = flatten_spans(spans_out).withColumn(
+                "bucket", bucket_col(cfg.seed, n_buckets)
+            )
+            flat.write.mode("overwrite").partitionBy("bucket").parquet(data_path)
+            err_rows = errors.withColumn("bucket", bucket_col(cfg.seed, n_buckets))
+            err_rows.write.mode("overwrite").partitionBy("bucket").parquet(err_path)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+
+            # per-bucket lineage from the WRITTEN parquet (plan never re-runs);
+            # zero-row buckets write no partition dir → fill with zeros
+            stats = {
+                r["bucket"]: r
+                for r in spark.read.parquet(data_path)
+                .filter(F.col("bucket").isin(unfinished))
+                .groupBy("bucket")
+                .agg(
+                    F.countDistinct("doc_id").alias("doc_count"),
+                    F.count(F.lit(1)).alias("span_count"),
+                )
+                .collect()
+            }
+            err_stats = {}
+            werr = _partition_count(spark, err_path)
+            if werr is not None:
+                err_stats = {
+                    r["bucket"]: r["error_count"]
+                    for r in werr.filter(F.col("bucket").isin(unfinished))
+                    .groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("error_count"))
+                    .collect()
+                }
+            rows = [
+                (
+                    cfg.run_id,
+                    b,
+                    stats[b]["doc_count"] if b in stats else 0,
+                    stats[b]["span_count"] if b in stats else 0,
+                    err_stats.get(b, 0),
+                    "done",
+                    attempt,
+                    wall_ms,
+                )
+                for b in unfinished
+            ]
+            spark.createDataFrame(rows, CHECKPOINT_TABLE_SCHEMA).write.mode(
+                "append"
+            ).parquet(cp_path)
+            spark.catalog.clearCache()
+        if stage_input and _fs_exists(spark, staged_path):
+            _fs_delete(spark, staged_path)
+        return
 
     completed = 0
     for b in range(n_buckets):

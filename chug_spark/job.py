@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     p.add_argument("--run-id", default="run0")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="single-pass run without the bucketed checkpoint loop")
+    p.add_argument("--checkpoint-single-pass", action="store_true",
+                   help="checkpointed run, but all unfinished buckets in ONE "
+                        "extraction (dynamic-partition writes) instead of the "
+                        "serial per-bucket barrier chain")
     p.add_argument("--stream", action="store_true",
                    help="incremental mode: drain --input (a parquet dir of "
                         "document files) via Structured Streaming "
@@ -96,7 +100,8 @@ def main(argv=None) -> int:
         flat.write.mode("overwrite").parquet(args.output + "/spans")
         errors.write.mode("overwrite").parquet(args.output + "/errors")
     else:
-        write_with_checkpoint(spark, docs, cfg, args.output, n_buckets=args.buckets)
+        write_with_checkpoint(spark, docs, cfg, args.output, n_buckets=args.buckets,
+                              single_pass=args.checkpoint_single_pass)
     wall = time.monotonic() - t0
 
     n_docs = spark.read.parquet(args.output + "/spans").select("doc_id").distinct().count()

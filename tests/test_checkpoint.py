@@ -97,3 +97,63 @@ def test_checkpoint_lineage_metrics(spark, tmp_path):
     total_spans = sum(r["span_count"] for r in rows)
     assert total_spans == read_output(spark, out_dir).count()
     assert all(r["wall_ms"] >= 0 and r["status"] == "done" for r in rows)
+
+def test_single_pass_mode_equals_serial(spark, tmp_path):
+    """Single-pass mode: all unfinished buckets in ONE extraction with
+    dynamic-partition writes; output and lineage metrics equal the serial
+    mode's; resume after a serial-mode crash works in single-pass."""
+    docs = _corpus(spark, n=60)
+    out_serial = str(tmp_path / "serial")
+    out_single = str(tmp_path / "single")
+
+    cfg_s = ExtractJobCfg(render_dpi=12, run_id="runS")
+    write_with_checkpoint(spark, docs, cfg_s, out_serial, n_buckets=5)
+
+    cfg_1 = ExtractJobCfg(render_dpi=12, run_id="runP")
+    write_with_checkpoint(spark, docs, cfg_1, out_single, n_buckets=5, single_pass=True)
+
+    assert _flat_set(read_output(spark, out_single)) == _flat_set(
+        read_output(spark, out_serial)
+    )
+
+    # per-bucket lineage identical (wall_ms/attempt aside)
+    key = lambda cp: {
+        r["bucket"]: (r["doc_count"], r["span_count"], r["error_count"], r["status"])
+        for r in cp.collect()
+    }
+    cp_s = key(read_checkpoint(spark, out_serial, "runS"))
+    cp_1 = key(read_checkpoint(spark, out_single, "runP"))
+    assert cp_s == cp_1 and len(cp_1) == 5
+
+    # idempotent no-op second invocation
+    write_with_checkpoint(spark, docs, cfg_1, out_single, n_buckets=5, single_pass=True)
+    assert _flat_set(read_output(spark, out_single)) == _flat_set(
+        read_output(spark, out_serial)
+    )
+
+    # staged copy cleaned up after the clean single-pass run
+    import os
+
+    assert not os.path.exists(f"{out_single}/staged_runP")
+
+
+def test_single_pass_resumes_serial_crash(spark, tmp_path):
+    docs = _corpus(spark, n=60)
+    cfg = ExtractJobCfg(render_dpi=12, run_id="runQ")
+    out_dir = str(tmp_path / "outQ")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=5, fail_after=2)
+
+    # finish the remaining 3 buckets in one pass
+    write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=5, single_pass=True)
+    cp = read_checkpoint(spark, out_dir, "runQ")
+    assert cp.filter(F.col("status") == "done").count() == 5
+
+    spans_out, _ = extract_docread(spark, docs, cfg)
+    assert _flat_set(read_output(spark, out_dir)) == _flat_set(flatten_spans(spans_out))
+
+    # fail_after is a serial-mode concept
+    with pytest.raises(ValueError, match="serial-mode"):
+        write_with_checkpoint(
+            spark, docs, cfg, out_dir, n_buckets=5, single_pass=True, fail_after=1
+        )
