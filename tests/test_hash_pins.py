@@ -1,0 +1,47 @@
+"""Value-regression pins for the rows-only driver queries.
+
+``extract_synth``, ``media_features`` and ``media_train`` exercise the numpy
+render/augment UDFs, which have no SQL expression — the external driver can
+only count their rows.  Their outputs ARE deterministic (hash-keyed draws,
+synthetic payloads), so this suite pins the order-insensitive md5 of the
+full result at sf0.001: the value check the driver can't provide.  Pinned
+values are recorded in TESTDATA.md; regenerate with the canonical form
+below if the query semantics intentionally change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PINS = {
+    "extract_synth": (2143, "b7ec0043eba4e6539cb79cd05254f996"),
+    "media_features": (500, "d9a26478dc4d4c159ac13dc0225008bb"),
+    "media_train": (250, "ebddc395659715b0a942c57d29b5ddb3"),
+}
+
+
+def result_hash(df) -> tuple[int, str]:
+    """Order-insensitive canonical md5: columns sorted by name, floats at 6
+    decimals, rows sorted as rendered lines."""
+    cols = sorted(df.columns)
+    rows = df.select(*cols).collect()
+
+    def canon(v):
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        return repr(v)
+
+    lines = sorted("|".join(canon(r[c]) for c in cols) for r in rows)
+    return len(rows), hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(PINS))
+def test_rows_only_query_hash_pin(spark, name):
+    n_rows, digest = result_hash(entry.queries()[name](spark, SF_DIR))
+    assert (n_rows, digest) == PINS[name]
