@@ -400,6 +400,83 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
+def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds regardless of component DIAMETER, vs the
+    O(diameter) of :func:`connected_components`'s label propagation.  Same
+    output contract: (doc_id, cluster=min doc_id in component).
+
+    Use this when the pair graph may contain deep chains (transitive
+    near-dup paths); for shallow LSH graphs plain propagation wins on
+    constant factors (2 window shuffles per round here vs 1 join round
+    there, but far fewer rounds on deep graphs).
+
+    - large-star: every node u links each LARGER neighbor to
+      m = min(Γ(u) ∪ {u});
+    - small-star: with edges directed larger→smaller, every node u links its
+      smaller neighbors and itself to the minimum;
+    - converged when the small-star edge set is stable (count + order-
+      insensitive hash fingerprint — one cheap agg per round);
+    - same loud non-convergence raise as the propagation variant.
+    """
+    w = Window.partitionBy("u")
+
+    def large_star(e: DataFrame) -> DataFrame:
+        both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = F.least(F.col("u"), F.min("v").over(w))
+        return (
+            both.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e directed u > v; m = min over small neighbors (always < u)
+        with_m = e.withColumn("m", F.min("v").over(w))
+        neigh = with_m.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_e = with_m.select("u", F.col("m").alias("v"))
+        return neigh.unionByName(self_e).distinct()
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: long would ANSI-overflow on big edge sets
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} iterations"
+        )
+    # stars: every non-root points at its component min; roots label themselves
+    roots = edges.select(F.col("v").alias("doc_id")).subtract(
+        edges.select(F.col("u").alias("doc_id"))
+    )
+    return edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster")).unionByName(
+        roots.select("doc_id", F.col("doc_id").alias("cluster"))
+    )
+
+
 def dedup_keep_representative(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Doc ids surviving near-dup dedup: every doc except non-representative
     members of a cluster (representative = min doc_id).  Plain left_anti join

@@ -343,3 +343,32 @@ def test_semantic_dedup_drops_near_duplicate_embeddings(spark):
     # no all-pairs plan
     plan = semantic_pairs(emb)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Star variant returns identical (doc_id, cluster) labels on a random
+    graph, and converges in O(log n) rounds where propagation needs
+    O(diameter): a 40-node path exhausts propagation's budget at max_iter=10
+    but the star variant finishes well within it."""
+    import random
+
+    from chug_spark.ops.dedup import connected_components, connected_components_star
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    lab = {r["doc_id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    star = {r["doc_id"]: r["cluster"] for r in connected_components_star(pairs).collect()}
+    assert lab == star
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(39)], ["doc_a", "doc_b"])
+    star_labels = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components_star(path, max_iter=10).collect()
+    }
+    assert star_labels == {i: 0 for i in range(40)}
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=10)
