@@ -33,3 +33,24 @@ def split_by_worker(df: DataFrame, num_partitions: int) -> DataFrame:
     split_by_node/split_by_worker, wds/pipeline.py:78-82 — Spark's scheduler
     does this natively; exposed for tests/bench symmetry)."""
     return df.repartition(num_partitions)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key: str = "lang",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep each row iff its md5-derived
+    uniform draw u(doc_id) falls under its stratum's fraction.  The workhorse
+    of corpus re-balancing (cap dominant languages/sources, oversample rare
+    ones up to 1.0) — a pure scan-side filter: no shuffle, no state, no RNG,
+    identical sample at any parallelism and in any engine (the draw is
+    md5-reproducible SQL on both sides).  Strata absent from ``fractions``
+    are dropped (fraction 0.0)."""
+    m = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
+    u = F.conv(F.substring(m, 1, 8), 16, 10).cast("long") / F.lit(2.0**32)
+    frac = F.lit(0.0)
+    for stratum, f in sorted(fractions.items()):
+        frac = F.when(F.col(key) == stratum, F.lit(f)).otherwise(frac)
+    return docs.filter(u < frac)

@@ -1078,6 +1078,96 @@ def _aug_schedule_sql() -> str:
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessions over the events table (30-min gap): window lag →
+    boundary flag → running sum, one shuffle on user_id.  All time math in
+    integer microseconds (engine-portable)."""
+    from .events import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events, gap_minutes=30)
+
+
+_SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, min(tus) AS start_us, max(tus) AS end_us,
+       CAST(count(*) AS INT) AS n_events, sum(cents) AS value_cents
+FROM sess
+GROUP BY user_id, session_no
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: every event annotated with the user's most recent 'error'
+    event at-or-before it.  Spark lacks ASOF JOIN — this is the union+window
+    formulation (one shuffle, no range-join explosion); the oracle is
+    DuckDB's native ASOF LEFT JOIN, so two entirely different physical
+    strategies must produce identical rows."""
+    from .events import asof_attach_last_mark
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof_attach_last_mark(events, mark_type="error")
+
+
+_SQL_ASOF_JOIN = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
+), marks AS (
+  SELECT user_id, tus, max(event_id) AS mark_id
+  FROM e WHERE event_type = 'error' GROUP BY user_id, tus
+)
+SELECT e.event_id, e.user_id, m.mark_id AS last_mark_id,
+       e.tus - m.tus AS us_since_mark
+FROM e ASOF LEFT JOIN marks m
+  ON e.user_id = m.user_id AND e.tus >= m.tus
+"""
+
+
+_STRAT_FRACTIONS = {"en": 0.25, "de": 0.75, "fr": 1.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum (language) sampling: md5-draw < per-lang
+    fraction — a pure scan-side filter, zero shuffle, same sample at any
+    parallelism."""
+    from .dataflow import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), _STRAT_FRACTIONS, key="lang"
+    ).select("doc_id", "lang", "source")
+
+
+def _stratified_sample_sql() -> str:
+    u = (
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', "
+        "substr(md5('strat|' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) "
+        "- 1 AS BIGINT))), (a, b) -> a * 16 + b) / 4294967296.0)"
+    )
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_STRAT_FRACTIONS.items())
+    )
+    return (
+        f"SELECT doc_id, lang, source FROM documents "
+        f"WHERE {u} < (CASE lang {cases} ELSE 0.0 END)"
+    )
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -1097,6 +1187,9 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_pairs": q_semantic_pairs,
         "semantic_dedup": q_semantic_dedup,
         "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
         "cluster_histogram": q_cluster_histogram,
         "curation_keep": q_curation_keep,
@@ -1128,6 +1221,9 @@ def ops_oracle_sql() -> dict[str, str]:
         "semantic_pairs": _SQL_SEMANTIC_PAIRS,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "events_window": _SQL_EVENTS_WINDOW,
+        "sessionize": _SQL_SESSIONIZE,
+        "asof_join": _SQL_ASOF_JOIN,
+        "stratified_sample": _stratified_sample_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "cluster_histogram": _cluster_histogram_sql(),
         "curation_keep": _curation_sql(),
