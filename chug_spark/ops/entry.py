@@ -1095,7 +1095,7 @@ WITH e AS (
   FROM events
 ), flagged AS (
   SELECT *, CASE WHEN lag(tus) OVER w IS NULL
-                   OR tus - lag(tus) OVER w > 30 * 60 * 1000000
+                   OR tus - lag(tus) OVER w >= 30 * 60 * 1000000
                  THEN 1 ELSE 0 END AS new_s
   FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)

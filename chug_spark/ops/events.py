@@ -39,8 +39,10 @@ def epoch_us(col: str = "ts") -> Column:
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """(user_id, session_no, start_us, end_us, n_events, value_cents):
-    sessions split where the gap to the user's previous event exceeds
-    ``gap_minutes``.  session_no is 1-based per user in time order —
+    sessions split where the gap to the user's previous event reaches
+    ``gap_minutes`` (>= gap starts a new session — the same half-open
+    interval semantics as Spark's built-in ``session_window``, locked by a
+    cross-check test).  session_no is 1-based per user in time order —
     deterministic across engines (ties broken by event_id)."""
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("tus", "event_id")
@@ -51,7 +53,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     prev = F.lag("tus").over(w)
-    new_s = F.when(prev.isNull() | ((F.col("tus") - prev) > gap_us), 1).otherwise(0)
+    new_s = F.when(prev.isNull() | ((F.col("tus") - prev) >= gap_us), 1).otherwise(0)
     sess = e.withColumn(
         "session_no",
         F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),

@@ -82,3 +82,62 @@ def run_stream_window_counts(
 
 def read_window_output(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_dir, "windows"))
+
+
+def session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per (user, session) aggregate via Spark's built-in
+    ``F.session_window`` (merging-interval state) — the same sessions as the
+    batch lag-cumsum formulation in :func:`chug_spark.ops.events.sessionize`
+    minus the session numbering (session identity here is its start time).
+    Works over a batch DataFrame or a watermarked stream unchanged.
+
+    One caveat locked by tests: ``session_window``'s window END extends gap
+    past the last event (close time), while ``sessionize`` reports the last
+    EVENT time — compare on start + n_events + cents."""
+    win = F.session_window(F.col("ts"), f"{gap_minutes} minutes")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select("user_id", win.alias("w"), F.col("ts"), cents.alias("cents"))
+        .groupBy("user_id", "w")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def run_stream_session_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "60 minutes",
+) -> None:
+    """Streaming sessionization: file stream → watermark → session_window
+    groupBy → append sink (a session is emitted once the watermark passes its
+    close time, so replays are idempotent)."""
+    out_path = os.path.join(output_dir, "sessions")
+    ckpt = os.path.join(output_dir, "_session_checkpoint")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    q = (
+        session_counts(stream, gap_minutes)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

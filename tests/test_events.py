@@ -34,7 +34,8 @@ def test_sessionize_gap_boundaries(spark):
         (1, _ts(0), 1, "view", 1.0),
         (2, _ts(29, 59), 1, "view", 2.0),
         (3, dt.datetime(2024, 1, 1, 1, 30, 0), 1, "view", 3.0),
-        # exactly gap (30m) later: NOT a new session (> is strict)
+        # exactly gap (30m) later: NEW session (half-open intervals, same
+        # semantics as Spark's built-in session_window)
         (4, dt.datetime(2024, 1, 1, 2, 0, 0), 1, "view", 4.0),
         # user 2: single event
         (5, _ts(5), 2, "click", 10.0),
@@ -45,9 +46,60 @@ def test_sessionize_gap_boundaries(spark):
     }
     assert out == {
         (1, 1): (2, 300),   # events 1+2
-        (1, 2): (2, 700),   # events 3+4 (exactly-30m gap stays in session)
+        (1, 2): (1, 300),   # event 3
+        (1, 3): (1, 400),   # event 4 (exactly-30m gap opens a new session)
         (2, 1): (1, 1000),
     }
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """The lag-cumsum batch formulation and Spark's built-in session_window
+    must produce the same sessions (start, n_events, cents) on the real
+    events table."""
+    from chug_spark.streaming.windows import session_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ours = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["value_cents"])
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    theirs = {
+        (r["user_id"], int(r["session_start"].timestamp() * 1_000_000)): (
+            r["n_events"],
+            r["value_cents"],
+        )
+        for r in session_counts(events, gap_minutes=30).collect()
+    }
+    assert ours == theirs and len(ours) > 100
+
+
+def test_streaming_session_counts(spark, tmp_path):
+    """Streaming sessionization (watermark + session_window + availableNow)
+    equals the batch result over the same files."""
+    import os
+
+    from chug_spark.streaming.windows import run_stream_session_counts, session_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "in")
+    events.repartition(4).write.mode("overwrite").parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    run_stream_session_counts(spark, in_dir, out_dir, gap_minutes=30,
+                              watermark="0 seconds")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(os.path.join(out_dir, "sessions")).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["value_cents"])
+        for r in session_counts(events, gap_minutes=30).collect()
+    }
+    # append mode only emits sessions the final watermark has passed; with
+    # availableNow + 0s watermark that is everything except sessions still
+    # open at max(ts) - allow the boundary session per user to be absent
+    assert set(got).issubset(set(want))
+    assert all(want[k] == v for k, v in got.items())
+    assert len(got) >= len(want) - events.select("user_id").distinct().count()
 
 
 def test_asof_last_mark_semantics(spark):
