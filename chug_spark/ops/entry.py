@@ -834,6 +834,27 @@ FROM w
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-50: one word-keyed aggregation (map-side
+    partial agg) + TakeOrderedAndProject — never a full sort."""
+    from .textstats import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=50)
+
+
+_SQL_VOCAB_TOPK = """
+WITH e AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+)
+SELECT word, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM e WHERE word <> ''
+GROUP BY word
+ORDER BY n_occurrences DESC, word ASC
+LIMIT 50
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     from .textstats import repetition_stats
 
@@ -1201,6 +1222,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -1235,4 +1257,5 @@ def ops_oracle_sql() -> dict[str, str]:
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _SQL_LANG_ID,
         "fingerprint": _SQL_FINGERPRINT,
+        "vocab_topk": _SQL_VOCAB_TOPK,
     }

@@ -240,3 +240,26 @@ def fingerprint(docs: DataFrame, window: int = 16) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.array_min(blocks).alias("min_block_fp"),
     )
+
+
+def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus vocabulary top-k: (word, n_docs, n_occurrences), ordered by
+    occurrences desc with deterministic tie-break on the word.  The classic
+    heavy-shuffle corpus statistic done right: explode → ONE hash aggregation
+    keyed on word (map-side partial agg condenses each task to its distinct
+    words before the exchange) → global top-k, which Spark plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows, no
+    full sort)."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    exploded = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(words).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        exploded.groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(k)
+    )
