@@ -142,6 +142,15 @@ def main() -> int:
     timed("cosine_threshold", lambda: cosine_pairs_threshold(emb_pq).count())
     timed("quality_score", lambda: quality_score(docs_pq).count())
 
+    # q8-q10: event ops + semantic dedup (round-3 additions)
+    from chug_spark.ops.events import asof_attach_last_mark, sessionize
+    from chug_spark.ops.similarity import semantic_pairs
+
+    events_pq = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    timed("sessionize", lambda: sessionize(events_pq).count())
+    timed("asof_join", lambda: asof_attach_last_mark(events_pq).count())
+    timed("semantic_pairs", lambda: semantic_pairs(emb_pq).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
