@@ -111,3 +111,17 @@ def test_curation_ops_never_cartesian(spark):
         ("ivf", ivf_topk(emb, n_centroids=8)),
     ]:
         assert "Broadcast" in _phys(df), name
+
+
+def test_vocab_topk_plan_is_heap_topk(spark):
+    """vocab_topk must plan as TakeOrderedAndProject (per-partition heaps +
+    driver merge of k rows) — never a full global sort of the vocabulary."""
+    from chug_spark.ops.textstats import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (i % 3 + 1)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _phys(vocab_topk(docs, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
