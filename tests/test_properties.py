@@ -91,3 +91,104 @@ def test_fuzzed_corpus_matches_oracle(spark, rows, policy):
         assert all(s[0] in ("text", "media") for s in spans)
     errored_docs = {e[0] for e in errs}
     assert not (set(got) & errored_docs)
+
+
+# ---------------------------------------------------------------------------
+# event ops vs pure-Python oracles
+# ---------------------------------------------------------------------------
+
+_event_st = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # user_id
+        st.integers(0, 10_000),               # seconds offset
+        st.sampled_from(["view", "error"]),   # event_type
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _mk_events(spark, raw):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec), u, et, 1.0)
+        for i, (u, sec, et) in enumerate(raw)
+    ]
+    return spark.createDataFrame(rows, schema), rows
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_event_st, st.sampled_from([60, 600, 3600]))
+def test_sessionize_matches_python_oracle(spark, raw, gap_sec):
+    from chug_spark.ops.events import sessionize
+
+    events, rows = _mk_events(spark, raw)
+    got = {
+        (r["user_id"], r["session_no"]): (r["start_us"], r["end_us"], r["n_events"])
+        for r in sessionize(events, gap_minutes=gap_sec // 60 or 1).collect()
+    }
+    gap_us = (gap_sec // 60 or 1) * 60 * 1_000_000
+
+    want = {}
+    by_user = {}
+    for i, (u, sec, _et) in enumerate(raw):
+        by_user.setdefault(u, []).append((sec * 1_000_000 + 0, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        base = 1_704_067_200_000_000  # 2024-01-01 in us
+        sess_no, prev = 0, None
+        cur = []
+        for tus, i in evs:
+            t = base + tus
+            if prev is None or t - prev >= gap_us:
+                if cur:
+                    want[(u, sess_no)] = (cur[0], cur[-1], len(cur))
+                sess_no += 1
+                cur = []
+            cur.append(t)
+            prev = t
+        want[(u, sess_no)] = (cur[0], cur[-1], len(cur))
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_event_st)
+def test_asof_matches_python_oracle(spark, raw):
+    from chug_spark.ops.events import asof_attach_last_mark
+
+    events, rows = _mk_events(spark, raw)
+    got = {
+        r["event_id"]: (r["last_mark_id"], r["us_since_mark"])
+        for r in asof_attach_last_mark(events, mark_type="error").collect()
+    }
+
+    base = 1_704_067_200_000_000
+    marks = {}  # (user, tus) -> max event_id
+    for i, (u, sec, et) in enumerate(raw):
+        if et == "error":
+            key = (u, base + sec * 1_000_000)
+            marks[key] = max(marks.get(key, -1), i)
+    want = {}
+    for i, (u, sec, _et) in enumerate(raw):
+        t = base + sec * 1_000_000
+        cands = [(mt, mid) for (mu, mt), mid in marks.items() if mu == u and mt <= t]
+        if cands:
+            mt, mid = max(cands)  # latest mark; ties resolved by max id via dict
+            want[i] = (mid, t - mt)
+        else:
+            want[i] = (None, None)
+    assert got == want
