@@ -855,6 +855,52 @@ LIMIT 50
 """
 
 
+def q_block_dedup(spark, sf_dir):
+    """CCNet-style boilerplate removal: drop 16-word blocks whose corpus
+    document frequency exceeds 5, reassemble survivors in order."""
+    from .textstats import boilerplate_block_dedup
+
+    return boilerplate_block_dedup(_docs(spark, sf_dir), block_words=16,
+                                   max_block_df=5)
+
+
+_SQL_BLOCK_DEDUP = """
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+b AS (
+  SELECT doc_id,
+         u.i AS block_idx,
+         array_to_string(list_slice(words, u.i * 16 + 1, u.i * 16 + 16), ' ') AS block_text
+  FROM w, unnest(generate_series(0, CAST(ceil(len(words) / 16.0) AS INT) - 1)) AS u(i)
+),
+hot AS (
+  SELECT md5(block_text) AS block_hash
+  FROM b GROUP BY 1 HAVING count(DISTINCT doc_id) > 5
+),
+kept AS (
+  SELECT * FROM b WHERE md5(block_text) NOT IN (SELECT block_hash FROM hot)
+),
+re AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           list_sort(list_zip(list(block_idx ORDER BY block_idx),
+                              list(block_text ORDER BY block_idx))),
+           s -> s[2]), ' ') AS clean_text,
+         CAST(count(*) AS INT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(ceil(len(words) / 16.0) AS INT) AS n_total FROM w)
+SELECT tot.doc_id,
+       coalesce(re.clean_text, '') AS clean_text,
+       coalesce(re.n_kept, 0) AS n_kept,
+       CAST(tot.n_total - coalesce(re.n_kept, 0) AS INT) AS n_dropped
+FROM tot LEFT JOIN re ON re.doc_id = tot.doc_id
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     from .textstats import repetition_stats
 
@@ -1223,6 +1269,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
+        "block_dedup": q_block_dedup,
     }
 
 
@@ -1258,4 +1305,5 @@ def ops_oracle_sql() -> dict[str, str]:
         "lang_id": _SQL_LANG_ID,
         "fingerprint": _SQL_FINGERPRINT,
         "vocab_topk": _SQL_VOCAB_TOPK,
+        "block_dedup": _SQL_BLOCK_DEDUP,
     }

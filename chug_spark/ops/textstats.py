@@ -263,3 +263,66 @@ def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("word"))
         .limit(k)
     )
+
+
+def boilerplate_block_dedup(
+    docs: DataFrame, block_words: int = 16, max_block_df: int = 5
+) -> DataFrame:
+    """CCNet-style boilerplate removal at block granularity: split each doc
+    into consecutive ``block_words``-word blocks, drop every block whose
+    corpus-wide document frequency exceeds ``max_block_df`` (headers,
+    footers, license stubs — text repeated across many docs), and reassemble
+    the survivors in order.
+
+    Returns (doc_id, clean_text, n_kept, n_dropped).
+
+    Scale shape: explode → ONE aggregation keyed on block md5 (map-side
+    partial agg; the hot-block set is what the agg returns, bounded above by
+    total_blocks / max_block_df) → left_anti join (no forced broadcast — on
+    boilerplate-heavy corpora the hot set is large, AQE decides) → one
+    groupBy doc_id with array_sort reassembly.  Never quadratic; block df is
+    the same integer both engines compute, so the DuckDB oracle is exact.
+    The per-doc block count is linear in doc length — no cap needed beyond
+    the upstream page capping."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    words = F.split(norm, " ")
+    n_blocks = F.ceil(F.size(words) / block_words).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice(words, i * block_words + 1, block_words), " "),
+    )
+    exploded = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(blocks).alias("block_idx", "block_text"),
+    ).withColumn("block_hash", F.md5("block_text"))
+    hot = (
+        exploded.groupBy("block_hash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_block_df)
+        .select("block_hash")
+    )
+    kept = exploded.join(hot, "block_hash", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("block_idx", "block_text"))
+                ),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), n_blocks.alias("n_total")
+    )
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_dropped"),
+        )
+    )

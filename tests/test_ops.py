@@ -372,3 +372,28 @@ def test_connected_components_star_matches_propagation(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(path, max_iter=10)
+
+
+def test_boilerplate_block_dedup_drops_hot_blocks(spark):
+    """A 16-word block repeated across >max_block_df docs is removed from
+    every doc; unique content survives in order; an all-boilerplate doc
+    comes back empty (never silently vanishes)."""
+    from chug_spark.ops.textstats import boilerplate_block_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    rows = []
+    for d in range(8):
+        unique = " ".join(f"u{d}_{i}" for i in range(16))
+        rows.append((d, boiler + " " + unique))      # boiler block 0, unique block 1
+    rows.append((8, boiler))                         # all-boilerplate doc
+    rows.append((9, "short tail"))                   # sub-block doc
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in boilerplate_block_dedup(docs, block_words=16, max_block_df=5).collect()
+    }
+    for d in range(8):
+        unique = " ".join(f"u{d}_{i}" for i in range(16))
+        assert out[d] == (unique, 1, 1)
+    assert out[8] == ("", 0, 1)
+    assert out[9] == ("short tail", 1, 0)
