@@ -1178,6 +1178,15 @@ GROUP BY user_id, session_no
 """
 
 
+def q_sessionize_presplit(spark, sf_dir):
+    """Skew-safe two-phase sessionize - SAME oracle as q_sessionize, so the
+    rewrite is proven equal to the straightforward SQL formulation."""
+    from .events import sessionize_presplit
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_presplit(events, gap_minutes=30, split_hours=6)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: every event annotated with the user's most recent 'error'
     event at-or-before it.  Spark lacks ASOF JOIN — this is the union+window
@@ -1255,6 +1264,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
+        "sessionize_presplit": q_sessionize_presplit,
         "asof_join": q_asof_join,
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
@@ -1291,6 +1301,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "events_window": _SQL_EVENTS_WINDOW,
         "sessionize": _SQL_SESSIONIZE,
+        "sessionize_presplit": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,
         "stratified_sample": _stratified_sample_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

@@ -110,3 +110,75 @@ def asof_attach_last_mark(events: DataFrame, mark_type: str = "error") -> DataFr
         F.col("lm.mark_id").alias("last_mark_id"),
         (F.col("tus") - F.col("lm.tus")).alias("us_since_mark"),
     )
+
+
+def sessionize_presplit(
+    events: DataFrame, gap_minutes: int = 30, split_hours: int = 24
+) -> DataFrame:
+    """Skew-safe :func:`sessionize`: identical output, hot users parallelized.
+
+    Plain sessionize sorts ALL of a user's events in one task — a bot with
+    10^9 events serializes the stage.  This variant:
+
+    1. chunks the timeline into ``split_hours`` buckets and runs the same
+       lag-cumsum session pass partitioned by (user_id, chunk) — a hot
+       user's work now spreads over #chunks tasks;
+    2. merges adjacent chunk-local sessions per user where the boundary gap
+       is < gap (one more window, but over SESSION rows — orders of
+       magnitude fewer than events for any user hot enough to matter).
+
+    Chunk-internal session boundaries are true global boundaries (a gap
+    >= threshold inside a chunk is >= threshold globally), and every chunk
+    boundary is re-examined in the merge, so the result equals plain
+    sessionize row-for-row (equality locked by tests and by sharing the
+    same DuckDB oracle in the driver contract).  Residual caveat: a user
+    whose sessions are mostly singletons still funnels #sessions rows into
+    one merge task; pick split_hours so chunks >> gap and sessions per
+    chunk stay small.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    chunk_us = split_hours * 3600 * 1_000_000
+    e = events.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("chunk", (F.col("tus") / chunk_us).cast("long"))
+
+    w1 = Window.partitionBy("user_id", "chunk").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(w1)
+    new_local = F.when(prev.isNull() | ((F.col("tus") - prev) >= gap_us), 1).otherwise(0)
+    local = (
+        e.withColumn(
+            "lsn",
+            F.sum(new_local).over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "chunk", "lsn")
+        .agg(
+            F.min("tus").alias("start_us"),
+            F.max("tus").alias("end_us"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+
+    # phase 2: merge chunk-local sessions whose boundary gap is < gap
+    w2 = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+    prev_end = F.lag("end_us").over(w2)
+    new_merged = F.when(
+        prev_end.isNull() | ((F.col("start_us") - prev_end) >= gap_us), 1
+    ).otherwise(0)
+    merged = local.withColumn(
+        "session_no",
+        F.sum(new_merged).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return merged.groupBy("user_id", "session_no").agg(
+        F.min("start_us").alias("start_us"),
+        F.max("end_us").alias("end_us"),
+        F.sum("n_events").cast("int").alias("n_events"),
+        F.sum("value_cents").alias("value_cents"),
+    )

@@ -159,3 +159,42 @@ def test_stratified_sample_fractions(spark):
         for r in stratified_sample(docs.repartition(7), {"en": 0.1, "de": 0.9}).collect()
     )
     assert a == b
+
+
+def test_sessionize_presplit_equals_plain(spark):
+    """Two-phase skew-safe sessionize equals plain sessionize row-for-row,
+    including sessions spanning many chunk boundaries (a continuous stream
+    of events 1 minute apart across 3 chunk widths = ONE session)."""
+    import random
+
+    from chug_spark.ops.events import sessionize_presplit
+
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    # random sparse events for 3 users
+    for _ in range(300):
+        rows.append((eid, dt.datetime(2024, 1, 1)
+                     + dt.timedelta(seconds=rng.randrange(0, 6 * 86400)),
+                     rng.randrange(3), "view", 1.0))
+        eid += 1
+    # one continuous run crossing several 6h chunk boundaries (user 7)
+    for k in range(30 * 60):
+        rows.append((eid, dt.datetime(2024, 1, 2) + dt.timedelta(minutes=k),
+                     7, "view", 1.0))
+        eid += 1
+    events = _events(spark, rows)
+
+    def key(df):
+        return {
+            (r["user_id"], r["session_no"]): (
+                r["start_us"], r["end_us"], r["n_events"], r["value_cents"])
+            for r in df.collect()
+        }
+
+    plain = key(sessionize(events, gap_minutes=30))
+    split = key(sessionize_presplit(events, gap_minutes=30, split_hours=6))
+    assert plain == split
+    # the continuous run is exactly one session despite crossing chunks
+    u7 = [k for k in plain if k[0] == 7]
+    assert len(u7) == 1 and plain[u7[0]][2] == 30 * 60
