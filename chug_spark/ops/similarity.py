@@ -162,12 +162,83 @@ def ivf_centroids(base: DataFrame, n_centroids: int = 64) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame, n_centroids: int = 64, iters: int = 2, scale: int = 10**7
+) -> DataFrame:
+    """Distributed Lloyd k-means for IVF training with SCHEDULE-INDEPENDENT
+    results — the production upgrade over the hash-sample init of
+    :func:`ivf_centroids` (which stays the oracle-checked default).
+
+    Float mean reductions are order-dependent, so naive k-means gives
+    different centroids at different parallelism.  Here each component is
+    scaled to an integer (``round(v * scale)``) and summed as
+    ``decimal(38,0)`` — associative and exact, so the means (and therefore
+    every subsequent assignment) are bit-identical at local[2] and on 1000
+    executors.  Per iteration: one K-broadcast assignment scan + one
+    partial-agg shuffle keyed (centroid_id, dim) — never all-pairs, state
+    bounded by K×dims.  Empty clusters keep their previous centroid.
+
+    Returns (centroid_id, c_emb array<double>).
+    """
+    from pyspark.sql import Window
+
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    cents = ivf_centroids(base, n_centroids).select(
+        "centroid_id",
+        F.transform(F.col("c_emb"), lambda v: v.cast("double")).alias("c_emb"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    for _ in range(iters):
+        assigned = (
+            base.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "centroid_id",
+                cosine(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+            )
+            .withColumn("crank", F.row_number().over(w_assign))
+            .filter(F.col("crank") == 1)
+        )
+        sums = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(
+                    F.transform(
+                        F.col("embedding"),
+                        lambda v: F.round(v.cast("double") * scale).cast(
+                            "decimal(38,0)"
+                        ),
+                    )
+                ).alias("dim", "iv"),
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("iv").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        means = sums.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+                lambda t: (t["s"] / (t["n"] * scale)).cast("double"),
+            ).alias("new_emb")
+        )
+        # empty clusters: no member rows -> keep the previous centroid
+        cents = cents.join(means, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("new_emb", "c_emb").alias("c_emb")
+        )
+        # truncate the per-iteration plan (same reason as connected_components)
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 5,
     k: int = 5,
     probes: int = 2,
     n_centroids: int = 64,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k — the coarse-quantizer scale path next to the LSH
     one: assign every vector to its nearest centroid (the inverted lists),
@@ -180,7 +251,7 @@ def ivf_topk(
     from pyspark.sql import Window
 
     base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
-    cents = ivf_centroids(base, n_centroids)
+    cents = centroids if centroids is not None else ivf_centroids(base, n_centroids)
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",

@@ -397,3 +397,44 @@ def test_boilerplate_block_dedup_drops_hot_blocks(spark):
         assert out[d] == (unique, 1, 1)
     assert out[8] == ("", 0, 1)
     assert out[9] == ("short tail", 1, 0)
+
+
+def test_kmeans_centroids_deterministic_and_improves_recall(spark):
+    """Trained IVF centroids must be (a) bit-identical across input
+    partitionings (exact integer-scaled decimal sums - float mean order
+    nondeterminism is the thing this guards), (b) exactly K rows even with
+    empty clusters, and (c) at least as good as the hash-sample centroids
+    on the labeled embeddings table (mean recall@k of ivf_topk)."""
+    from pyspark.sql import functions as F
+
+    from chug_spark.ops.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        knn_topk_exact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def key(df):
+        return {
+            r["centroid_id"]: tuple(r["c_emb"])
+            for r in df.collect()
+        }
+
+    a = key(kmeans_centroids(emb.repartition(2), n_centroids=8, iters=2))
+    b = key(kmeans_centroids(emb.repartition(13), n_centroids=8, iters=2))
+    assert a == b and len(a) == 8
+
+    cents = kmeans_centroids(emb, n_centroids=8, iters=2)
+
+    def mean_recall(centroids):
+        exact = knn_topk_exact(emb, n_queries=5, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        approx = ivf_topk(
+            emb, n_queries=5, k=5, probes=2, n_centroids=8, centroids=centroids
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+        return hits / exact.count()
+
+    assert mean_recall(cents) >= mean_recall(None) - 1e-9
