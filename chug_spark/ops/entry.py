@@ -834,6 +834,112 @@ FROM w
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML main-content extraction end-to-end: deterministically wrap each
+    document's text into a full HTML page (title, style, nav, paragraphs of
+    12 words, a link-only subscribe block, footer), then strip boilerplate
+    subtrees, segment into blocks, score by length + link density, and keep
+    the main content.  The DuckDB oracle reproduces BOTH the page synthesis
+    and the extraction, so every regex/heuristic is value-checked."""
+    from pyspark.sql import functions as F
+
+    from .html import html_main_content
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_paras = F.ceil(F.size(words) / 12).cast("int")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda p: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(words, p * 12 + 1, 12), " "),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p{color:red}</style></head><body>'
+              '<nav><a href="/">home</a> <a href="/a">about</a></nav>'),
+        paras,
+        F.lit('<p><a href="/sub">click here to subscribe now</a></p>'
+              "<footer>copyright "),
+        F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+    return html_main_content(docs.select("doc_id", html.alias("html")))
+
+
+def _html_extract_sql() -> str:
+    from .html import BOILERPLATE_TAGS, _BLOCK_TAG_RE
+
+    body = "html"
+    for t in BOILERPLATE_TAGS:
+        body = (
+            f"regexp_replace({body}, '(?is)<{t}[^>]*>.*?</{t}>', ' ', 'g')"
+        )
+    unesc = "regexp_replace(x, '<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        unesc = f"replace({unesc}, '{ent}', '{ch}')"
+    clean_text = f"trim(regexp_replace({unesc}, '\\s+', ' ', 'g'))"
+    link_len = (
+        "coalesce(list_sum(list_transform("
+        "regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a>', 1), "
+        "a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))))), 0)"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p{{color:red}}</style></head><body>'
+         || '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
+         || array_to_string(list_transform(
+              generate_series(0, CAST(ceil(len(words) / 12.0) AS INT) - 1),
+              p -> '<p>' || array_to_string(list_slice(words, p*12 + 1, p*12 + 12), ' ') || '</p>'),
+            '')
+         || '<p><a href="/sub">click here to subscribe now</a></p>'
+         || '<footer>copyright ' || source || '</footer></body></html>' AS html
+  FROM w
+),
+s AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+                             '\\s+', ' ', 'g')) AS title,
+         {body} AS body
+  FROM g
+),
+sc AS (
+  SELECT doc_id, title,
+         list_transform(
+           string_split_regex(body, '{_BLOCK_TAG_RE}'),
+           x -> struct_pack(text := {clean_text}, link_len := {link_len})) AS scored
+  FROM s
+),
+k AS (
+  SELECT doc_id, title,
+         list_filter(scored, s -> length(s.text) >= 20
+                     AND s.link_len <= greatest(length(s.text), 1) * 0.5) AS kept,
+         len(list_filter(scored, s -> length(s.text) > 0)) AS n_total
+  FROM sc
+)
+SELECT doc_id, title,
+       array_to_string(list_transform(kept, s -> s.text), chr(10)) AS main_text,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(n_total - len(kept) AS INT) AS n_dropped
+FROM k
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary top-50: one word-keyed aggregation (map-side
     partial agg) + TakeOrderedAndProject — never a full sort."""
@@ -1280,6 +1386,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
         "block_dedup": q_block_dedup,
+        "html_extract": q_html_extract,
     }
 
 
@@ -1317,4 +1424,5 @@ def ops_oracle_sql() -> dict[str, str]:
         "fingerprint": _SQL_FINGERPRINT,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "block_dedup": _SQL_BLOCK_DEDUP,
+        "html_extract": _html_extract_sql(),
     }
