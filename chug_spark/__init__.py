@@ -22,8 +22,40 @@ from .sources.documents import read_documents, write_spans
 from .sources.mixing import cap_num_samples, split_source_specs, weighted_union
 from .sources.registry import read_source, register_mem_dataset, register_source
 from .sources import hf as _hf_source  # noqa: F401  (registers the hf:// scheme)
+from .checkpoint import read_output, write_with_checkpoint
+from .ops.dataflow import stratified_sample
+from .ops.dedup import (
+    connected_components,
+    connected_components_star,
+    dedup_keep_representative,
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    minhash_jaccard_verified,
+    ngram_jaccard_pairs,
+    simhash_hamming_pairs,
+)
+from .ops.events import asof_attach_last_mark, sessionize, sessionize_presplit
+from .ops.html import html_main_content
+from .ops.similarity import (
+    ann_recall_at_k,
+    cosine_pairs_threshold,
+    ivf_topk,
+    kmeans_centroids,
+    knn_topk_exact,
+    semantic_pairs,
+)
+from .ops.textstats import (
+    boilerplate_block_dedup,
+    gopher_quality_filter,
+    pii_scrub,
+    quality_score,
+    token_count,
+    vocab_topk,
+)
+from .sources.bucketed import cobucketed_join, write_bucketed
+from .streaming.windows import session_counts, sliding_counts, tumbling_counts
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "ExtractJobCfg",
@@ -45,4 +77,43 @@ __all__ = [
     "split_source_specs",
     "weighted_union",
     "cap_num_samples",
+    # checkpoint / resume
+    "write_with_checkpoint",
+    "read_output",
+    # curation: dedup
+    "exact_dedup_groups",
+    "minhash_candidate_pairs",
+    "minhash_jaccard_verified",
+    "simhash_hamming_pairs",
+    "ngram_jaccard_pairs",
+    "connected_components",
+    "connected_components_star",
+    "dedup_keep_representative",
+    "boilerplate_block_dedup",
+    # curation: similarity
+    "cosine_pairs_threshold",
+    "knn_topk_exact",
+    "ann_recall_at_k",
+    "ivf_topk",
+    "kmeans_centroids",
+    "semantic_pairs",
+    # curation: text stats
+    "token_count",
+    "quality_score",
+    "gopher_quality_filter",
+    "pii_scrub",
+    "vocab_topk",
+    # events / sampling
+    "sessionize",
+    "sessionize_presplit",
+    "asof_attach_last_mark",
+    "stratified_sample",
+    # html extraction
+    "html_main_content",
+    # layout / windows
+    "write_bucketed",
+    "cobucketed_join",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
 ]

@@ -1284,6 +1284,41 @@ GROUP BY user_id, session_no
 """
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding (hopping) event-time windows: width 10 min, hop 5 min — each
+    event lands in 2 windows.  Oracle reproduces the window fan-out with a
+    generate_series unnest over hop buckets."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import sliding_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sliding_counts(events, width_minutes=10, hop_minutes=5).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+_SQL_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS hb, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+x AS (
+  SELECT hb - u.k * INTERVAL '5 minutes' AS win_start, event_type, cents
+  FROM e, unnest(generate_series(0, 1)) AS u(k)
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       CAST(count(*) AS INT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM x
+GROUP BY 1, 2
+"""
+
+
 def q_sessionize_presplit(spark, sf_dir):
     """Skew-safe two-phase sessionize - SAME oracle as q_sessionize, so the
     rewrite is proven equal to the straightforward SQL formulation."""
@@ -1369,6 +1404,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_pairs": q_semantic_pairs,
         "semantic_dedup": q_semantic_dedup,
         "events_window": q_events_window,
+        "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
         "sessionize_presplit": q_sessionize_presplit,
         "asof_join": q_asof_join,
@@ -1407,6 +1443,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "semantic_pairs": _SQL_SEMANTIC_PAIRS,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "events_window": _SQL_EVENTS_WINDOW,
+        "events_sliding": _SQL_EVENTS_SLIDING,
         "sessionize": _SQL_SESSIONIZE,
         "sessionize_presplit": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,

@@ -84,6 +84,35 @@ def read_window_output(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_dir, "windows"))
 
 
+def sliding_counts(
+    events: DataFrame, width_minutes: int = 10, hop_minutes: int = 5
+) -> DataFrame:
+    """Per (sliding window, event_type) count + exact cents sum.  An event
+    belongs to width/hop overlapping windows; Spark's ``F.window`` with a
+    slide duration plans this as a generate (one row per covering window)
+    followed by the same partial-agg shuffle as the tumbling case — output
+    volume is (width/hop)× the input before the combine, which is the known
+    cost of hopping windows at any scale.  Works over a batch DataFrame or
+    a watermarked stream unchanged."""
+    assert width_minutes % hop_minutes == 0, "width must be a multiple of hop"
+    win = F.window(F.col("ts"), f"{width_minutes} minutes", f"{hop_minutes} minutes")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select(win.alias("w"), F.col("event_type"), cents.alias("cents"))
+        .groupBy("w", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per (user, session) aggregate via Spark's built-in
     ``F.session_window`` (merging-interval state) — the same sessions as the
