@@ -1319,6 +1319,53 @@ GROUP BY 1, 2
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio-column feature extraction (rows-only: FFT has no SQL twin;
+    output is deterministic and md5-pinned in tests/test_hash_pins.py)."""
+    from pyspark.sql import functions as F
+
+    from .audio import extract_audio_features
+
+    refs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("audio:"), F.md5(F.col("doc_id").cast("string"))).alias("media_ref"),
+    )
+    return extract_audio_features(refs)
+
+
+def q_props_extract(spark, sf_dir):
+    """Semi-structured extraction: pull the integer k out of the events
+    props JSON column (scan-side get_json_object — no UDF, prunes to two
+    columns) and aggregate per event type."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_PROPS_EXTRACT = """
+SELECT event_type,
+       CAST(count(*) AS INT) AS n_events,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(props->>'k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_sessionize_presplit(spark, sf_dir):
     """Skew-safe two-phase sessionize - SAME oracle as q_sessionize, so the
     rewrite is proven equal to the straightforward SQL formulation."""
@@ -1405,6 +1452,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
+        "props_extract": q_props_extract,
+        "audio_features": q_audio_features,
         "sessionize": q_sessionize,
         "sessionize_presplit": q_sessionize_presplit,
         "asof_join": q_asof_join,
@@ -1444,6 +1493,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "events_window": _SQL_EVENTS_WINDOW,
         "events_sliding": _SQL_EVENTS_SLIDING,
+        "props_extract": _SQL_PROPS_EXTRACT,
         "sessionize": _SQL_SESSIONIZE,
         "sessionize_presplit": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,

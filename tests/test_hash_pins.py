@@ -23,6 +23,7 @@ PINS = {
     "extract_synth": (2143, "b7ec0043eba4e6539cb79cd05254f996"),
     "media_features": (500, "d9a26478dc4d4c159ac13dc0225008bb"),
     "media_train": (250, "ebddc395659715b0a942c57d29b5ddb3"),
+    "audio_features": (500, "b87a10b164f40cb0dddbd5c76528839c"),
 }
 
 

@@ -438,3 +438,41 @@ def test_kmeans_centroids_deterministic_and_improves_recall(spark):
         return hits / exact.count()
 
     assert mean_recall(cents) >= mean_recall(None) - 1e-9
+
+
+def test_audio_features_deterministic_and_physical(spark):
+    """Audio features: (a) hand-computed physics on a pure sine (dominant
+    frequency within one FFT bin, ZCR ~ 2f/rate, exact duration), (b)
+    schedule independence across partitionings."""
+    import numpy as np
+
+    from chug_spark.ops.audio import (
+        SAMPLE_RATE,
+        audio_features_row,
+        extract_audio_features,
+    )
+
+    n = SAMPLE_RATE  # 1s
+    t = np.arange(n) / SAMPLE_RATE
+    wave = 0.5 * np.sin(2 * np.pi * 440 * t)
+    row = audio_features_row("x", wave, SAMPLE_RATE)
+    assert row["duration_ms"] == 1000
+    assert abs(row["dom_freq_hz"] - 440) <= 1
+    assert abs(row["zcr_bp"] - int(2 * 440 / SAMPLE_RATE * 10_000)) <= 10
+    assert row["peak_bp"] in (4999, 5000)  # floor(peak*1e4), peak ~ 0.5
+    assert abs(row["rms_bp"] - int(0.5 / np.sqrt(2) * 10_000)) <= 2
+
+    refs = spark.createDataFrame(
+        [(str(i), f"audio:ref{i}") for i in range(40)], ["doc_id", "media_ref"]
+    )
+
+    def key(df):
+        return {
+            r["media_ref"]: (r["n_samples"], r["rms_bp"], r["zcr_bp"],
+                             r["dom_freq_hz"])
+            for r in df.collect()
+        }
+
+    a = key(extract_audio_features(refs.repartition(3)))
+    b = key(extract_audio_features(refs.repartition(7)))
+    assert a == b and len(a) == 40 and all(v[0] > 0 for v in a.values())
