@@ -78,7 +78,9 @@ def html_main_content(
     """(doc_id, title, main_text, n_kept, n_dropped): jusText-style
     main-content extraction over an HTML string column.  ``main_text`` is
     the kept blocks joined by '\\n' in document order."""
-    html = F.col(html_col)
+    # NULL pages behave as empty pages (empty outputs, zero counts) rather
+    # than poisoning every downstream column with NULL
+    html = F.coalesce(F.col(html_col), F.lit(""))
     body = strip_boilerplate(html)
 
     # block segmentation: block tags become separators, then split

@@ -56,3 +56,29 @@ def test_html_main_content_is_map_only(spark):
         html_main_content(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure map: no shuffle at any scale
+
+
+def test_html_adversarial_inputs(spark):
+    """Malformed HTML must degrade gracefully, never throw: unclosed tags,
+    nested anchors, attributes containing '>', empty/None pages."""
+    pages = [
+        (1, "<p>unclosed paragraph with plenty of characters to keep"),
+        (2, "<div><a href='x'><b>nested anchor text</b></a> plus sufficient "
+            "surrounding prose to stay under the link-density cap</div>"),
+        (3, '<p title="a > b">attribute with gt sign and enough text to keep</p>'),
+        (4, ""),
+        (5, None),
+        (6, "<script>while(1){}</script>"),
+        (7, "no tags at all but definitely long enough to be a kept block"),
+    ]
+    docs = spark.createDataFrame(pages, "doc_id long, html string")
+    rows = {r["doc_id"]: r for r in html_main_content(docs).collect()}
+    assert rows[1]["main_text"].startswith("unclosed paragraph")
+    assert "nested anchor text" in rows[2]["main_text"]
+    # regex tag-stripping truncates at the first '>' inside the attribute —
+    # the documented non-DOM tradeoff; the block text must still be kept
+    assert rows[3]["n_kept"] == 1 and "enough text to keep" in rows[3]["main_text"]
+    assert rows[4]["main_text"] == "" and rows[4]["n_kept"] == 0
+    assert rows[5]["main_text"] == "" and rows[5]["n_kept"] == 0
+    assert rows[6]["main_text"] == "" and rows[6]["n_kept"] == 0
+    assert rows[7]["n_kept"] == 1
