@@ -1432,6 +1432,47 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def q_curation_sampled(spark, sf_dir):
+    """The curation funnel with a final corpus-rebalancing stage: quality
+    gate -> exact dedup -> near-dup representatives -> per-language
+    stratified sample.  The oracle nests the full funnel SQL as a CTE, so
+    the four-stage composition is value-checked end to end."""
+    from pyspark.sql import functions as F
+
+    from .dataflow import stratified_sample
+    from .pipeline import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    kept = curate_corpus(docs)
+    enriched = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    ).join(kept, "doc_id")
+    return stratified_sample(enriched, _STRAT_FRACTIONS, key="lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _curation_sampled_sql() -> str:
+    u = (
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', "
+        "substr(md5('strat|' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) "
+        "- 1 AS BIGINT))), (a, b) -> a * 16 + b) / 4294967296.0)"
+    )
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_STRAT_FRACTIONS.items())
+    )
+    return f"""
+WITH kept AS ({_curation_sql()}),
+enriched AS (
+  SELECT d.doc_id, d.lang, d.source FROM documents d JOIN kept USING (doc_id)
+)
+SELECT doc_id, lang, source FROM enriched
+WHERE {u} < (CASE lang {cases} ELSE 0.0 END)
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -1461,6 +1502,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "cluster_histogram": q_cluster_histogram,
         "curation_keep": q_curation_keep,
+        "curation_sampled": q_curation_sampled,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
@@ -1501,6 +1543,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "cluster_histogram": _cluster_histogram_sql(),
         "curation_keep": _curation_sql(),
+        "curation_sampled": _curation_sampled_sql(),
         "token_count": _SQL_TOKEN_COUNT,
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
