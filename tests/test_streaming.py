@@ -126,3 +126,53 @@ def test_stream_window_counts_match_batch(spark, tmp_path):
     horizon = max_ts - dt.timedelta(minutes=10 + 5)
     missing = set(batch) - set(got)
     assert all(k[0] >= horizon for k in missing)
+
+
+def test_stream_asof_matches_batch_across_drains(spark, tmp_path):
+    """Streaming as-of: marks drained in batch 1 must annotate events
+    arriving in batch 2 (state store carry), and the combined output over a
+    time-ordered ingest equals the batch as-of join exactly."""
+    import os
+
+    from chug_spark.ops.events import asof_attach_last_mark
+    from chug_spark.streaming.asof import read_asof_output, run_stream_asof
+
+    from pyspark.sql import functions as F
+
+    from chug_spark.ops.events import epoch_us as _eus
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cutoff = events.agg(
+        F.percentile(_eus("ts"), F.lit(0.5)).alias("c")
+    ).collect()[0]["c"]
+    # time-ordered two-drop ingest layout
+
+    first = events.filter(_eus("ts") <= cutoff)
+    second = events.filter(_eus("ts") > cutoff)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    first.repartition(2).write.mode("append").parquet(in_dir)
+    run_stream_asof(spark, in_dir, out_dir)
+    n_first = read_asof_output(spark, out_dir).count()
+
+    second.repartition(2).write.mode("append").parquet(in_dir)
+    run_stream_asof(spark, in_dir, out_dir)
+
+    got = {
+        r["event_id"]: (r["last_mark_id"], r["us_since_mark"])
+        for r in read_asof_output(spark, out_dir).collect()
+    }
+    want = {
+        r["event_id"]: (r["last_mark_id"], r["us_since_mark"])
+        for r in asof_attach_last_mark(events).collect()
+    }
+    assert got == want and 0 < n_first < len(got)
+    # the cross-batch proof: some second-drain event is annotated by a mark
+    # whose id belongs to the first drain
+    first_ids = {r["event_id"] for r in first.collect()}
+    second_ids = {r["event_id"] for r in second.collect()}
+    assert any(
+        m is not None and m in first_ids and e in second_ids
+        for e, (m, _) in got.items()
+    )
