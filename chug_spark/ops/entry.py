@@ -1473,6 +1473,87 @@ WHERE {u} < (CASE lang {cases} ELSE 0.0 END)
 """
 
 
+def q_embed_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding column:
+    exact integer codes + rounded scale/error, map-only."""
+    from .similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(_emb(spark, sf_dir))
+
+
+_SQL_EMBED_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM v
+),
+q AS (
+  SELECT vec_id, v, max_abs / 127.0 AS scale,
+         list_transform(v, x -> greatest(-127,
+             least(127, CAST(round(x / (max_abs / 127.0)) AS INT)))) AS codes
+  FROM m WHERE max_abs > 0
+)
+SELECT vec_id,
+       round(scale * 10000, 4) AS scale_bp,
+       codes,
+       round(list_max(list_transform(list_zip(v, codes),
+             s -> abs(s[1] - CAST(s[2] AS DOUBLE) * scale))) * 10000, 4)
+         AS max_abs_err_bp
+FROM q
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 longest documents per language: row_number window with a full
+    deterministic tie-break - the per-group limit every curation report
+    needs (and the pattern that replaces per-group collects)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_SQL_TOPK_PER_GROUP = """
+SELECT doc_id, lang, n_chars,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+FROM documents
+QUALIFY rk <= 3
+"""
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Per-language exact length percentiles (p25/p50/p75, linear
+    interpolation) - the corpus-distribution report; one hash aggregation."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    pct = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.round(F.get(pct, 0), 4).alias("p25"),
+        F.round(F.get(pct, 1), 4).alias("p50"),
+        F.round(F.get(pct, 2), 4).alias("p75"),
+    )
+
+
+_SQL_LENGTH_PERCENTILES = """
+SELECT lang, CAST(count(*) AS INT) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(n_chars, 0.50), 4) AS p50,
+       round(quantile_cont(n_chars, 0.75), 4) AS p75
+FROM documents
+GROUP BY lang
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -1488,6 +1569,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "knn_exact": q_knn_exact,
+        "embed_quantize": q_embed_quantize,
         "ann_recall": q_ann_recall,
         "semantic_pairs": q_semantic_pairs,
         "semantic_dedup": q_semantic_dedup,
@@ -1512,6 +1594,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
+        "topk_per_group": q_topk_per_group,
+        "length_percentiles": q_length_percentiles,
         "block_dedup": q_block_dedup,
         "html_extract": q_html_extract,
     }
@@ -1530,6 +1614,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "ann_topk": _SQL_ANN_TOPK,
         "ivf_topk": _SQL_IVF_TOPK,
         "knn_exact": _SQL_KNN_EXACT,
+        "embed_quantize": _SQL_EMBED_QUANTIZE,
         "ann_recall": _SQL_ANN_RECALL,
         "semantic_pairs": _SQL_SEMANTIC_PAIRS,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
@@ -1553,6 +1638,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "lang_id": _SQL_LANG_ID,
         "fingerprint": _SQL_FINGERPRINT,
         "vocab_topk": _SQL_VOCAB_TOPK,
+        "topk_per_group": _SQL_TOPK_PER_GROUP,
+        "length_percentiles": _SQL_LENGTH_PERCENTILES,
         "block_dedup": _SQL_BLOCK_DEDUP,
         "html_extract": _html_extract_sql(),
     }

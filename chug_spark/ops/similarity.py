@@ -368,3 +368,32 @@ def ann_topk_lsh(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings_int8(emb: DataFrame, round_to: int = 4) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/bandwidth lever
+    of every large ANN deployment (4x smaller vectors, SIMD-friendly codes):
+    scale = max|v| / 127, code_i = round(v_i / scale), clipped to [-127,127].
+    Pure HOF Column math, map-only (zero shuffle at any scale); codes are
+    exact integers so the DuckDB oracle hash-matches them bit-for-bit, and
+    the reported reconstruction error (rounded) rides along as the quality
+    gauge.  Returns (vec_id, scale_bp, codes, max_abs_err_bp)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = max_abs / F.lit(127.0)
+    codes = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x / scale).cast("int")),
+        ),
+    )
+    err = F.zip_with(
+        v, codes, lambda x, c: F.abs(x - c.cast("double") * scale)
+    )
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(scale * 10_000, round_to).alias("scale_bp"),
+        codes.alias("codes"),
+        F.round(F.array_max(err) * 10_000, round_to).alias("max_abs_err_bp"),
+    ).filter(max_abs > 0)
