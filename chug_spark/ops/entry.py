@@ -1132,6 +1132,28 @@ def q_media_features(spark, sf_dir):
                                   resize_longest=128)
 
 
+def q_media_frames(spark, sf_dir):
+    """Video-style frame sampling: multi-frame synthetic media (up to 8
+    frames per ref), every-3rd-frame sampling through the same mapInPandas
+    feature path - the frame_sample leg of the multimodal suite; rows-only
+    (md5-pinned in tests/test_hash_pins.py)."""
+    from pyspark.sql import functions as F
+
+    from .media_features import extract_media_features
+
+    fixture = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            (F.pmod(F.col("doc_id"), F.lit(8)) + 1).cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+    ).limit(200)
+    return extract_media_features(fixture, render_dpi=24, frame_every=3,
+                                  resize_longest=128)
+
+
 def q_media_train(spark, sf_dir):
     """Train-path augmentation pipeline over synthetic payloads: render →
     doc_train_transform (hash-keyed stochastic stages) → tensor stats +
@@ -1557,6 +1579,7 @@ GROUP BY lang
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "media_train": q_media_train,
         "aug_schedule": q_aug_schedule,
         "dedup_exact": q_dedup_exact,

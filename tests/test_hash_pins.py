@@ -24,6 +24,7 @@ PINS = {
     "media_features": (500, "d9a26478dc4d4c159ac13dc0225008bb"),
     "media_train": (250, "ebddc395659715b0a942c57d29b5ddb3"),
     "audio_features": (500, "b87a10b164f40cb0dddbd5c76528839c"),
+    "media_frames": (375, "afc5b2230834cc20dedd95076f208536"),
 }
 
 
