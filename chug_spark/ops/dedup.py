@@ -534,3 +534,57 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame, window_words: int = 20, min_occurrences: int = 2
+) -> DataFrame:
+    """Exact-substring dedup spans (the Lee et al. "Deduplicating Training
+    Data" recipe at word-window granularity): find every ``window_words``
+    window whose text occurs >= ``min_occurrences`` times anywhere in the
+    corpus (across docs or repeated within one), then merge each doc's
+    overlapping/adjacent repeated windows into maximal spans via
+    gaps-and-islands.  Returns (doc_id, span_start, span_end, n_windows) in
+    word offsets, inclusive — the regions a dedup pass would cut.
+
+    Scale shape: windows explode to ~n_words rows/doc but aggregate on the
+    window HASH (map-side partial agg; one exchange), the repeated set
+    semi-joins back (AQE decides the strategy), and island merging is one
+    window function over each doc's repeated windows — no pair generation
+    anywhere, so boilerplate frequency never goes quadratic (the advantage
+    over pairwise dedup for hot substrings)."""
+    words = F.split(normalize_text(F.col("text")), " ")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), words.alias("w")
+    ).filter(F.size("w") >= window_words)
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - window_words),
+                lambda i: F.md5(F.array_join(F.slice(F.col("w"), i + 1, window_words), " ")),
+            )
+        ).alias("start", "whash"),
+    )
+    repeated = (
+        wins.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("whash")
+    )
+    rep = wins.join(repeated, "whash").select(
+        "doc_id", "start", (F.col("start") + window_words - 1).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    new_island = F.when(
+        F.lag("end").over(w).isNull() | (F.col("start") > F.lag("end").over(w) + 1), 1
+    ).otherwise(0)
+    islands = rep.withColumn(
+        "island",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("start").alias("span_start"),
+        F.max("end").alias("span_end"),
+        F.count(F.lit(1)).cast("int").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")

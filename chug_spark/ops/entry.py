@@ -1576,6 +1576,48 @@ GROUP BY lang
 """
 
 
+def q_substring_spans(spark, sf_dir):
+    """Exact-substring dedup spans: 10-word windows occurring >= 2 times in
+    the corpus, merged per doc into maximal word-offset spans."""
+    from .dedup import exact_substring_spans
+
+    return exact_substring_spans(_docs(spark, sf_dir), window_words=10)
+
+
+_SQL_SUBSTRING_SPANS = """
+WITH w AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, u.i AS start,
+         md5(array_to_string(list_slice(w, u.i + 1, u.i + 10), ' ')) AS whash
+  FROM w, unnest(generate_series(0, len(w) - 10)) AS u(i)
+  WHERE len(w) >= 10
+),
+repeated AS (
+  SELECT whash FROM wins GROUP BY whash HAVING count(*) >= 2
+),
+rep AS (
+  SELECT doc_id, start, start + 9 AS "end"
+  FROM wins SEMI JOIN repeated USING (whash)
+),
+isl AS (
+  SELECT doc_id, start, "end",
+         sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, start, "end", lag("end") OVER (PARTITION BY doc_id ORDER BY start) AS prev_end
+    FROM rep
+  )
+)
+SELECT doc_id, min(start) AS span_start, max("end") AS span_end,
+       CAST(count(*) AS INT) AS n_windows
+FROM isl
+GROUP BY doc_id, island
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -1583,6 +1625,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_train": q_media_train,
         "aug_schedule": q_aug_schedule,
         "dedup_exact": q_dedup_exact,
+        "substring_spans": q_substring_spans,
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
         "simhash": q_simhash,
@@ -1628,6 +1671,7 @@ def ops_oracle_sql() -> dict[str, str]:
     return {
         "aug_schedule": _aug_schedule_sql(),
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "substring_spans": _SQL_SUBSTRING_SPANS,
         "minhash_pairs": _minhash_pairs_sql(bands=8, max_bucket_size=64),
         "minhash_verified": _minhash_verified_sql(bands=8, max_bucket_size=64),
         "simhash": _SQL_SIMHASH,

@@ -476,3 +476,32 @@ def test_audio_features_deterministic_and_physical(spark):
     a = key(extract_audio_features(refs.repartition(3)))
     b = key(extract_audio_features(refs.repartition(7)))
     assert a == b and len(a) == 40 and all(v[0] > 0 for v in a.values())
+
+
+def test_exact_substring_spans_planted_duplicates(spark):
+    """A 12-word passage planted in two docs is reported as ONE merged span
+    per doc covering exactly the repeated region; a doc with no repeats
+    reports nothing; within-doc repetition also counts."""
+    from chug_spark.ops.dedup import exact_substring_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    u = lambda d, n: " ".join(f"u{d}_{i}" for i in range(n))
+    rows = [
+        (1, u(1, 5) + " " + passage + " " + u("1b", 5)),   # passage at words 5..16
+        (2, passage + " " + u(2, 10)),                     # passage at words 0..11
+        (3, u(3, 25)),                                     # unique -> no spans
+        (4, passage + " " + u(4, 3) + " " + passage),      # within-doc repeat too
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {}
+    for r in exact_substring_spans(docs, window_words=10).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    # windows are 10 words; a 12-word repeated passage yields 3 overlapping
+    # repeated windows merging to one span of exactly the passage extent
+    assert out[1] == [(5, 16, 3)]
+    assert out[2] == [(0, 11, 3)]
+    assert 3 not in out
+    # doc 4: both copies repeat (each window occurs >= 2 times)
+    assert out[4] == [(0, 11, 3), (15, 26, 3)]
