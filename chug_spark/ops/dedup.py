@@ -588,3 +588,79 @@ def exact_substring_spans(
         F.max("end").alias("span_end"),
         F.count(F.lit(1)).cast("int").alias("n_windows"),
     ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+def exact_substring_dedup_cut(
+    docs: DataFrame, window_words: int = 20
+) -> DataFrame:
+    """Apply exact-substring dedup: remove every repeated region EXCEPT its
+    canonical occurrence (the lexicographically-first (doc_id, start) per
+    window hash keeps its text — the all-but-one rule of the Lee et al.
+    pass).  Returns (doc_id, clean_text, n_words_cut).
+
+    Same scale shape as :func:`exact_substring_spans` plus: the canonical
+    keeper per hash is one more partial aggregation (min struct), and the
+    cut itself is a per-doc HOF filter over word indices against the doc's
+    merged span list (spans per doc are few after merging — the array stays
+    small even for boilerplate-heavy docs)."""
+    words = F.split(normalize_text(F.col("text")), " ")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), words.alias("w")
+    )
+    long_enough = base.filter(F.size("w") >= window_words)
+    wins = long_enough.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - window_words),
+                lambda i: F.md5(F.array_join(F.slice(F.col("w"), i + 1, window_words), " ")),
+            )
+        ).alias("start", "whash"),
+    )
+    stats = wins.groupBy("whash").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(F.struct("doc_id", "start")).alias("keeper"),
+    )
+    # non-canonical occurrences of repeated windows
+    cut_wins = (
+        wins.join(stats.filter(F.col("occ") >= 2), "whash")
+        .filter(
+            (F.col("doc_id") != F.col("keeper.doc_id"))
+            | (F.col("start") != F.col("keeper.start"))
+        )
+        .select("doc_id", "start", (F.col("start") + window_words - 1).alias("end"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    new_island = F.when(
+        F.lag("end").over(w).isNull() | (F.col("start") > F.lag("end").over(w) + 1), 1
+    ).otherwise(0)
+    spans = (
+        cut_wins.withColumn(
+            "island",
+            F.sum(new_island).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"))
+    )
+    joined = base.join(spans, "doc_id", "left")
+    idx = F.zip_with(
+        F.col("w"),
+        F.sequence(F.lit(0), F.size("w") - 1),
+        lambda word, i: F.struct(word.alias("word"), i.alias("i")),
+    )
+    keep = F.filter(
+        idx,
+        lambda s: ~F.exists(
+            F.coalesce(F.col("spans"), F.array()),
+            lambda sp: (s["i"] >= sp["s"]) & (s["i"] <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(keep, lambda s: s["word"]), " ").alias("clean_text"),
+        (F.size("w") - F.size(keep)).cast("int").alias("n_words_cut"),
+    )

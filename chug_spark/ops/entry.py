@@ -1618,6 +1618,69 @@ GROUP BY doc_id, island
 """
 
 
+def q_substring_cut(spark, sf_dir):
+    """Exact-substring dedup APPLIED: repeated 10-word regions cut from
+    every doc except the canonical (first) occurrence."""
+    from .dedup import exact_substring_dedup_cut
+
+    return exact_substring_dedup_cut(_docs(spark, sf_dir), window_words=10)
+
+
+_SQL_SUBSTRING_CUT = """
+WITH w AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, u.i AS start,
+         md5(array_to_string(list_slice(w, u.i + 1, u.i + 10), ' ')) AS whash
+  FROM w, unnest(generate_series(0, len(w) - 10)) AS u(i)
+  WHERE len(w) >= 10
+),
+stats AS (
+  SELECT whash, count(*) AS occ,
+         min(struct_pack(doc_id := doc_id, start := start)) AS keeper
+  FROM wins GROUP BY whash
+),
+cut_wins AS (
+  SELECT wins.doc_id, wins.start, wins.start + 9 AS "end"
+  FROM wins JOIN stats USING (whash)
+  WHERE stats.occ >= 2
+    AND (wins.doc_id <> stats.keeper.doc_id OR wins.start <> stats.keeper.start)
+),
+isl AS (
+  SELECT doc_id, start, "end",
+         sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, start, "end",
+           lag("end") OVER (PARTITION BY doc_id ORDER BY start) AS prev_end
+    FROM cut_wins
+  )
+),
+spans AS (
+  SELECT doc_id, list_sort(list(struct_pack(s := s, e := e))) AS spans
+  FROM (SELECT doc_id, island, min(start) AS s, max("end") AS e
+        FROM isl GROUP BY doc_id, island)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(
+             list_zip(w.w, generate_series(0, len(w.w) - 1)),
+             p -> len(list_filter(coalesce(spans.spans, []),
+                                  sp -> p[2] >= sp.s AND p[2] <= sp.e)) = 0),
+           p -> p[1]),
+         ' '), '') AS clean_text,
+       CAST(len(w.w) - len(list_filter(
+             list_zip(w.w, generate_series(0, len(w.w) - 1)),
+             p -> len(list_filter(coalesce(spans.spans, []),
+                                  sp -> p[2] >= sp.s AND p[2] <= sp.e)) = 0)) AS INT) AS n_words_cut
+FROM w LEFT JOIN spans ON spans.doc_id = w.doc_id
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -1626,6 +1689,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aug_schedule": q_aug_schedule,
         "dedup_exact": q_dedup_exact,
         "substring_spans": q_substring_spans,
+        "substring_cut": q_substring_cut,
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
         "simhash": q_simhash,
@@ -1672,6 +1736,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "aug_schedule": _aug_schedule_sql(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "substring_spans": _SQL_SUBSTRING_SPANS,
+        "substring_cut": _SQL_SUBSTRING_CUT,
         "minhash_pairs": _minhash_pairs_sql(bands=8, max_bucket_size=64),
         "minhash_verified": _minhash_verified_sql(bands=8, max_bucket_size=64),
         "simhash": _SQL_SIMHASH,

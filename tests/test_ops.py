@@ -505,3 +505,25 @@ def test_exact_substring_spans_planted_duplicates(spark):
     assert 3 not in out
     # doc 4: both copies repeat (each window occurs >= 2 times)
     assert out[4] == [(0, 11, 3), (15, 26, 3)]
+
+
+def test_exact_substring_dedup_cut_keeps_canonical(spark):
+    """All-but-one: the canonical (first) occurrence keeps its text, every
+    other copy is cut; unique text is untouched."""
+    from chug_spark.ops.dedup import exact_substring_dedup_cut
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    u = lambda d, n: " ".join(f"u{d}_{i}" for i in range(n))
+    rows = [
+        (1, passage + " " + u(1, 6)),              # canonical copy (min doc/start)
+        (2, u(2, 4) + " " + passage),              # cut
+        (3, u(3, 15)),                             # unique, untouched
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_words_cut"])
+        for r in exact_substring_dedup_cut(docs, window_words=10).collect()
+    }
+    assert out[1] == (passage + " " + u(1, 6), 0)
+    assert out[2] == (u(2, 4), 12)
+    assert out[3] == (u(3, 15), 0)
