@@ -26,6 +26,8 @@ from .checkpoint import read_output, write_with_checkpoint
 from .ops.dataflow import stratified_sample
 from .ops.dedup import (
     connected_components,
+    exact_substring_dedup_cut,
+    exact_substring_spans,
     connected_components_star,
     dedup_keep_representative,
     exact_dedup_groups,
@@ -38,6 +40,7 @@ from .ops.events import asof_attach_last_mark, sessionize, sessionize_presplit
 from .ops.html import html_main_content
 from .ops.similarity import (
     ann_recall_at_k,
+    quantize_embeddings_int8,
     cosine_pairs_threshold,
     ivf_topk,
     kmeans_centroids,
@@ -86,6 +89,8 @@ __all__ = [
     "minhash_jaccard_verified",
     "simhash_hamming_pairs",
     "ngram_jaccard_pairs",
+    "exact_substring_spans",
+    "exact_substring_dedup_cut",
     "connected_components",
     "connected_components_star",
     "dedup_keep_representative",
@@ -97,6 +102,7 @@ __all__ = [
     "ivf_topk",
     "kmeans_centroids",
     "semantic_pairs",
+    "quantize_embeddings_int8",
     # curation: text stats
     "token_count",
     "quality_score",
