@@ -151,6 +151,11 @@ def main() -> int:
     timed("asof_join", lambda: asof_attach_last_mark(events_pq).count())
     timed("semantic_pairs", lambda: semantic_pairs(emb_pq).count())
 
+    from chug_spark.ops.dedup import exact_substring_dedup_cut
+
+    timed("substring_cut",
+          lambda: exact_substring_dedup_cut(docs_pq, window_words=10).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
