@@ -176,3 +176,53 @@ def test_stream_asof_matches_batch_across_drains(spark, tmp_path):
         m is not None and m in first_ids and e in second_ids
         for e, (m, _) in got.items()
     )
+
+
+def test_stream_window_late_data_dropped(spark, tmp_path):
+    """Watermark semantics: a second drain carrying events OLDER than the
+    advanced watermark must not reopen finalized windows — the late rows are
+    dropped by the state store, so finalized window counts never change."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from chug_spark.streaming.windows import run_stream_window_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    # drain 1: events at t+0..4min and t+60min (advances watermark past the
+    # first window by far more than the 10-minute allowance)
+    batch1 = [(i, base + dt.timedelta(minutes=i), 1, "view", 1.0) for i in range(5)]
+    batch1.append((99, base + dt.timedelta(minutes=60), 1, "view", 1.0))
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(in_dir)
+    run_stream_window_counts(spark, in_dir, out_dir, minutes=5, watermark="10 minutes")
+    first = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(os.path.join(out_dir, "windows")).collect()
+    }
+    key0 = (base, "view")
+    assert first[key0] == (5, 500)  # the finalized first window
+
+    # drain 2: LATE events inside the long-finalized first window
+    batch2 = [(200 + i, base + dt.timedelta(minutes=1), 1, "view", 7.0) for i in range(3)]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(in_dir)
+    run_stream_window_counts(spark, in_dir, out_dir, minutes=5, watermark="10 minutes")
+    second = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(os.path.join(out_dir, "windows")).collect()
+    }
+    # the late rows neither re-emitted the window nor changed its counts
+    assert second[key0] == (5, 500)
+    assert sum(1 for (ws, _t) in second if ws == base) == 1
