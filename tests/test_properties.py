@@ -192,3 +192,58 @@ def test_asof_matches_python_oracle(spark, raw):
         else:
             want[i] = (None, None)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup vs a pure-Python oracle
+# ---------------------------------------------------------------------------
+
+_doc_words_st = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_substring_spans(texts, w):
+    """Independent reimplementation: repeated w-word windows -> merged
+    per-doc islands."""
+    wins = {}
+    for d, words in enumerate(texts):
+        for i in range(len(words) - w + 1):
+            wins.setdefault(tuple(words[i : i + w]), []).append((d, i))
+    spans = {}
+    for occ in wins.values():
+        if len(occ) >= 2:
+            for d, i in occ:
+                spans.setdefault(d, set()).add(i)
+    out = {}
+    for d, starts in spans.items():
+        islands = []
+        for s in sorted(starts):
+            e = s + w - 1
+            if islands and s <= islands[-1][1] + 1:
+                islands[-1] = (islands[-1][0], max(islands[-1][1], e), islands[-1][2] + 1)
+            else:
+                islands.append((s, e, 1))
+        out[d] = islands
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_doc_words_st, st.sampled_from([2, 3]))
+def test_substring_spans_match_python_oracle(spark, docs_words, w):
+    from chug_spark.ops.dedup import exact_substring_spans
+
+    texts = [" ".join(ws) if ws else "x" for ws in docs_words]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {}
+    for r in exact_substring_spans(docs, window_words=w).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    want = _py_substring_spans([t.split(" ") for t in texts], w)
+    want = {k: sorted(v) for k, v in want.items() if v}
+    assert got == want
