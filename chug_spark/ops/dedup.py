@@ -361,6 +361,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("cluster")
     )
+    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -381,15 +382,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # before the data is big (cluster deployments: use checkpoint() with
         # a reliable checkpoint dir instead of localCheckpoint)
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
+        # EXACT monotone convergence probe: min-propagation only ever lowers
+        # a label, so the total decimal label sum strictly decreases on ANY
+        # change — equality <=> converged.  One agg scan of the checkpointed
+        # table per round (the former join-based probe cost a join job).
+        label_sum = new_labels.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        converged = prev_sum is not None and label_sum == prev_sum
+        prev_sum = label_sum
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     else:
         # never return silently-wrong labels: a component with diameter >
