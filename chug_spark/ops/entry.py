@@ -1681,6 +1681,33 @@ FROM w LEFT JOIN spans ON spans.doc_id = w.doc_id
 """
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (score desc, term asc tie-break)."""
+    from .textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+_SQL_TFIDF_TERMS = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tt GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT doc_id, term,
+       round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) DESC, term)
+            AS INT) AS rk
+FROM tf JOIN df USING (term), n
+QUALIFY rk <= 3
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -1724,6 +1751,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
+        "tfidf_terms": q_tfidf_terms,
         "topk_per_group": q_topk_per_group,
         "length_percentiles": q_length_percentiles,
         "block_dedup": q_block_dedup,
@@ -1770,6 +1798,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "lang_id": _SQL_LANG_ID,
         "fingerprint": _SQL_FINGERPRINT,
         "vocab_topk": _SQL_VOCAB_TOPK,
+        "tfidf_terms": _SQL_TFIDF_TERMS,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "length_percentiles": _SQL_LENGTH_PERCENTILES,
         "block_dedup": _SQL_BLOCK_DEDUP,

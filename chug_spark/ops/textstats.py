@@ -4,7 +4,7 @@ SQL-portable for the DuckDB oracles."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic stopword sets for the n-gram/stopword language heuristic
@@ -325,4 +325,43 @@ def boilerplate_block_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
             (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_dropped"),
         )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, round_to: int = 4) -> DataFrame:
+    """Per-doc top-k TF-IDF terms — the keyword-extraction staple:
+    score = tf(term, doc) * ln(N / df(term)).  Returns (doc_id, term,
+    score, rk) with a full deterministic tie-break (score desc, term asc).
+
+    Scale shape: explode → per-(doc, term) count (one shuffle, map-side
+    combine) → per-term document frequency (second agg on the term key) →
+    join (AQE picks broadcast when the vocab is small) → per-doc window
+    top-k.  N comes from a scalar subquery-style cross join of a 1-row
+    aggregate — never a driver collect.  ln() rounded to ``round_to`` so
+    the DuckDB oracle hash-matches the floats."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    terms = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(norm, " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.select(
+        F.countDistinct(F.col("doc_id").cast("long")).alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), round_to).alias(
+                "score"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
     )
