@@ -1708,6 +1708,39 @@ QUALIFY rk <= 3
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """Corpus-bigram LM quality score (CCNet perplexity-filter stand-in):
+    avg add-one-smoothed bigram log-prob per doc, integer-quantized mean."""
+    from .textstats import bigram_logprob_score
+
+    return bigram_logprob_score(_docs(spark, sf_dir))
+
+
+_SQL_LM_SCORE = """
+WITH w AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[u.i + 1] AS w1, w[u.i + 2] AS w2
+  FROM w, unnest(generate_series(0, len(w) - 2)) AS u(i)
+  WHERE len(w) >= 2
+),
+bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY w1, w2),
+ug AS (SELECT unnest(w) AS w1 FROM w),
+ugc AS (SELECT w1, count(*) AS c_ug FROM ug WHERE w1 <> '' GROUP BY w1),
+v AS (SELECT count(DISTINCT w1) AS v FROM ug WHERE w1 <> ''),
+lp AS (
+  SELECT doc_id,
+         CAST(round(ln((c_bg + 1) / CAST(c_ug + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+  FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1), v
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1000000.0), 4) AS avg_logprob
+FROM lp GROUP BY doc_id
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -1752,6 +1785,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
         "tfidf_terms": q_tfidf_terms,
+        "lm_score": q_lm_score,
         "topk_per_group": q_topk_per_group,
         "length_percentiles": q_length_percentiles,
         "block_dedup": q_block_dedup,
@@ -1799,6 +1833,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "fingerprint": _SQL_FINGERPRINT,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "tfidf_terms": _SQL_TFIDF_TERMS,
+        "lm_score": _SQL_LM_SCORE,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "length_percentiles": _SQL_LENGTH_PERCENTILES,
         "block_dedup": _SQL_BLOCK_DEDUP,

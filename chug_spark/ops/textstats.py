@@ -365,3 +365,64 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, round_to: int = 4) -> DataFrame
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def bigram_logprob_score(docs: DataFrame, round_to: int = 4) -> DataFrame:
+    """CCNet-style LM quality score without an external model: train a
+    corpus bigram model in-plan (counts with add-one smoothing) and score
+    each doc by its average bigram log-probability — low scores flag
+    gibberish/outlier documents exactly the way a KenLM perplexity filter
+    does, with the corpus itself as the model.
+
+    score(doc) = mean over bigrams (w1 w2) of
+                 ln( (c(w1 w2) + 1) / (c(w1) + V) )
+    with V = distinct unigram count.  Returns (doc_id, n_bigrams,
+    avg_logprob) with the average computed over exact integer counts and
+    rounded — engine-portable.
+
+    Scale shape: two keyed aggregations (bigram counts, unigram counts —
+    map-side combine, shuffle volume = vocab), joins back on the bigram
+    (AQE decides), one final per-doc mean.  No driver collect; V and the
+    model live in the plan."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    words = F.split(norm, " ")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("w"))
+    bigrams = base.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.struct(
+                    F.get(F.col("w"), i).alias("w1"),
+                    F.get(F.col("w"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    unigrams = base.select(F.explode("w").alias("w1")).filter(F.col("w1") != "")
+    ug_counts = unigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ug"))
+    vocab = unigrams.select(F.countDistinct("w1").alias("v"))
+
+    # per-bigram log-probs are quantized to integer micro-nats BEFORE the
+    # mean: integer sums are associative, so the average is bit-identical
+    # at any parallelism and in any engine (a double mean is order-dependent
+    # in its last bits)
+    scored = (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(ug_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c_bg") + 1) / (F.col("c_ug") + F.col("v"))) * 1_000_000
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.round(F.sum("lp_micro") / (F.count(F.lit(1)) * 1_000_000.0), round_to).alias(
+            "avg_logprob"
+        ),
+    )
