@@ -196,3 +196,28 @@ def text_input_to_target(
         masked,
         lambda x, i: F.when(i <= end_pos, F.lit(ignore_id)).otherwise(x),
     )
+
+
+def canonical_url(url):
+    """Canonicalize a URL for dedup (the first dedup layer of every web
+    corpus): lowercase scheme+host, strip default ports and fragments, drop
+    tracking params (utm_*, fbclid, gclid, ref), sort surviving query params,
+    trim trailing slash on the path.  Pure regex/HOF Column math — map-only,
+    engine-portable (DuckDB twin in the driver oracle)."""
+    base = F.regexp_replace(url, r"#.*$", "")           # fragment
+    head = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(base, F.length(head) + 1, 1_000_000)
+    head = F.lower(head)
+    head = F.regexp_replace(head, r":80$|:443$", "")    # default ports
+    # trailing-slash trim ('(.)/$' keeps a bare '/' path intact)
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"(.)/$", "$1")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        head, path, F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+    )

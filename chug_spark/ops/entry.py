@@ -1741,6 +1741,105 @@ FROM lp GROUP BY doc_id
 """
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + dedup (web corpora's first dedup layer):
+    deterministic messy URLs synthesized per doc (mixed-case host, default
+    port, trailing slash, tracking params, fragment), canonicalized with
+    pure Column regex/HOF math, grouped.  Oracle reproduces synthesis AND
+    canonicalization."""
+    from pyspark.sql import functions as F
+
+    from ..functions import canonical_url
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    url = F.concat(
+        F.lit("HTTPS://Src"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), (F.col("doc_id") % 25).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&ref=home")).otherwise(F.lit("")),
+        F.lit("#sec"),
+    )
+    return (
+        d.select("doc_id", canonical_url(url).alias("canon"))
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_urls"),
+             F.min("doc_id").alias("first_doc"))
+    )
+
+
+_SQL_URL_DEDUP = r"""
+WITH g AS (
+  SELECT doc_id,
+         'HTTPS://Src' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM'
+         || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+         || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+         || '?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '&ref=home' ELSE '' END
+         || '#sec' AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS base FROM g
+),
+h AS (
+  SELECT doc_id, base,
+         regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head0
+  FROM c
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(lower(head0), ':80$|:443$', '') AS head,
+         substr(base, length(head0) + 1) AS rest
+  FROM h
+),
+canon AS (
+  SELECT doc_id,
+         head
+         || regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '(.)/$', '\1')
+         || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon
+  FROM (
+    SELECT doc_id, head, rest,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+             '&') AS qs
+    FROM parts
+  )
+)
+SELECT canon, CAST(count(*) AS INT) AS n_urls, min(doc_id) AS first_doc
+FROM canon GROUP BY canon
+"""
+
+
+def q_chunking(spark, sf_dir):
+    """Overlapping context-window chunking: 24-word windows, stride 16."""
+    from .textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_words=24, stride=16)
+
+
+_SQL_CHUNKING = """
+WITH w AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+n AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= 24 THEN 1
+              ELSE CAST(ceil((len(w) - 24) / 16.0) AS INT) + 1 END AS n_chunks
+  FROM w
+)
+SELECT doc_id, u.i AS chunk_idx, u.i * 16 AS start_word,
+       CAST(len(list_slice(w, u.i * 16 + 1, u.i * 16 + 24)) AS INT) AS n_words,
+       array_to_string(list_slice(w, u.i * 16 + 1, u.i * 16 + 24), ' ') AS chunk_text
+FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -1748,6 +1847,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_train": q_media_train,
         "aug_schedule": q_aug_schedule,
         "dedup_exact": q_dedup_exact,
+        "url_dedup": q_url_dedup,
         "substring_spans": q_substring_spans,
         "substring_cut": q_substring_cut,
         "minhash_pairs": q_minhash_pairs,
@@ -1776,6 +1876,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_keep": q_curation_keep,
         "curation_sampled": q_curation_sampled,
         "token_count": q_token_count,
+        "chunking": q_chunking,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -1797,6 +1898,7 @@ def ops_oracle_sql() -> dict[str, str]:
     return {
         "aug_schedule": _aug_schedule_sql(),
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "url_dedup": _SQL_URL_DEDUP,
         "substring_spans": _SQL_SUBSTRING_SPANS,
         "substring_cut": _SQL_SUBSTRING_CUT,
         "minhash_pairs": _minhash_pairs_sql(bands=8, max_bucket_size=64),
@@ -1824,6 +1926,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "curation_keep": _curation_sql(),
         "curation_sampled": _curation_sampled_sql(),
         "token_count": _SQL_TOKEN_COUNT,
+        "chunking": _SQL_CHUNKING,
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "gopher_filter": _SQL_GOPHER_FILTER,

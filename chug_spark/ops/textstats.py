@@ -426,3 +426,38 @@ def bigram_logprob_score(docs: DataFrame, round_to: int = 4) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_words: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping fixed-window chunking — the context-window prep step of a
+    training pipeline: windows of ``chunk_words`` words starting every
+    ``stride`` words (overlap = chunk-stride), last window shortened, docs
+    shorter than a window become one chunk.  Pure HOF math, map-only, one
+    output row per chunk: (doc_id, chunk_idx, start_word, n_words,
+    chunk_text)."""
+    assert 0 < stride <= chunk_words
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    words = F.split(norm, " ")
+    n = F.size(words)
+    n_chunks = F.when(
+        n <= chunk_words, F.lit(1)
+    ).otherwise(F.ceil((n - chunk_words) / stride).cast("int") + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * stride).alias("start_word"),
+            F.slice(words, i * stride + 1, chunk_words).alias("w"),
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "c"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("c.start_word").alias("start_word"),
+        F.size("c.w").cast("int").alias("n_words"),
+        F.array_join("c.w", " ").alias("chunk_text"),
+    )
