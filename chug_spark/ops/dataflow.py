@@ -54,3 +54,30 @@ def stratified_sample(
     for stratum, f in sorted(fractions.items()):
         frac = F.when(F.col(key) == stratum, F.lit(f)).otherwise(frac)
     return docs.filter(u < frac)
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the LARGE side's key with
+    pmod(xxhash64(all columns), salt) and explode the SMALL side ×salt, so
+    one hot key's rows spread over ``salt`` reducers instead of one
+    straggler task.  The manual fallback for engines/paths where AQE
+    skew-join can't kick in (e.g. a skewed key feeding a window, or
+    pre-AQE Spark); cost = small side replicated ×salt (keep salt modest).
+
+    Same rows as ``large.join(small, key, how)`` for inner/left joins."""
+    from pyspark.sql import functions as F
+
+    lcols = [c for c in large.columns]
+    l_salted = large.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))
+    )
+    s_salted = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_salted.join(s_salted, [key, "_salt"], how).drop("_salt")

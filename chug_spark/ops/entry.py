@@ -1840,6 +1840,101 @@ FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """One-row corpus health report: doc/vocab counts, exact-dup rate,
+    language mix entropy (integer micro-nats), mean quality flags - the
+    dashboard numbers a curation run prints. All-exact arithmetic."""
+    from pyspark.sql import functions as F
+
+    from .dedup import normalize_text
+
+    d = _docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    words = F.split(norm, " ")
+    per_doc = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("fp"),
+        F.size(words).alias("n_words"),
+        "lang",
+    )
+    uniq = per_doc.agg(F.countDistinct("fp").alias("n_unique")).crossJoin(
+        per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.min("n_words").alias("min_words"),
+            F.max("n_words").alias("max_words"),
+            F.countDistinct("lang").cast("int").alias("n_langs"),
+        )
+    )
+    vocab = d.select(F.explode(words).alias("w")).filter(F.col("w") != "").agg(
+        F.countDistinct("w").alias("vocab")
+    )
+    # language-mix entropy in integer micro-nats: sum over langs of
+    # -c/N * ln(c/N), each term quantized before the (exact) integer sum;
+    # N joins in as a broadcast 1-row aggregate (no driver collect)
+    lang_counts = per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    n_row = per_doc.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    ent = (
+        lang_counts.crossJoin(F.broadcast(n_row))
+        .select(
+            F.round(
+                -(F.col("c") / F.col("nn")) * F.log(F.col("c") / F.col("nn"))
+                * 1_000_000
+            ).cast("long").alias("t")
+        )
+        .agg(F.sum("t").alias("lang_entropy_micro"))
+    )
+    return (
+        uniq.crossJoin(vocab)
+        .crossJoin(ent)
+        .select(
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_exact_dups"),
+            "total_words",
+            "min_words",
+            "max_words",
+            "vocab",
+            "n_langs",
+            "lang_entropy_micro",
+        )
+    )
+
+
+_SQL_CORPUS_REPORT = """
+WITH per_doc AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_words,
+         lang
+  FROM documents
+),
+agg AS (
+  SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+         sum(n_words) AS total_words, min(n_words) AS min_words,
+         max(n_words) AS max_words, CAST(count(DISTINCT lang) AS INT) AS n_langs
+  FROM per_doc
+),
+vocab AS (
+  SELECT count(DISTINCT w) AS vocab
+  FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+lc AS (SELECT lang, count(*) AS c FROM per_doc GROUP BY lang),
+ent AS (
+  SELECT sum(CAST(round(-(c / CAST(agg.n_docs AS DOUBLE))
+                        * ln(c / CAST(agg.n_docs AS DOUBLE)) * 1000000) AS BIGINT))
+           AS lang_entropy_micro
+  FROM lc, agg
+)
+SELECT agg.n_docs, agg.n_unique, agg.n_docs - agg.n_unique AS n_exact_dups,
+       agg.total_words, agg.min_words, agg.max_words,
+       vocab.vocab, agg.n_langs, ent.lang_entropy_micro
+FROM agg, vocab, ent
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -1882,6 +1977,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
         "quality_score": q_quality_score,
+        "corpus_report": q_corpus_report,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
@@ -1932,6 +2028,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "gopher_filter": _SQL_GOPHER_FILTER,
         "pii_scrub": _SQL_PII_SCRUB,
         "quality_score": _SQL_QUALITY_SCORE,
+        "corpus_report": _SQL_CORPUS_REPORT,
         "lang_id": _SQL_LANG_ID,
         "fingerprint": _SQL_FINGERPRINT,
         "vocab_topk": _SQL_VOCAB_TOPK,

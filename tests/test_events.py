@@ -198,3 +198,31 @@ def test_sessionize_presplit_equals_plain(spark):
     # the continuous run is exactly one session despite crossing chunks
     u7 = [k for k in plain if k[0] == 7]
     assert len(u7) == 1 and plain[u7[0]][2] == 30 * 60
+
+
+def test_salted_join_balances_hot_key(spark):
+    """salted_join returns exactly the plain join's rows, and the hot key's
+    rows actually spread across salt buckets (the skew fix it exists for)."""
+    from pyspark.sql import functions as F
+
+    from chug_spark.ops.dataflow import salted_join
+
+    # 10k rows on ONE hot key + 100 spread over others
+    large = spark.createDataFrame(
+        [(0, i) for i in range(10_000)] + [(k, -k) for k in range(1, 101)],
+        ["k", "payload"],
+    )
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(101)], ["k", "dim"])
+    got = salted_join(large, small, "k")
+    want = large.join(small, "k")
+    assert got.count() == want.count() == 10_100
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # the hot key's rows occupy all salt buckets (balance, not cosmetics)
+    salted = large.withColumn(
+        "_salt", F.pmod(F.xxhash64("k", "payload"), F.lit(8))
+    ).filter(F.col("k") == 0)
+    n_buckets = salted.select("_salt").distinct().count()
+    assert n_buckets == 8
+    counts = [r["n"] for r in salted.groupBy("_salt").agg(F.count("*").alias("n")).collect()]
+    assert max(counts) < 10_000 * 0.25  # no bucket holds the bulk
