@@ -1935,6 +1935,50 @@ FROM agg, vocab, ent
 """
 
 
+def q_minhash_recall(spark, sf_dir):
+    """LSH quality gauge for text dedup (the analogue of ann_recall): how
+    many of the exact capped-Jaccard pairs at the threshold does the
+    MinHash-LSH + verify path recover?  One row: n_exact, n_lsh, n_hit,
+    recall_bp (basis points - integer, engine-exact)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import minhash_jaccard_verified, ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    exact = ngram_jaccard_pairs(d, shingle_n=3, threshold=0.12,
+                                max_shingle_df=64).select("doc_a", "doc_b")
+    lsh = minhash_jaccard_verified(d, bands=8, shingle_n=3, threshold=0.12,
+                                   max_bucket_size=64).select("doc_a", "doc_b")
+    hits = exact.join(lsh, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hits)
+        .select(
+            F.col("n_exact").cast("int").alias("n_exact"),
+            F.col("n_lsh").cast("int").alias("n_lsh"),
+            F.col("n_hit").cast("int").alias("n_hit"),
+            F.floor(F.col("n_hit") * 10000 / F.greatest(F.col("n_exact"), F.lit(1)))
+            .cast("int").alias("recall_bp"),
+        )
+    )
+
+
+def _minhash_recall_sql() -> str:
+    return f"""
+WITH exact_pairs AS ({_SQL_NGRAM_JACCARD}),
+lsh_pairs AS ({_minhash_verified_sql(bands=8, max_bucket_size=64)}),
+e AS (SELECT doc_a, doc_b FROM exact_pairs),
+l AS (SELECT doc_a, doc_b FROM lsh_pairs),
+h AS (SELECT count(*) AS n_hit FROM e JOIN l USING (doc_a, doc_b))
+SELECT CAST((SELECT count(*) FROM e) AS INT) AS n_exact,
+       CAST((SELECT count(*) FROM l) AS INT) AS n_lsh,
+       CAST(h.n_hit AS INT) AS n_hit,
+       CAST(floor(h.n_hit * 10000 / greatest((SELECT count(*) FROM e), 1)) AS INT) AS recall_bp
+FROM h
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -1947,6 +1991,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_cut": q_substring_cut,
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
+        "minhash_recall": q_minhash_recall,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1999,6 +2044,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "substring_cut": _SQL_SUBSTRING_CUT,
         "minhash_pairs": _minhash_pairs_sql(bands=8, max_bucket_size=64),
         "minhash_verified": _minhash_verified_sql(bands=8, max_bucket_size=64),
+        "minhash_recall": _minhash_recall_sql(),
         "simhash": _SQL_SIMHASH,
         "simhash_pairs": _SQL_SIMHASH_PAIRS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
