@@ -36,7 +36,9 @@ from .ops.dedup import (
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
 )
+from .ops.decontam import decontaminate
 from .ops.events import asof_attach_last_mark, sessionize, sessionize_presplit
+from .ops.packing import pack_sequences
 from .ops.html import html_main_content
 from .ops.similarity import (
     ann_recall_at_k,
@@ -103,6 +105,9 @@ __all__ = [
     "kmeans_centroids",
     "semantic_pairs",
     "quantize_embeddings_int8",
+    # curation: decontamination / packing
+    "decontaminate",
+    "pack_sequences",
     # curation: text stats
     "token_count",
     "quality_score",

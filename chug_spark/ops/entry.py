@@ -1935,6 +1935,74 @@ FROM agg, vocab, ent
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 5-gram with a
+    deterministic held-out eval slice (doc_id % 10 == 7) of the corpus."""
+    from pyspark.sql import functions as F
+
+    from .decontam import decontaminate
+
+    d = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 10 == 7
+    return decontaminate(d.filter(~is_eval), d.filter(is_eval), n=5)
+
+
+_SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, u.i + 1, u.i + 5), ' ') AS gram
+  FROM w, unnest(generate_series(0, len(w) - 5)) AS u(i)
+  WHERE len(w) >= 5
+),
+eval_grams AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 10 = 7),
+train AS (SELECT doc_id, gram FROM dg WHERE doc_id % 10 <> 7),
+tg AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM train t JOIN eval_grams e USING (gram)
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, CAST(h.n_hits AS INT) AS n_hits, CAST(tg.n_grams AS INT) AS n_grams,
+       CAST((h.n_hits * 10000) // tg.n_grams AS INT) AS hit_bp
+FROM hits h JOIN tg USING (doc_id)
+"""
+
+
+def q_seq_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 64-token contexts: per-doc
+    stream placement via a distributed prefix sum (no global window)."""
+    from .packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), window=64)
+
+
+_SQL_SEQ_PACK = r"""
+WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+         CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
+              ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+         END AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY ord_key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM t WHERE n_tok > 0
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok, start_tok,
+       CAST(start_tok // 64 AS INT) AS first_pack,
+       CAST((start_tok + n_tok - 1) // 64 AS INT) AS last_pack,
+       CAST((start_tok + n_tok - 1) // 64 - start_tok // 64 + 1 AS INT) AS n_packs
+FROM p
+"""
+
+
 def q_minhash_recall(spark, sf_dir):
     """LSH quality gauge for text dedup (the analogue of ann_recall): how
     many of the exact capped-Jaccard pairs at the threshold does the
@@ -2017,6 +2085,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sampled": q_curation_sampled,
         "token_count": q_token_count,
         "chunking": q_chunking,
+        "decontaminate": q_decontaminate,
+        "seq_pack": q_seq_pack,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -2069,6 +2139,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "curation_sampled": _curation_sampled_sql(),
         "token_count": _SQL_TOKEN_COUNT,
         "chunking": _SQL_CHUNKING,
+        "decontaminate": _SQL_DECONTAMINATE,
+        "seq_pack": _SQL_SEQ_PACK,
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "gopher_filter": _SQL_GOPHER_FILTER,

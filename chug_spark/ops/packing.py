@@ -1,0 +1,87 @@
+"""Sequence packing for training prep: concatenate documents in a
+deterministic shuffled order and chunk the token stream into fixed
+context windows (the "concat-and-chunk" packing every GPT-style trainer
+performs before batching).  Output is the per-doc placement manifest:
+where each doc lands in the global token stream and which packs it
+spans.
+
+The only global structure needed is an exclusive prefix sum of token
+counts over the shuffled order — computed distributed, never through a
+single-partition window:
+
+1. order key = md5(doc_id); its first two hex chars are the range
+   bucket (256 uniform buckets), so ordering by the key equals ordering
+   by (bucket, key) and the in-bucket cumsum parallelizes across 256
+   independent window partitions.
+2. bucket offsets come from a 256-row aggregate — the one sequential
+   window runs over a constant-size table, independent of corpus size —
+   and join back in as a broadcast.
+
+At 10^12 docs each bucket holds ~N/256 rows and the per-bucket window
+sort is the same cost as any keyed shuffle; nothing on the plan grows
+superlinearly and nothing funnels through one task.
+
+No counterpart in the reference (it stops at per-sample tensors); this
+is part of the beyond-reference training-prep suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+N_BUCKETS = 256  # md5 first-byte range buckets; constant, not data-dependent
+
+
+def pack_sequences(docs: DataFrame, window: int = 512) -> DataFrame:
+    """Placement manifest for concat-and-chunk packing into ``window``-token
+    contexts: ``doc_id, n_tok, start_tok, first_pack, last_pack, n_packs``.
+
+    Tokens = whitespace tokens of the normalized text (swap in
+    ``bpe_token_count``'s regex upstream for BPE-ish counts).  Empty docs
+    are dropped — they occupy no stream positions.
+    """
+    norm = normalize_text(F.col("text"))
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    toks = toks.withColumn(
+        "bucket", F.conv(F.substring("ord_key", 1, 2), 16, 10).cast("int")
+    )
+
+    in_bucket = Window.partitionBy("bucket").orderBy("ord_key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cum = toks.withColumn("cum_in_bucket", F.sum("n_tok").over(in_bucket))
+
+    bucket_tot = toks.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    # constant-size (<= 256 rows) sequential window: exclusive bucket offsets
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("btot").over(off_w), F.lit(0)).alias("offset")
+    )
+
+    placed = with_cum.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tok",
+        (F.col("offset") + F.col("cum_in_bucket") - F.col("n_tok")).alias("start_tok"),
+    )
+    # integer div throughout: exact and engine-identical (no float floor)
+    return placed.select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.expr(f"cast(start_tok div {window} as int)").alias("first_pack"),
+        F.expr(f"cast((start_tok + n_tok - 1) div {window} as int)").alias("last_pack"),
+        F.expr(
+            f"cast((start_tok + n_tok - 1) div {window} - start_tok div {window}"
+            " + 1 as int)"
+        ).alias("n_packs"),
+    )

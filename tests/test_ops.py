@@ -527,3 +527,55 @@ def test_exact_substring_dedup_cut_keeps_canonical(spark):
     assert out[1] == (passage + " " + u(1, 6), 0)
     assert out[2] == (u(2, 4), 12)
     assert out[3] == (u(3, 15), 0)
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from chug_spark.ops.decontam import decontaminate
+
+    shared = "one two three four five"
+    docs = _docs(
+        spark,
+        [
+            f"intro words then {shared} closing words here",  # train: contaminated
+            "totally different text with no overlap at all whatsoever",  # train: clean
+            f"the eval question is {shared} exactly",  # eval
+        ],
+    )
+    out = decontaminate(
+        docs.filter(F.col("doc_id") < 2), docs.filter(F.col("doc_id") == 2), n=5
+    ).collect()
+    assert [r["doc_id"] for r in out] == [0]
+    r = out[0]
+    # doc 0 has 11 words -> 7 distinct 5-grams; exactly 1 is shared
+    assert r["n_hits"] == 1 and r["n_grams"] == 7 and r["hit_bp"] == 10000 // 7
+
+
+def test_pack_sequences_matches_python_prefix_sum(spark):
+    import hashlib
+
+    from chug_spark.ops.packing import pack_sequences
+
+    texts = [f"{'w ' * (i % 7 + 1)}end" for i in range(40)] + ["", "   "]
+    docs = _docs(spark, texts)
+    out = {r["doc_id"]: r for r in pack_sequences(docs, window=8).collect()}
+
+    # independent oracle: md5-ordered exclusive prefix sum
+    toks = {
+        i: len(" ".join(t.lower().split()).split(" "))
+        for i, t in enumerate(texts)
+        if t.strip()
+    }
+    order = sorted(toks, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    start, expect = 0, {}
+    for i in order:
+        expect[i] = (toks[i], start, start // 8, (start + toks[i] - 1) // 8)
+        start += toks[i]
+    assert set(out) == set(expect)  # empty docs dropped
+    for i, (n_tok, st, fp, lp) in expect.items():
+        r = out[i]
+        assert (r["n_tok"], r["start_tok"], r["first_pack"], r["last_pack"]) == (
+            n_tok, st, fp, lp,
+        )
+        assert r["n_packs"] == lp - fp + 1
+    # the stream is contiguous: total tokens == final cursor
+    assert sum(r["n_tok"] for r in out.values()) == start
