@@ -35,6 +35,7 @@ from .ops.dedup import (
     minhash_jaccard_verified,
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
+    snapshot_dedup,
 )
 from .ops.decontam import decontaminate
 from .ops.events import asof_attach_last_mark, sessionize, sessionize_presplit
@@ -97,6 +98,7 @@ __all__ = [
     "connected_components_star",
     "dedup_keep_representative",
     "boilerplate_block_dedup",
+    "snapshot_dedup",
     # curation: similarity
     "cosine_pairs_threshold",
     "knn_topk_exact",

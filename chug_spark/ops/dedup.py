@@ -667,3 +667,53 @@ def exact_substring_dedup_cut(
         F.array_join(F.transform(keep, lambda s: s["word"]), " ").alias("clean_text"),
         (F.size("w") - F.size(keep)).cast("int").alias("n_words_cut"),
     )
+
+
+def snapshot_dedup(
+    new_docs: DataFrame, old_docs: DataFrame, bands: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Incremental (snapshot-vs-corpus) dedup: flag each new-batch doc as an
+    exact duplicate (normalized-text fingerprint already present in the
+    corpus) and/or a near-duplicate candidate (any MinHash band signature
+    collides with a corpus signature), the keep/drop decision a crawler
+    applies before appending a new snapshot to the corpus.
+
+    Scale shape: both corpus sides reduce to DISTINCT key sets
+    (fingerprints; (band, sig) pairs — one row per doc per band) before the
+    joins, and every join is a keyed semi-join that only *flags* new rows —
+    no pair expansion anywhere, so hot buckets cost their row count, never
+    size².  In production the corpus key sets are the persisted dedup index
+    (written once per snapshot, not recomputed); computing them inline here
+    keeps the query self-contained.
+    """
+    fp = F.md5(normalize_text(F.col("text")))
+    old_fp = old_docs.select(fp.alias("fingerprint")).distinct()
+    base = new_docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fingerprint")
+    )
+    exact = base.join(old_fp, "fingerprint", "left_semi").select(
+        "doc_id", F.lit(1).alias("exact_dup")
+    )
+    old_sigs = minhash_signatures(old_docs, bands, shingle_n).select(
+        "band", "sig"
+    ).distinct()
+    near = (
+        minhash_signatures(new_docs, bands, shingle_n)
+        .join(old_sigs, ["band", "sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", F.lit(1))
+    )
+    return (
+        base.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(0)).cast("int").alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(0)).cast("int").alias("near_dup"),
+        )
+        .withColumn(
+            "keep", ((F.col("exact_dup") + F.col("near_dup")) == 0).cast("int")
+        )
+    )

@@ -2003,6 +2003,68 @@ FROM p
 """
 
 
+def q_snapshot_dedup(spark, sf_dir):
+    """Incremental crawl dedup: the deterministic 'new snapshot' slice
+    (doc_id % 5 == 4) flagged against the existing corpus (the rest) by
+    exact fingerprint and MinHash-band collision."""
+    from pyspark.sql import functions as F
+
+    from .dedup import snapshot_dedup
+
+    d = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 4
+    return snapshot_dedup(d.filter(is_new), d.filter(~is_new), bands=8, shingle_n=3)
+
+
+def _snapshot_dedup_sql(bands: int = 8) -> str:
+    """Signature CTE generated from the SAME permutation constants as the
+    Spark plan (dedup.minhash_perm_constants) — no drift possible."""
+    from .dedup import MINHASH_P, minhash_perm_constants
+
+    values = ", ".join(
+        f"({b}, {a}, {c})" for b, (a, c) in enumerate(minhash_perm_constants(bands))
+    )
+    return f"""
+{_SHINGLES_CTE},
+hs AS (
+  SELECT doc_id,
+         list_transform(sh, x ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1 AS BIGINT))),
+             (a, b) -> a * 16 + b) % {MINHASH_P}) AS hs
+  FROM s WHERE len(sh) > 0
+),
+consts(band, ca, cc) AS (VALUES {values}),
+sig AS (
+  SELECT doc_id, band,
+         list_min(list_transform(hs, h -> (ca * h + cc) % {MINHASH_P})) AS sig
+  FROM hs, consts
+),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+new_docs AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 4),
+old_fp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 4),
+exact AS (SELECT doc_id FROM new_docs WHERE fp IN (SELECT fp FROM old_fp)),
+old_sig AS (SELECT DISTINCT band, sig FROM sig WHERE doc_id % 5 <> 4),
+near AS (
+  SELECT DISTINCT g.doc_id
+  FROM sig g JOIN old_sig o USING (band, sig)
+  WHERE g.doc_id % 5 = 4
+)
+SELECT n.doc_id,
+       CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
+       CAST(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS near_dup,
+       CAST(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+         AS keep
+FROM new_docs n
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near nr USING (doc_id)
+"""
+
+
 def q_minhash_recall(spark, sf_dir):
     """LSH quality gauge for text dedup (the analogue of ann_recall): how
     many of the exact capped-Jaccard pairs at the threshold does the
@@ -2087,6 +2149,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking": q_chunking,
         "decontaminate": q_decontaminate,
         "seq_pack": q_seq_pack,
+        "snapshot_dedup": q_snapshot_dedup,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -2141,6 +2204,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "chunking": _SQL_CHUNKING,
         "decontaminate": _SQL_DECONTAMINATE,
         "seq_pack": _SQL_SEQ_PACK,
+        "snapshot_dedup": _snapshot_dedup_sql(bands=8),
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "gopher_filter": _SQL_GOPHER_FILTER,

@@ -579,3 +579,31 @@ def test_pack_sequences_matches_python_prefix_sum(spark):
         assert r["n_packs"] == lp - fp + 1
     # the stream is contiguous: total tokens == final cursor
     assert sum(r["n_tok"] for r in out.values()) == start
+
+
+def test_snapshot_dedup_flags_new_batch(spark):
+    from chug_spark.ops.dedup import snapshot_dedup
+
+    old = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog again today",
+            "unique old corpus content with several distinctive words here",
+        ],
+    )
+    base = "the quick brown fox jumps over the lazy dog again today"
+    new = spark.createDataFrame(
+        [
+            (10, base, "en", "src", 1),  # exact dup of old doc 0
+            (11, base.replace("today", "tomorrow"), "en", "src", 1),  # near dup
+            (12, "entirely novel text with no shared shingles anywhere", "en", "src", 1),
+            (13, "x y", "en", "src", 1),  # too short for shingles
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in snapshot_dedup(new, old).collect()}
+    assert set(out) == {10, 11, 12, 13}
+    assert (out[10]["exact_dup"], out[10]["near_dup"], out[10]["keep"]) == (1, 1, 0)
+    assert (out[11]["exact_dup"], out[11]["near_dup"], out[11]["keep"]) == (0, 1, 0)
+    assert (out[12]["exact_dup"], out[12]["near_dup"], out[12]["keep"]) == (0, 0, 1)
+    assert (out[13]["exact_dup"], out[13]["near_dup"], out[13]["keep"]) == (0, 0, 1)
