@@ -4,15 +4,18 @@ contamination check).  A training-data pipeline runs this before every
 release so eval numbers aren't inflated by test-set leakage.
 
 Shape (scale notes):
+- Gram generation is explode(sequence) + slice + concat_ws — regular
+  codegen-friendly expressions, NOT a higher-order-function lambda
+  (HOF lambdas run interpreted per element; measured ~2× slower here),
+  followed by one (doc_id, gram) distinct.  Volume is linear in corpus
+  tokens — the same volume every shingle-based dedup op here handles.
 - The eval side is a *benchmark* — megabytes, fixed size, independent of
   corpus size.  Its distinct n-gram set is therefore bounded, and the
   gram join is a classic small-side join; we leave the strategy to AQE
   (no forced broadcast hint) so a pathologically large eval set degrades
   to a shuffle join instead of an OOM.
-- The training side explodes to one row per distinct gram per doc —
-  linear in corpus tokens, the same volume every shingle-based dedup op
-  here already handles.  The join is a semi-join (gram hit set), then
-  one hash aggregation per doc.  No quadratic term anywhere.
+- One left join tags hits and one hash aggregation per doc computes both
+  the gram count and the hit count.  No quadratic term anywhere.
 
 No counterpart in the reference (extraction-focused); this is part of
 the beyond-reference curation suite the engine adds.
@@ -23,17 +26,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text, word_shingles
+from .dedup import normalize_text
+
+
+def doc_ngrams(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Distinct (doc_id, gram) word n-grams of the normalized text.
+    Docs shorter than n words contribute nothing (mirrors
+    ``dedup.word_shingles``)."""
+    words = F.split(normalize_text(F.col("text")), " ")
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.size("w") - n)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, n)).alias("gram"),
+        )
+        .distinct()
+    )
 
 
 def eval_ngram_set(eval_docs: DataFrame, n: int = 5) -> DataFrame:
     """Distinct word n-grams of the evaluation set: one `gram` column."""
-    return (
-        eval_docs.select(
-            F.explode(word_shingles(normalize_text(F.col("text")), n)).alias("gram")
-        )
-        .distinct()
-    )
+    return doc_ngrams(eval_docs, n).select("gram").distinct()
 
 
 def decontaminate(
@@ -47,24 +66,21 @@ def decontaminate(
     any parallelism).  Callers drop rows above a ``hit_bp`` threshold
     (GPT-3 used any-overlap at 13-grams; shorter docs want smaller n).
     """
-    grams = eval_ngram_set(eval_docs, n)
-    train = train_docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        word_shingles(normalize_text(F.col("text")), n).alias("shingles"),
-    ).select(
-        "doc_id",
-        F.size("shingles").alias("n_grams"),
-        F.explode("shingles").alias("gram"),
+    grams = eval_ngram_set(eval_docs, n).withColumn("hit", F.lit(1))
+    report = (
+        doc_ngrams(train_docs, n)
+        .join(grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("hit").cast("int").alias("n_hits"),
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+        )
+        .filter(F.col("n_hits") > 0)
     )
-    hits = (
-        train.join(grams, "gram", "left_semi")
-        .groupBy("doc_id", "n_grams")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
-    )
-    return hits.select(
+    return report.select(
         "doc_id",
         "n_hits",
-        F.col("n_grams").cast("int").alias("n_grams"),
+        "n_grams",
         # integer div: exact and engine-identical (no float floor edge cases)
         F.expr("cast((cast(n_hits as bigint) * 10000) div n_grams as int)").alias(
             "hit_bp"

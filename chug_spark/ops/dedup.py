@@ -107,24 +107,51 @@ def shingle_hash(s: Column) -> Column:
 
 def minhash_signatures(docs: DataFrame, bands: int = 8, shingle_n: int = 3) -> DataFrame:
     """Per-doc MinHash LSH signatures: for band b, sig = min over shingles of
-    (a_b * h(shingle) + c_b) mod p.  One row per (doc, band); no explode of
-    the shingle set — array_min(transform(...)) per band, zero shuffle before
-    the bucket join.  (HOF pass measured faster than explode→groupBy(min);
-    the single-md5 + integer-permutation scheme replaces 8 md5 passes.)"""
-    sh = word_shingles(F.col("text"), shingle_n)
-    consts = minhash_perm_constants(bands)
-    docs = docs.select(F.col("doc_id").cast("long").alias("doc_id"), sh.alias("sh"))
-    hashes = F.transform(F.col("sh"), shingle_hash)
-    docs = docs.filter(F.size("sh") > 0).select("doc_id", hashes.alias("hs"))
-    def perm(a: int, c: int):
-        # closure factory: Spark derives the HOF lambda arity from the Python
-        # signature, so the returned lambda must take exactly one argument
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(c), F.lit(MINHASH_P))
+    (a_b * h(shingle) + c_b) mod p.  One row per (doc, band).
 
-    band_sigs = F.array(
-        *[F.array_min(F.transform(F.col("hs"), perm(a, c))) for a, c in consts]
+    Shingles are generated with explode(sequence) + slice + concat_ws and
+    hashed with a plain md5 expression — regular codegen-friendly
+    expressions, NOT higher-order-function lambdas (HOF lambdas evaluate
+    interpreted per element; the previous zero-shuffle HOF formulation
+    measured 4.3 s vs 0.8 s for this one at sf0.1 — the groupBy(doc_id)
+    shuffle it buys is tiny because partial aggregation condenses to one
+    row per doc per map partition before the exchange).  min() is
+    duplicate-insensitive, so no per-doc distinct of the shingle set is
+    needed — signatures are bit-identical to the per-doc-distinct HOF
+    formulation (verified by exceptAll both ways).  The single-md5 +
+    integer-permutation scheme still replaces ``bands`` md5 passes."""
+    consts = minhash_perm_constants(bands)
+    words = F.split(F.col("text"), " ")
+    grams = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("w"))
+        .filter(F.size("w") >= shingle_n)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.size("w") - shingle_n)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, shingle_n)).alias(
+                "sh"
+            ),
+        )
+        .select("doc_id", shingle_hash(F.col("sh")).alias("h"))
     )
-    return docs.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+    per_doc = grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(c), F.lit(MINHASH_P))).alias(
+                f"_s{b}"
+            )
+            for b, (a, c) in enumerate(consts)
+        ]
+    )
+    return per_doc.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"_s{b}") for b in range(len(consts))])
+        ).alias("band", "sig"),
+    )
 
 
 def cap_buckets(df: DataFrame, keys: list[str], max_size: int) -> DataFrame:
@@ -313,12 +340,33 @@ def minhash_jaccard_verified(
     candidate PAIRS back to the per-doc shingle arrays and computes
     ``|A∩B| / |A∪B|`` with array_intersect per pair: cost is
     O(candidates × shingles-per-doc), independent of corpus-wide shingle
-    frequencies.  Integer-ratio math — bit-identical in any engine."""
-    sh = word_shingles(F.col("text"), shingle_n)
-    shingles = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), sh.alias("sh")
-    ).filter(F.size("sh") > 0)
+    frequencies.  Integer-ratio math — bit-identical in any engine.
+
+    The per-doc distinct-shingle arrays are built with codegen expressions
+    (explode(sequence) + slice + concat_ws, then collect_set) instead of
+    the interpreted ``word_shingles`` HOF lambda — only the intersection
+    and sizes are consumed, so array order is irrelevant and the sets are
+    value-identical.  Measured 6.1 s → 4.2 s at sf0.1 (min-of-2; the
+    remainder is the candidate-pair build plus the pair↔array joins)."""
     cand = minhash_candidate_pairs(docs, bands, shingle_n, max_bucket_size)
+    words = F.split(F.col("text"), " ")
+    shingles = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("w"))
+        .filter(F.size("w") >= shingle_n)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.size("w") - shingle_n)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, shingle_n)).alias(
+                "sh1"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh1").alias("sh"))
+    )
     joined = (
         cand.join(
             shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
@@ -510,13 +558,31 @@ def ngram_jaccard_pairs(
     stop-phrase would dominate the job at corpus scale).  Denominators keep
     the full shingle-set sizes, so the reported jaccard is a lower bound for
     pairs that shared a dropped shingle; at the default cap that only
-    affects boilerplate-heavy pairs whose signal is spurious anyway."""
-    sh = word_shingles(F.col("text"), shingle_n)
-    base = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), sh.alias("sh")
-    ).filter(F.size("sh") > 0)
-    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
-    exploded = base.select("doc_id", F.explode("sh").alias("shingle"))
+    affects boilerplate-heavy pairs whose signal is spurious anyway.
+
+    Distinct (doc_id, shingle) rows come from codegen expressions
+    (explode(sequence) + slice + concat_ws + distinct) rather than the
+    interpreted ``word_shingles`` HOF — which the old formulation also
+    evaluated twice (once for sizes, once for the explode).  Set sizes
+    derive from the same exploded rows, so values are identical."""
+    words = F.split(F.col("text"), " ")
+    exploded = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("w"))
+        .filter(F.size("w") >= shingle_n)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.size("w") - shingle_n)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, shingle_n)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         bucket_pairs(exploded, ["shingle"], max_shingle_df)
         .groupBy("doc_a", "doc_b")
