@@ -156,6 +156,13 @@ def main() -> int:
     timed("substring_cut",
           lambda: exact_substring_dedup_cut(docs_pq, window_words=10).count())
 
+    # q12-q14: training-prep ops (late round-3 additions)
+    from chug_spark.ops.entry import q_decontaminate, q_seq_pack, q_snapshot_dedup
+
+    timed("decontaminate", lambda: q_decontaminate(spark, SF_DIR).count())
+    timed("seq_pack", lambda: q_seq_pack(spark, SF_DIR).count())
+    timed("snapshot_dedup", lambda: q_snapshot_dedup(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
