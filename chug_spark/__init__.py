@@ -23,7 +23,7 @@ from .sources.mixing import cap_num_samples, split_source_specs, weighted_union
 from .sources.registry import read_source, register_mem_dataset, register_source
 from .sources import hf as _hf_source  # noqa: F401  (registers the hf:// scheme)
 from .checkpoint import read_output, write_with_checkpoint
-from .ops.dataflow import salted_join, stratified_sample
+from .ops.dataflow import salted_join, split_assign, stratified_sample
 from .ops.dedup import (
     connected_components,
     exact_substring_dedup_cut,
@@ -121,6 +121,7 @@ __all__ = [
     "sessionize_presplit",
     "asof_attach_last_mark",
     "stratified_sample",
+    "split_assign",
     "salted_join",
     # html extraction
     "html_main_content",

@@ -81,3 +81,29 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return l_salted.join(s_salted, [key, "_salt"], how).drop("_salt")
+
+
+def split_assign(
+    docs: DataFrame,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each doc's md5-derived
+    32-bit draw lands in [0, val_cut) → val, [val_cut, test_cut) → test,
+    else train.  Integer thresholds (no float compare), so the assignment
+    is exact, stable under reshuffles/re-partitioning, and identical in any
+    engine — the property a split MUST have so no doc ever migrates between
+    train and eval across pipeline runs.  Map-only, zero shuffle."""
+    m = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
+    draw = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    val_cut = int(val_frac * 2**32)
+    test_cut = val_cut + int(test_frac * 2**32)
+    split = (
+        F.when(draw < val_cut, F.lit("val"))
+        .when(draw < test_cut, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), split.alias("split")
+    )

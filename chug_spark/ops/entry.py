@@ -2065,6 +2065,37 @@ LEFT JOIN near nr USING (doc_id)
 """
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (5%/5%/90%)."""
+    from .dataflow import split_assign
+
+    return split_assign(_docs(spark, sf_dir), val_frac=0.05, test_frac=0.05)
+
+
+def _split_assign_sql(val_frac: float = 0.05, test_frac: float = 0.05) -> str:
+    """Thresholds computed from the SAME Python constants as the Spark plan."""
+    val_cut = int(val_frac * 2**32)
+    test_cut = val_cut + int(test_frac * 2**32)
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS m FROM documents
+),
+u AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 8),
+             i -> CAST(strpos('0123456789abcdef', substr(m, i, 1)) - 1 AS BIGINT))),
+           (a, b) -> a * 16 + b) AS draw
+  FROM d
+)
+SELECT doc_id,
+       CASE WHEN draw < {val_cut} THEN 'val'
+            WHEN draw < {test_cut} THEN 'test'
+            ELSE 'train' END AS split
+FROM u
+"""
+
+
 def q_minhash_recall(spark, sf_dir):
     """LSH quality gauge for text dedup (the analogue of ann_recall): how
     many of the exact capped-Jaccard pairs at the threshold does the
@@ -2150,6 +2181,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "seq_pack": q_seq_pack,
         "snapshot_dedup": q_snapshot_dedup,
+        "split_assign": q_split_assign,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -2205,6 +2237,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "seq_pack": _SQL_SEQ_PACK,
         "snapshot_dedup": _snapshot_dedup_sql(bands=8),
+        "split_assign": _split_assign_sql(),
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "gopher_filter": _SQL_GOPHER_FILTER,

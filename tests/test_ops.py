@@ -607,3 +607,24 @@ def test_snapshot_dedup_flags_new_batch(spark):
     assert (out[11]["exact_dup"], out[11]["near_dup"], out[11]["keep"]) == (0, 1, 0)
     assert (out[12]["exact_dup"], out[12]["near_dup"], out[12]["keep"]) == (0, 0, 1)
     assert (out[13]["exact_dup"], out[13]["near_dup"], out[13]["keep"]) == (0, 0, 1)
+
+
+def test_split_assign_deterministic_and_exclusive(spark):
+    import hashlib
+
+    from chug_spark.ops.dataflow import split_assign
+
+    docs = _docs(spark, [f"doc number {i} text" for i in range(200)])
+    out = {r["doc_id"]: r["split"] for r in
+           split_assign(docs, val_frac=0.1, test_frac=0.1).collect()}
+    assert set(out) == set(range(200))
+    # independent oracle: same md5 draw, integer thresholds
+    vc = int(0.1 * 2**32)
+    for i, s in out.items():
+        draw = int(hashlib.md5(f"split|{i}".encode()).hexdigest()[:8], 16)
+        expect = "val" if draw < vc else ("test" if draw < 2 * vc else "train")
+        assert s == expect
+    # reshuffling the input never moves a doc between splits
+    out2 = {r["doc_id"]: r["split"] for r in
+            split_assign(docs.repartition(13), val_frac=0.1, test_frac=0.1).collect()}
+    assert out2 == out
