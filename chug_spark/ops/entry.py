@@ -17,6 +17,22 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+#: Explicit events schema.  ``ts`` is stored as parquet timestamp[us] with
+#: isAdjustedToUTC=false; declaring it TIMESTAMP_NTZ here pins the read to
+#: the raw stored micros regardless of the session's
+#: ``spark.sql.parquet.inferTimestampNTZ.enabled`` / ``timestampType`` /
+#: ``session.timeZone`` settings — an LTZ read would shift the micros by the
+#: session zone and break bit-equality with the DuckDB oracle's epoch_us.
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _events(spark, sf_dir):
+    return spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -454,7 +470,7 @@ def q_events_window(spark, sf_dir):
 
     from ..streaming.windows import tumbling_counts
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return tumbling_counts(events, minutes=5).select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
@@ -1279,7 +1295,7 @@ def q_sessionize(spark, sf_dir):
     integer microseconds (engine-portable)."""
     from .events import sessionize
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return sessionize(events, gap_minutes=30)
 
 
@@ -1314,7 +1330,7 @@ def q_events_sliding(spark, sf_dir):
 
     from ..streaming.windows import sliding_counts
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return sliding_counts(events, width_minutes=10, hop_minutes=5).select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
@@ -1361,7 +1377,7 @@ def q_props_extract(spark, sf_dir):
     columns) and aggregate per event type."""
     from pyspark.sql import functions as F
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return (
         events.select(
             "event_type",
@@ -1393,7 +1409,7 @@ def q_sessionize_presplit(spark, sf_dir):
     rewrite is proven equal to the straightforward SQL formulation."""
     from .events import sessionize_presplit
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return sessionize_presplit(events, gap_minutes=30, split_hours=6)
 
 
@@ -1405,7 +1421,7 @@ def q_asof_join(spark, sf_dir):
     strategies must produce identical rows."""
     from .events import asof_attach_last_mark
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return asof_attach_last_mark(events, mark_type="error")
 
 
@@ -1497,10 +1513,23 @@ WHERE {u} < (CASE lang {cases} ELSE 0.0 END)
 
 def q_embed_quantize(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding column:
-    exact integer codes + rounded scale/error, map-only."""
+    exact integer codes + rounded scale/error, map-only.  The int8 code
+    array is serialized to a comma-joined string for the driver contract —
+    the driver's pandas canonicalizer cannot hash list cells (r3 red row);
+    the library API (`quantize_embeddings_int8`) still returns the array."""
+    from pyspark.sql import functions as F
+
     from .similarity import quantize_embeddings_int8
 
-    return quantize_embeddings_int8(_emb(spark, sf_dir))
+    q = quantize_embeddings_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        "scale_bp",
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("codes_csv"),
+        "max_abs_err_bp",
+    )
 
 
 _SQL_EMBED_QUANTIZE = """
@@ -1519,7 +1548,7 @@ q AS (
 )
 SELECT vec_id,
        round(scale * 10000, 4) AS scale_bp,
-       codes,
+       coalesce(array_to_string(codes, ','), '') AS codes_csv,
        round(list_max(list_transform(list_zip(v, codes),
              s -> abs(s[1] - CAST(s[2] AS DOUBLE) * scale))) * 10000, 4)
          AS max_abs_err_bp

@@ -2,7 +2,15 @@
 on Spark at a given SF and compare against oracle_sql() in DuckDB —
 row count, (sorted) column names, and an order-insensitive value hash.
 
-Usage: python tools/check_entry.py [sf_dir] [query ...]
+Usage: python tools/check_entry.py [--paranoid] [sf_dir] [query ...]
+
+--paranoid replays the sweep under an adversarial session environment —
+non-UTC session timezone, parquet NTZ inference disabled — and pushes every
+result through the driver's pandas canonicalization path (toPandas +
+sort_values over all columns).  Any query whose values depend on session
+config, or whose columns the pandas hasher cannot factorize (list cells),
+fails HERE instead of in the driver (r3 lesson: sessionize/embed_quantize
+were local-green, driver-red).
 """
 
 from __future__ import annotations
@@ -13,8 +21,10 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = [a for a in sys.argv[1:] if a != "--paranoid"]
+PARANOID = "--paranoid" in sys.argv[1:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -60,6 +70,12 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if PARANOID:
+        # Hostile-driver replica: results must be invariant to all of these.
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+        print("PARANOID session: TZ=America/New_York, inferTimestampNTZ=off")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -75,6 +91,12 @@ def main():
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
+            if PARANOID:
+                # Driver canonicalizer replica: toPandas + lexsort over all
+                # columns.  Raises TypeError on unhashable cells (lists) —
+                # exactly the r3 embed_quantize driver crash.
+                pdf = sdf.toPandas()
+                pdf.sort_values(by=list(pdf.columns), inplace=True, kind="mergesort")
         except Exception as exn:
             print(f"FAIL {name}: spark error {type(exn).__name__}: {exn}")
             failures += 1
