@@ -395,6 +395,84 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# S5: real .tar shard ingestion (binaryFile → tarfile expansion → adjacency
+# grouping, tariterators.py:28-67) over a deterministic fixture corpus
+# derived from the documents table
+# ---------------------------------------------------------------------------
+
+
+def q_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tar import build_fixture_corpus, read_tar_samples
+
+    corpus = build_fixture_corpus(spark, sf_dir)
+    samples = read_tar_samples(spark, corpus + "/*.tar")
+    s = F.explode("spans").alias("s")
+    return samples.select(
+        F.regexp_extract("shard", r"([^/]+)$", 1).alias("shard"),
+        "sample_no",
+        "doc_id",
+        s,
+    ).select(
+        "shard",
+        "sample_no",
+        "doc_id",
+        F.col("s")["offset"].alias("offset"),
+        F.col("s")["kind"].alias("kind"),
+        F.col("s")["text"].alias("text"),
+        F.col("s")["media_ref"].alias("media_ref"),
+    )
+
+
+# Rebuilds the fixture contract in SQL: docs in doc_id order round-robin over
+# 8 shards; per doc one sample [anno, media, text] plus (doc_id%10==0) a
+# duplicate-suffix split sample [text2]; sample_no = running per-shard index.
+_SQL_TAR_INGEST = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         row_number() OVER (ORDER BY doc_id) - 1 AS rn
+  FROM documents
+),
+base AS (
+  SELECT 's-' || CAST(doc_id AS VARCHAR) AS key,
+         CAST(rn % 8 AS BIGINT) AS shard_i, rn, doc_id, words,
+         (doc_id % 10 = 0) AS dup
+  FROM d
+),
+s AS (
+  SELECT key, shard_i, rn, doc_id, words, 0 AS sub FROM base
+  UNION ALL
+  SELECT key, shard_i, rn, doc_id, words, 1 FROM base WHERE dup
+),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard_i ORDER BY rn, sub) - 1
+            AS sample_no
+  FROM s
+)
+SELECT printf('shard-%05d.tar', shard_i) AS shard,
+       CAST(sample_no AS BIGINT) AS sample_no,
+       key AS doc_id, CAST(0 AS INT) AS "offset", 'anno' AS kind,
+       '{"k": ' || CAST(doc_id AS VARCHAR) || '}' AS text,
+       CAST(NULL AS VARCHAR) AS media_ref
+FROM numbered WHERE sub = 0
+UNION ALL
+SELECT printf('shard-%05d.tar', shard_i), CAST(sample_no AS BIGINT),
+       key, CAST(1 AS INT), 'media', CAST(NULL AS VARCHAR),
+       'sha256:' || sha256(md5(CAST(doc_id AS VARCHAR)))
+FROM numbered WHERE sub = 0
+UNION ALL
+SELECT printf('shard-%05d.tar', shard_i), CAST(sample_no AS BIGINT),
+       key, CAST(2 AS INT), 'text',
+       array_to_string(list_slice(words, 1, 4), ' '), CAST(NULL AS VARCHAR)
+FROM numbered WHERE sub = 0
+UNION ALL
+SELECT printf('shard-%05d.tar', shard_i), CAST(sample_no AS BIGINT),
+       key, CAST(0 AS INT), 'text',
+       array_to_string(list_slice(words, 5, 8), ' '), CAST(NULL AS VARCHAR)
+FROM numbered WHERE sub = 1
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "group_members": q_group_members,
@@ -406,6 +484,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_join": q_line_join,
         "target_mask": q_target_mask,
         "weighted_mix": q_weighted_mix,
+        "tar_ingest": q_tar_ingest,
     }
     from .ops.entry import ops_queries
 
@@ -424,6 +503,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "line_join": _SQL_LINE_JOIN,
         "target_mask": _SQL_TARGET_MASK,
         "weighted_mix": _SQL_WEIGHTED_MIX,
+        "tar_ingest": _SQL_TAR_INGEST,
     }
     from .ops.entry import ops_oracle_sql
 

@@ -178,6 +178,50 @@ def read_tar_samples(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def build_fixture_corpus(spark: SparkSession, sf_dir: str, n_shards: int = 8) -> str:
+    """Deterministic wds-shard fixture corpus derived from the driver's
+    ``documents`` table (no external data): per doc, members in tar order
+    ``s-<id>.json`` / ``s-<id>.pdf`` / ``s-<id>.txt`` (first 4 words), plus —
+    to exercise the reference edge cases — a duplicate ``.txt`` (words 5-8)
+    when ``doc_id % 10 == 0`` and an extension-less member when
+    ``doc_id % 7 == 0``.  Docs are round-robined over ``n_shards`` shards in
+    doc_id order.  Built once per (sf_dir, version) under the system temp
+    dir; the driver-side collect is fixture construction only — the measured
+    ingest path is the distributed reader."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(f"{sf_dir}|v1|{n_shards}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"chug_tar_fixture_{tag}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    samples = []
+    for r in docs:
+        did = str(r.doc_id)
+        words = r.text.split(" ")
+        members = [
+            (f"s-{did}.json", ('{"k": %s}' % did).encode()),
+            (f"s-{did}.pdf", hashlib.md5(did.encode()).hexdigest().encode()),
+            (f"s-{did}.txt", " ".join(words[0:4]).encode()),
+        ]
+        if r.doc_id % 10 == 0:
+            members.append((f"s-{did}.txt", " ".join(words[4:8]).encode()))
+        if r.doc_id % 7 == 0:
+            members.append((f"noext{did}", b"junk"))
+        samples.append((f"s-{did}", members))
+    write_tar_shards(samples, out_dir, n_shards=n_shards)
+    with open(marker, "w") as f:
+        f.write(str(len(samples)))
+    return out_dir
+
+
 def write_tar_shards(
     samples: list[tuple[str, list[tuple[str, bytes]]]],
     out_dir: str,
