@@ -33,7 +33,7 @@ from typing import Optional
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -274,35 +274,53 @@ def _prepare(docs: DataFrame, cfg: ExtractJobCfg) -> DataFrame:
     return df
 
 
-def extract_docread(
-    spark: SparkSession, docs: DataFrame, cfg: Optional[ExtractJobCfg] = None
-) -> tuple[DataFrame, DataFrame]:
-    """Run doc-read extraction.  Returns ``(spans_out, errors)``:
+def _raw_items(text_spans_col, cfg: ExtractJobCfg):
+    """raw input text spans as (anchor, sub, kind, text, media_ref) items"""
+    return F.transform(
+        text_spans_col,
+        lambda t: F.struct(
+            t["offset"].alias("anchor"),
+            F.lit(0).alias("sub"),
+            F.lit("text").alias("kind"),
+            (clean_text(t["text"]) if cfg.clean_text else t["text"]).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+        ),
+    )
 
-    - ``spans_out``: nested ``(doc_id, spans)`` with the output span contract —
-      per selected page k: a text span (lines joined by cfg.line_break,
-      doc_read_processor.py:121) then its paired media span, anchored at the
-      annotation's input position; raw input text spans pass through
-      (cleaned) at their own positions; offsets renumbered densely 0..n-1.
-    - ``errors``: (doc_id, stage, error) lineage rows for skipped documents
-      (continue-policy analogue of wds/helpers.py:41-68).
 
-    Documents that error at any stage contribute *no* output spans (the
-    reference's whole-sample skip).
+def _finish_items(items):
+    """sort by (anchor, sub) — leading struct fields, so the default
+    array_sort comparator applies — then dense-renumber offsets"""
+    return F.transform(
+        F.array_sort(items),
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
+def _extract_core(
+    spark: SparkSession, docs: DataFrame, cfg: ExtractJobCfg
+):
+    """Shared front of the extraction pipeline: branch probe + split,
+    per-branch derivation + page-sampling policy, payload chunking + decode
+    UDF.  Returns ``(pt_ok, pl_ok, policy_errors, decoded_ok,
+    decode_errors)``; the nested/flat assembly tails diverge from here.
     """
-    cfg = (cfg or ExtractJobCfg()).validate()
-
     # ---- cheap branch probe BEFORE any heavy work -------------------------
     # payload vs passthrough is decided from the first media span's ref
     # prefix alone (no json parse, no UDF), so each branch runs the heavy
     # derivation only over its own subset of rows; for a pure-passthrough
     # corpus the payload subtree filters everything out at the scan.
     #
-    # Deliberate trade-off: the two branches each scan the input (2× read)
+    # Deliberate trade-off: the two branches each scan the input (2x read)
     # instead of materializing a probe-tagged intermediate.  The probe is a
     # cheap columnar expression evaluated during the scan, while a shared
     # intermediate would cost a full-corpus shuffle or cache — infeasible at
-    # 10^12 docs — and would drag passthrough rows (zero-shuffle HOF path)
+    # 10^12 docs — and would drag passthrough rows (zero-shuffle path)
     # through the payload subtree's exchanges.  Scans are the cheap,
     # horizontally-scaling resource here; shuffles are not.
     _probe = F.coalesce(
@@ -361,67 +379,7 @@ def extract_docread(
     pl_ok, pl_errors = prepared(pl_in)
     policy_errors = pt_errors.unionByName(pl_errors)
 
-    def raw_items(text_spans_col):
-        """raw input text spans as (anchor, sub, kind, text, media_ref) items"""
-        return F.transform(
-            text_spans_col,
-            lambda t: F.struct(
-                t["offset"].alias("anchor"),
-                F.lit(0).alias("sub"),
-                F.lit("text").alias("kind"),
-                (clean_text(t["text"]) if cfg.clean_text else t["text"]).alias("text"),
-                F.lit(None).cast("string").alias("media_ref"),
-            ),
-        )
-
-    def finish_items(items):
-        """sort by (anchor, sub) — leading struct fields, so the default
-        array_sort comparator applies — then dense-renumber offsets"""
-        return F.transform(
-            F.array_sort(items),
-            lambda s, i: F.struct(
-                s["kind"].alias("kind"),
-                s["text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-                i.cast("int").alias("offset"),
-            ),
-        )
-
-    # ---------------- passthrough branch: one projection, ZERO shuffle -------
-    # pre-resolved media docs never touch Python and never explode: the final
-    # ordered span array is assembled per-row with higher-order functions
-    pt_page_items = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("indices") - 1),
-            lambda j: F.array(
-                F.struct(
-                    F.col("anchor").alias("anchor"),
-                    (j * 2).alias("sub"),
-                    F.lit("text").alias("kind"),
-                    F.get("sel_texts", j).alias("text"),
-                    F.lit(None).cast("string").alias("media_ref"),
-                ),
-                F.struct(
-                    F.col("anchor").alias("anchor"),
-                    (j * 2 + 1).alias("sub"),
-                    F.lit("media").alias("kind"),
-                    F.lit(None).cast("string").alias("text"),
-                    F.get(
-                        "media_refs",
-                        F.pmod(F.get("indices", j), F.col("n_media")).cast("int"),
-                    ).alias("media_ref"),
-                ),
-            ),
-        )
-    )
-    passthrough_nested = pt_ok.select(
-        "doc_id",
-        finish_items(F.concat(raw_items(F.col("text_spans")), pt_page_items)).alias(
-            "spans"
-        ),
-    )
-
-    # ---------------- payload branch: cap → salt → decode UDF ----------------
+    # ---------------- payload branch: cap -> salt -> decode UDF --------------
     k = cfg.max_pages_per_task
     n_parts = cfg.salt_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     payload_rows = (
@@ -429,7 +387,7 @@ def extract_docread(
         .select(
             "doc_id", "anchor", F.col("first_media").alias("payload"),
             F.posexplode(
-                # per-partition size cap: ≤k pages decoded per task row
+                # per-partition size cap: <=k pages decoded per task row
                 F.transform(
                     F.sequence(
                         F.lit(0), F.floor((F.size("indices") - 1) / k).cast("int")
@@ -462,8 +420,12 @@ def extract_docread(
         "doc_id", F.lit("media").alias("stage"), F.col("error").alias("error")
     )
     decoded_ok = decoded.filter(F.col("error").isNull())
+    return pt_ok, pl_ok, policy_errors, decoded_ok, decode_errors
 
-    # ---------------- payload assembly: decode rows → span items → regroup ---
+
+def _payload_span_rows(pl_ok: DataFrame, decoded_ok: DataFrame, cfg: ExtractJobCfg) -> DataFrame:
+    """decode rows + raw input spans -> flat (doc_id, anchor, sub, kind,
+    text, media_ref) item rows for the payload branch."""
     page_spans = decoded_ok.select(
         "doc_id",
         F.explode(
@@ -488,10 +450,72 @@ def extract_docread(
 
     raw_spans = (
         pl_ok
-        .select("doc_id", F.explode(raw_items(F.col("text_spans"))).alias("s"))
+        .select("doc_id", F.explode(_raw_items(F.col("text_spans"), cfg)).alias("s"))
         .select("doc_id", "s.*")
     )
-    all_spans = page_spans.unionByName(raw_spans)
+    return page_spans.unionByName(raw_spans)
+
+
+def extract_docread(
+    spark: SparkSession, docs: DataFrame, cfg: Optional[ExtractJobCfg] = None
+) -> tuple[DataFrame, DataFrame]:
+    """Run doc-read extraction.  Returns ``(spans_out, errors)``:
+
+    - ``spans_out``: nested ``(doc_id, spans)`` with the output span contract —
+      per selected page k: a text span (lines joined by cfg.line_break,
+      doc_read_processor.py:121) then its paired media span, anchored at the
+      annotation's input position; raw input text spans pass through
+      (cleaned) at their own positions; offsets renumbered densely 0..n-1.
+    - ``errors``: (doc_id, stage, error) lineage rows for skipped documents
+      (continue-policy analogue of wds/helpers.py:41-68).
+
+    Documents that error at any stage contribute *no* output spans (the
+    reference's whole-sample skip).
+
+    For a flat consumer, :func:`extract_docread_flat` produces
+    ``flatten_spans``-identical rows without building the per-doc arrays.
+    """
+    cfg = (cfg or ExtractJobCfg()).validate()
+    pt_ok, pl_ok, policy_errors, decoded_ok, decode_errors = _extract_core(
+        spark, docs, cfg
+    )
+
+    # ---------------- passthrough branch: one projection, ZERO shuffle -------
+    # pre-resolved media docs never touch Python and never explode: the final
+    # ordered span array is assembled per-row with higher-order functions
+    pt_page_items = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("indices") - 1),
+            lambda j: F.array(
+                F.struct(
+                    F.col("anchor").alias("anchor"),
+                    (j * 2).alias("sub"),
+                    F.lit("text").alias("kind"),
+                    F.get("sel_texts", j).alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                ),
+                F.struct(
+                    F.col("anchor").alias("anchor"),
+                    (j * 2 + 1).alias("sub"),
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.get(
+                        "media_refs",
+                        F.pmod(F.get("indices", j), F.col("n_media")).cast("int"),
+                    ).alias("media_ref"),
+                ),
+            ),
+        )
+    )
+    passthrough_nested = pt_ok.select(
+        "doc_id",
+        _finish_items(
+            F.concat(_raw_items(F.col("text_spans"), cfg), pt_page_items)
+        ).alias("spans"),
+    )
+
+    # ---------------- payload assembly: decode rows -> span items -> regroup -
+    all_spans = _payload_span_rows(pl_ok, decoded_ok, cfg)
 
     errors = policy_errors.unionByName(decode_errors)
     # whole-sample skip: a doc with any decode error contributes nothing
@@ -507,11 +531,97 @@ def extract_docread(
                 F.struct("anchor", "sub", "kind", "text", "media_ref")
             ).alias("items")
         )
-        .select("doc_id", finish_items(F.col("items")).alias("spans"))
+        .select("doc_id", _finish_items(F.col("items")).alias("spans"))
     )
 
     spans_out = passthrough_nested.unionByName(payload_nested)
     return spans_out, errors
+
+
+def extract_docread_flat(
+    spark: SparkSession, docs: DataFrame, cfg: Optional[ExtractJobCfg] = None
+) -> tuple[DataFrame, DataFrame]:
+    """Doc-read extraction emitting flat (doc_id, offset, kind, text,
+    media_ref) rows directly — value-identical to
+    ``flatten_spans(extract_docread(...))`` (locked by a pytest exceptAll
+    equivalence test + the driver oracle), but the passthrough branch never
+    builds or sorts a per-doc span array: dense offsets are computed
+    analytically and the page items come out of ONE codegen explode.
+
+    Why: the nested assembly's array_sort/transform lambdas evaluate
+    interpreted per element (ROUND3.md codegen-vs-HOF lesson); for flat
+    consumers (the flagship query, any columnar sink) that work is pure
+    overhead.  Passthrough stays zero-shuffle; the payload branch replaces
+    groupBy+collect_list+array_sort with a window rank over the same single
+    shuffle.
+
+    Offset derivation (passthrough): output order is (anchor, sub) where raw
+    text spans carry their own input offset as anchor and all 2K page items
+    share the annotation's anchor.  ``text_spans`` is offset-sorted, so the
+    i-th raw span has exactly i raw predecessors, plus the 2K page items iff
+    its anchor exceeds the annotation's; a page item at position m has
+    R_a + m predecessors, R_a = #raw spans before the annotation.
+    """
+    cfg = (cfg or ExtractJobCfg()).validate()
+    pt_ok, pl_ok, policy_errors, decoded_ok, decode_errors = _extract_core(
+        spark, docs, cfg
+    )
+
+    # ONE generator for both raw and page rows: pt_ok's subtree (scan +
+    # derivation + policy UDF) must evaluate exactly once — a raw/page
+    # union of two selects over pt_ok would run it twice, incl. the Python
+    # policy UDF.  Row m of sequence(0, n_raw + 2K - 1) is raw span #m when
+    # m < n_raw, else page item #(m - n_raw); every downstream expression is
+    # codegen (element_at / when / pmod), no array is built or sorted.
+    n_raw = F.size("text_spans")
+    k2 = (F.size("indices") * 2).alias("k2")
+    pt = pt_ok.select(
+        "doc_id", "anchor", "media_refs", "n_media", "indices", "sel_texts",
+        "text_spans", k2,
+        F.size(
+            F.filter("text_spans", lambda t: t["offset"] < F.col("anchor"))
+        ).alias("ra"),
+        F.explode(F.sequence(F.lit(0), n_raw + F.size("indices") * 2 - 1)).alias("m"),
+    )
+    m = F.col("m")
+    is_raw = m < F.size("text_spans")
+    t = F.get("text_spans", m)
+    p = m - F.size("text_spans")
+    j = (p / 2).cast("int")
+    is_page_text = p % 2 == 0
+    raw_text = clean_text(t["text"]) if cfg.clean_text else t["text"]
+    pt_flat = pt.select(
+        "doc_id",
+        F.when(
+            is_raw,
+            m + F.when(t["offset"] > F.col("anchor"), F.col("k2")).otherwise(F.lit(0)),
+        ).otherwise(F.col("ra") + p).cast("int").alias("offset"),
+        F.when(is_raw | is_page_text, F.lit("text"))
+        .otherwise(F.lit("media")).alias("kind"),
+        F.when(is_raw, raw_text)
+        .when(is_page_text, F.get("sel_texts", j)).alias("text"),
+        F.when(
+            ~is_raw & ~is_page_text,
+            F.get(
+                "media_refs",
+                F.pmod(F.get("indices", j), F.col("n_media")).cast("int"),
+            ),
+        ).alias("media_ref"),
+    )
+
+    all_spans = _payload_span_rows(pl_ok, decoded_ok, cfg)
+    errors = policy_errors.unionByName(decode_errors)
+    bad_docs = decode_errors.select("doc_id").distinct()
+    all_spans = all_spans.join(F.broadcast(bad_docs), "doc_id", "left_anti")
+    w = Window.partitionBy("doc_id").orderBy("anchor", "sub")
+    payload_flat = all_spans.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("offset"),
+        "kind", "text", "media_ref",
+    )
+
+    flat = pt_flat.unionByName(payload_flat)
+    return flat, errors
 
 
 def flatten_spans(spans_out: DataFrame) -> DataFrame:

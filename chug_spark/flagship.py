@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import ExtractJobCfg
-from .extract import extract_docread, flatten_spans
+from .extract import extract_docread_flat
 from .synth import spans_from_documents
 
 
@@ -15,8 +15,10 @@ def docread_flat(
     spark: SparkSession, sf_dir: str, page_sampling: str = "all_valid", seed: int = 0
 ) -> DataFrame:
     """Derived span corpus → doc-read extraction → flat span rows
-    (doc_id, offset, kind, text, media_ref)."""
+    (doc_id, offset, kind, text, media_ref).  Uses the flat assembly path
+    (extract_docread_flat): value-identical to the nested pipeline but with
+    no per-doc array build/sort — codegen end-to-end on passthrough docs."""
     docs = spans_from_documents(spark, sf_dir)
     cfg = ExtractJobCfg(page_sampling=page_sampling, seed=seed)
-    spans_out, _errors = extract_docread(spark, docs, cfg)
-    return flatten_spans(spans_out)
+    flat, _errors = extract_docread_flat(spark, docs, cfg)
+    return flat
