@@ -70,9 +70,21 @@ def salted_join(
     skew-join can't kick in (e.g. a skewed key feeding a window, or
     pre-AQE Spark); cost = small side replicated ×salt (keep salt modest).
 
-    Same rows as ``large.join(small, key, how)`` for inner/left joins."""
+    Same rows as ``large.join(small, key, how)`` for inner/left joins.
+    Right/full-outer joins are rejected: every unmatched small-side row has
+    ``salt`` exploded copies that all fail to match, so the outer side would
+    be silently multiplied ×salt."""
     from pyspark.sql import functions as F
 
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti joins only "
+            f"(got how={how!r}): the small side is replicated x{salt}, so "
+            f"unmatched small-side rows of a right/full outer join would be "
+            f"emitted {salt} times"
+        )
     lcols = [c for c in large.columns]
     l_salted = large.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))

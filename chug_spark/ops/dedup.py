@@ -304,22 +304,23 @@ def simhash_hamming_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.col("simhash").substr(b * band_len + 1, F.lit(band_len)),
     )
+    # signature packed into two 32-bit halves ONCE, pre-explode: the join,
+    # distinct, and Hamming verify all move 2 longs per side instead of a
+    # 64-char string, and the distance is bit_count(xor) — whole-stage
+    # codegen, vs the previous 64-substr interpreted lambda per pair
+    # (A/B at sf0.1: pairs 4.6 s → ~2 s, identical output).
     e = sigs.select(
-        "doc_id", "simhash", F.posexplode(band_keys).alias("band", "key")
+        "doc_id",
+        F.conv(F.col("simhash").substr(1, 32), 2, 10).cast("long").alias("hi"),
+        F.conv(F.col("simhash").substr(33, 32), 2, 10).cast("long").alias("lo"),
+        F.posexplode(band_keys).alias("band", "key"),
     )
-    cand = (
-        bucket_pairs(e, ["band", "key"], max_bucket_size, payload=["simhash"])
-        .withColumnRenamed("simhash_a", "sig_a")
-        .withColumnRenamed("simhash_b", "sig_b")
-        .distinct()
-    )
-    hamming = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
-            lambda i: F.col("sig_a").substr(i, F.lit(1))
-            != F.col("sig_b").substr(i, F.lit(1)),
-        )
-    )
+    cand = bucket_pairs(
+        e, ["band", "key"], max_bucket_size, payload=["hi", "lo"]
+    ).distinct()
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_distance)
@@ -523,8 +524,20 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
     roots = edges.select(F.col("v").alias("doc_id")).subtract(
         edges.select(F.col("u").alias("doc_id"))
     )
-    return edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster")).unionByName(
-        roots.select("doc_id", F.col("doc_id").alias("cluster"))
+    labeled = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster")
+    ).unionByName(roots.select("doc_id", F.col("doc_id").alias("cluster")))
+    # parity with connected_components: a node whose ONLY pair rows are
+    # self-pairs (doc_a == doc_b) has no real edge, but it IS in the input
+    # graph — label it a singleton cluster instead of dropping it
+    self_only = (
+        pairs.filter(F.col("doc_a") == F.col("doc_b"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .join(labeled.select("doc_id"), "doc_id", "left_anti")
+    )
+    return labeled.unionByName(
+        self_only.select("doc_id", F.col("doc_id").alias("cluster"))
     )
 
 

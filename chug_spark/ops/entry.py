@@ -1886,35 +1886,41 @@ def q_corpus_report(spark, sf_dir):
         F.size(words).alias("n_words"),
         "lang",
     )
-    uniq = per_doc.agg(F.countDistinct("fp").alias("n_unique")).crossJoin(
-        per_doc.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_words").alias("total_words"),
-            F.min("n_words").alias("min_words"),
-            F.max("n_words").alias("max_words"),
-            F.countDistinct("lang").cast("int").alias("n_langs"),
-        )
+    # ONE pass for every doc-granular statistic: the two countDistincts ride
+    # the same aggregate (Catalyst's Expand rewrite), so the base table is
+    # scanned 3× total (docs stats / lang counts / word vocab — the exact
+    # multi-granularity floor), not 5×, and each final one-row reduce sees
+    # only per-partition partials (1000 executors → 1000 rows), which is
+    # scale-free.
+    from pyspark.sql import Window
+
+    combined = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("n_words").alias("total_words"),
+        F.min("n_words").alias("min_words"),
+        F.max("n_words").alias("max_words"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
     )
     vocab = d.select(F.explode(words).alias("w")).filter(F.col("w") != "").agg(
         F.countDistinct("w").alias("vocab")
     )
     # language-mix entropy in integer micro-nats: sum over langs of
     # -c/N * ln(c/N), each term quantized before the (exact) integer sum;
-    # N joins in as a broadcast 1-row aggregate (no driver collect)
+    # N = sum of the lang counts themselves via an all-rows window (n_langs
+    # rows post-shuffle), so lang_counts is derived exactly once
     lang_counts = per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
-    n_row = per_doc.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    nn = F.sum("c").over(Window.partitionBy()).cast("double")
     ent = (
-        lang_counts.crossJoin(F.broadcast(n_row))
-        .select(
+        lang_counts.select(
             F.round(
-                -(F.col("c") / F.col("nn")) * F.log(F.col("c") / F.col("nn"))
-                * 1_000_000
+                -(F.col("c") / nn) * F.log(F.col("c") / nn) * 1_000_000
             ).cast("long").alias("t")
         )
         .agg(F.sum("t").alias("lang_entropy_micro"))
     )
     return (
-        uniq.crossJoin(vocab)
+        combined.crossJoin(vocab)
         .crossJoin(ent)
         .select(
             "n_docs",

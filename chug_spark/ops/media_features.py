@@ -449,6 +449,9 @@ def decode_real_media(
         doc = pdf.PdfDocument(payload)
         num_doc_pages = len(doc)
         indices = page_indices if page_indices is not None else range(num_doc_pages)
+        # same wrap semantics as the image branch below (i % n_frames): an
+        # out-of-range index wraps instead of raising from pypdfium2
+        indices = [i % num_doc_pages for i in indices] if num_doc_pages else indices
         pages = []
         for i in indices:
             bitmap = doc[i].render(

@@ -100,18 +100,23 @@ def hf_to_dataframe(
     name, split, limit = parse_hf_locator(locator)
     it = iter_hf_rows(name, split, limit, datasets_mod)
 
-    out: DataFrame | None = None
+    # ONE createDataFrame over the accumulated rows: chaining a unionByName
+    # per batch builds a plan thousands of LocalRelations deep for a large
+    # un-limited split (driver planning/memory blowup before any action).
+    # The rows are driver-resident either way; the schema is still inferred
+    # from the first batch alone and enforced on the rest.
+    schema = None
+    rows: list = []
     while True:
         batch = list(itertools.islice(it, _BATCH_ROWS))
         if not batch:
             break
-        if out is None:
-            out = spark.createDataFrame(batch)
-        else:
-            out = out.unionByName(spark.createDataFrame(batch, out.schema))
-    if out is None:
+        if schema is None:
+            schema = spark.createDataFrame(batch).schema
+        rows.extend(batch)
+    if schema is None:
         raise ValueError(f"hf dataset {name!r} split {split!r} yielded no rows")
-    return out
+    return spark.createDataFrame(rows, schema)
 
 
 @register_source("hf")

@@ -226,3 +226,14 @@ def test_salted_join_balances_hot_key(spark):
     assert n_buckets == 8
     counts = [r["n"] for r in salted.groupBy("_salt").agg(F.count("*").alias("n")).collect()]
     assert max(counts) < 10_000 * 0.25  # no bucket holds the bulk
+
+    # left joins are supported; right/full outer are rejected loudly (each
+    # unmatched small-side row would surface once per salt copy)
+    lgot = salted_join(large, small, "k", how="left")
+    lwant = large.join(small, "k", "left")
+    assert {tuple(r) for r in lgot.collect()} == {tuple(r) for r in lwant.collect()}
+    import pytest as _pytest
+
+    for bad in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(large, small, "k", how=bad)

@@ -373,6 +373,16 @@ def test_connected_components_star_matches_propagation(spark):
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(path, max_iter=10)
 
+    # self-pair-only nodes are singleton clusters in BOTH variants (a doc
+    # whose only pair rows are doc_a == doc_b must not vanish from star)
+    mixed = spark.createDataFrame(
+        [(1, 2), (3, 3), (2, 2)], ["doc_a", "doc_b"]
+    )
+    lab2 = {r["doc_id"]: r["cluster"] for r in connected_components(mixed).collect()}
+    star2 = {r["doc_id"]: r["cluster"]
+             for r in connected_components_star(mixed).collect()}
+    assert lab2 == star2 == {1: 1, 2: 1, 3: 3}
+
 
 def test_boilerplate_block_dedup_drops_hot_blocks(spark):
     """A 16-word block repeated across >max_block_df docs is removed from
