@@ -183,7 +183,8 @@ _SWEEP_FRONT = [
     # read-path changed this round (explicit NTZ events schema)
     "events_window", "events_sliding", "props_extract", "asof_join",
     # new in r4
-    "tar_ingest",
+    "tar_ingest", "budget_select", "sample_exact_k", "snapshot_diff",
+    "media_dhash",
 ]
 
 

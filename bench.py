@@ -116,8 +116,11 @@ def main() -> int:
     pt_cfg = ExtractJobCfg(page_sampling="all_valid")
 
     def run_flagship():
-        spans_out, _ = extract_docread(spark, span_docs, pt_cfg)
-        return flatten_spans(spans_out).count()
+        # flat assembly path — what docread_flat / the driver query runs
+        from chug_spark.extract import extract_docread_flat
+
+        flat, _ = extract_docread_flat(spark, span_docs, pt_cfg)
+        return flat.count()
 
     n_spans = timed("docread_all_valid", run_flagship)
     extra["flagship_docs_per_sec"] = round(n_docs_flat / timings["docread_all_valid"], 1)

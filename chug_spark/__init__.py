@@ -22,8 +22,9 @@ from .sources.documents import read_documents, write_spans
 from .sources.mixing import cap_num_samples, split_source_specs, weighted_union
 from .sources.registry import read_source, register_mem_dataset, register_source
 from .sources import hf as _hf_source  # noqa: F401  (registers the hf:// scheme)
+from .sources import pipe as _pipe_source  # noqa: F401  (registers pipe: specs)
 from .checkpoint import read_output, write_with_checkpoint
-from .ops.dataflow import salted_join, split_assign, stratified_sample
+from .ops.dataflow import salted_join, sample_exact_k, split_assign, stratified_sample
 from .ops.dedup import (
     connected_components,
     exact_substring_dedup_cut,
@@ -36,11 +37,15 @@ from .ops.dedup import (
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
     snapshot_dedup,
+    snapshot_diff,
 )
 from .ops.decontam import decontaminate
 from .ops.events import asof_attach_last_mark, sessionize, sessionize_presplit
-from .ops.packing import pack_sequences
+from .ops.packing import budget_select, pack_sequences
 from .ops.html import html_main_content
+from .ops.media_features import media_dhash, media_near_dupes
+from .sources.pipe import read_pipe_samples
+from .sources.tar import read_tar_samples
 from .ops.similarity import (
     ann_recall_at_k,
     quantize_embeddings_int8,
@@ -123,6 +128,13 @@ __all__ = [
     "stratified_sample",
     "split_assign",
     "salted_join",
+    "sample_exact_k",
+    "budget_select",
+    "snapshot_diff",
+    "media_dhash",
+    "media_near_dupes",
+    "read_tar_samples",
+    "read_pipe_samples",
     # html extraction
     "html_main_content",
     # layout / windows

@@ -119,3 +119,24 @@ def split_assign(
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), split.alias("split")
     )
+
+
+def sample_exact_k(docs: DataFrame, k: int, seed: int = 0, key: str = "doc_id") -> DataFrame:
+    """Deterministic uniform sample of EXACTLY k rows, without replacement:
+    rank every row by md5(key|seed|'sample') and take the k smallest.
+    Unlike ``df.sample(fraction)`` (approximate count, partitioning-
+    dependent), the result is the same k rows at any parallelism and in any
+    engine — the property an eval-subset draw or a human-review batch needs.
+
+    Physical plan: per-partition top-k heap + single TakeOrderedAndProject
+    reduce (no global sort, no full shuffle) — scale cost is O(n) scan +
+    O(k) result, fine at any corpus size for the k this exists for.
+
+    Returns (doc_id, rk) rows; rk (the md5 rank key) kept so downstream can
+    re-order reproducibly."""
+    rk = F.md5(F.concat_ws("|", F.col(key).cast("string"), F.lit(str(seed)), F.lit("sample")))
+    return (
+        docs.select(F.col(key).alias("doc_id"), rk.alias("rk"))
+        .orderBy("rk")
+        .limit(k)
+    )

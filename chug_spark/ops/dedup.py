@@ -298,21 +298,45 @@ def simhash_hamming_pairs(
             f"or lower max_distance — otherwise pairs at Hamming distance "
             f">= {bands} are silently missed"
         )
-    band_len = SIMHASH_BITS // bands
     sigs = simhash_signatures(docs)
+    return hamming_pairs_from_bits(
+        sigs, sig_col="simhash", max_distance=max_distance, bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_pairs_from_bits(
+    sigs: DataFrame,
+    sig_col: str = "sig",
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Generic banded-Hamming near-dup pairs over ANY 64-bit '0'/'1'
+    signature column (doc_id, <sig_col>): text SimHash and image dHash
+    (ops/media_features.media_near_dupes) share this join.  Same pigeonhole
+    contract as :func:`simhash_hamming_pairs` (max_distance < bands).
+
+    The signature is packed into two 32-bit halves ONCE, pre-explode: the
+    join, distinct, and Hamming verify all move 2 longs per side instead of
+    a 64-char string, and the distance is bit_count(xor) — whole-stage
+    codegen, vs a 64-substr interpreted lambda per pair (A/B at sf0.1:
+    simhash pairs 4.6 s → 1.3 s, identical output)."""
+    assert SIMHASH_BITS % bands == 0
+    if max_distance >= bands:
+        raise ValueError(
+            f"banded pigeonhole completeness requires max_distance < bands "
+            f"(got max_distance={max_distance}, bands={bands})"
+        )
+    band_len = SIMHASH_BITS // bands
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.col("simhash").substr(b * band_len + 1, F.lit(band_len)),
+        lambda b: F.col(sig_col).substr(b * band_len + 1, F.lit(band_len)),
     )
-    # signature packed into two 32-bit halves ONCE, pre-explode: the join,
-    # distinct, and Hamming verify all move 2 longs per side instead of a
-    # 64-char string, and the distance is bit_count(xor) — whole-stage
-    # codegen, vs the previous 64-substr interpreted lambda per pair
-    # (A/B at sf0.1: pairs 4.6 s → ~2 s, identical output).
     e = sigs.select(
         "doc_id",
-        F.conv(F.col("simhash").substr(1, 32), 2, 10).cast("long").alias("hi"),
-        F.conv(F.col("simhash").substr(33, 32), 2, 10).cast("long").alias("lo"),
+        F.conv(F.col(sig_col).substr(1, 32), 2, 10).cast("long").alias("hi"),
+        F.conv(F.col(sig_col).substr(33, 32), 2, 10).cast("long").alias("lo"),
         F.posexplode(band_keys).alias("band", "key"),
     )
     cand = bucket_pairs(
@@ -796,3 +820,32 @@ def snapshot_dedup(
             "keep", ((F.col("exact_dup") + F.col("near_dup")) == 0).cast("int")
         )
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Corpus snapshot diff: classify every doc_id across two corpus
+    versions as ``added`` / ``removed`` / ``changed`` / ``unchanged`` by
+    normalized-content fingerprint — the audit table an incremental
+    (Iceberg-snapshot-style) ingestion pipeline publishes per run.
+
+    ONE full-outer shuffle join on doc_id over (doc_id, fp) projections —
+    content strings never move, only 16-byte fingerprints; at 10^12 docs the
+    shuffle is two narrow columns per side and AQE handles any hot partition.
+
+    Returns (doc_id, status, fp_old, fp_new)."""
+    o = old.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(normalize_text(F.col("text"))).alias("fp_old"),
+    )
+    n = new.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(normalize_text(F.col("text"))).alias("fp_new"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("doc_id", status.alias("status"), "fp_old", "fp_new")

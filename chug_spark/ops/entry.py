@@ -1936,7 +1936,7 @@ def q_corpus_report(spark, sf_dir):
     )
 
 
-_SQL_CORPUS_REPORT = """
+_SQL_CORPUS_REPORT = r"""
 WITH per_doc AS (
   SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -2175,6 +2175,126 @@ FROM h
 """
 
 
+def q_budget_select(spark, sf_dir):
+    """Token-budget corpus selection: quality-ranked prefix that fits in a
+    12k-token budget, placed with the bucketed distributed prefix sum (no
+    global sort)."""
+    from .packing import budget_select
+
+    return budget_select(_docs(spark, sf_dir), token_budget=12_000)
+
+
+_SQL_BUDGET_SELECT = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words, length(text) AS nc,
+         CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
+              ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+         END AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tok,
+         CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
+         CAST(len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+           / len(words) AS stop_ratio,
+         CAST(nc - (len(words) - 1) AS DOUBLE) / len(words) AS mean_wlen
+  FROM w
+),
+s AS (
+  SELECT doc_id, n_tok,
+         CAST(floor((distinct_ratio * 0.5 + least(stop_ratio * 2, 1.0) * 0.3
+               + least(mean_wlen / 8, 1.0) * 0.2) * 10000) AS INT) AS quality_bp
+  FROM r
+),
+c AS (
+  SELECT doc_id, quality_bp, n_tok,
+         SUM(n_tok) OVER (ORDER BY quality_bp DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM s
+)
+SELECT doc_id, quality_bp, CAST(n_tok AS INT) AS n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= 12000
+"""
+
+
+def q_sample_exact_k(spark, sf_dir):
+    """Deterministic exact-k uniform sample (md5 rank, TakeOrdered heap —
+    no global sort)."""
+    from .dataflow import sample_exact_k
+
+    return sample_exact_k(_docs(spark, sf_dir), k=100, seed=3)
+
+
+_SQL_SAMPLE_EXACT_K = """
+SELECT doc_id, rk FROM (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|3|sample') AS rk
+  FROM documents
+) ORDER BY rk LIMIT 100
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff: old = docs with doc_id % 10 != 0, new = docs
+    with doc_id % 7 != 0 and text edited when doc_id % 5 == 0 — classified
+    added/removed/changed/unchanged by normalized-content fingerprint in one
+    full-outer join of (doc_id, fp) projections."""
+    from pyspark.sql import functions as F
+
+    from .dedup import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 10 != 0)
+    new = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" xmod")))
+        .otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+_SQL_SNAPSHOT_DIFF = r"""
+WITH o AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_old
+  FROM documents WHERE doc_id % 10 <> 0
+),
+n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' xmod' ELSE text END
+         ), '\s+', ' ', 'g'))) AS fp_new
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN fp_old = fp_new THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       fp_old, fp_new
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+def q_media_dhash(spark, sf_dir):
+    """Perceptual dHash per rendered media page (rows-only: pixel UDF has no
+    SQL twin; deterministic and md5-pinned in tests/test_hash_pins.py)."""
+    from pyspark.sql import functions as F
+
+    from .media_features import media_dhash
+
+    refs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            ((F.col("doc_id") % 3) + 1).cast("string"),
+            F.lit("/"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("media_ref"),
+    )
+    return media_dhash(refs, render_dpi=48)
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -2232,6 +2352,10 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "block_dedup": q_block_dedup,
         "html_extract": q_html_extract,
+        "budget_select": q_budget_select,
+        "sample_exact_k": q_sample_exact_k,
+        "snapshot_diff": q_snapshot_diff,
+        "media_dhash": q_media_dhash,
     }
 
 
@@ -2288,4 +2412,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "length_percentiles": _SQL_LENGTH_PERCENTILES,
         "block_dedup": _SQL_BLOCK_DEDUP,
         "html_extract": _html_extract_sql(),
+        "budget_select": _SQL_BUDGET_SELECT,
+        "sample_exact_k": _SQL_SAMPLE_EXACT_K,
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        # media_dhash: rows-only (pixel UDF; md5-pinned)
     }

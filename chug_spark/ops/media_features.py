@@ -645,3 +645,112 @@ def extract_train_tensors(
         .repartition(n_parts, "doc_id")
         .mapInPandas(body, schema=TRAIN_TENSOR_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup hashing (dHash) over decoded media pages
+# ---------------------------------------------------------------------------
+
+MEDIA_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("dhash", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def dhash_bits(arr: "np.ndarray") -> str:
+    """64-bit difference hash of a grayscale page: area-average to a 9×8
+    grid, bit (r, c) = cell[r][c] > cell[r][c+1], row-major '0'/'1' string.
+
+    The standard perceptual image fingerprint (dHash): invariant to uniform
+    brightness shifts and to resolution (block averaging), sensitive to
+    content layout — the right cheap key for near-dup *image* dedup where
+    byte-level hashing sees every re-encode as a new file.  Pure numpy,
+    deterministic; no PIL/interpolation so the value is bit-stable across
+    library versions."""
+    if arr.ndim == 3:
+        arr = np.mean(arr[:, :, :3], axis=2)
+    a = arr.astype(np.float64)
+    h, w = a.shape
+    rows = np.linspace(0, h, 8 + 1, dtype=np.int64)
+    cols = np.linspace(0, w, 9 + 1, dtype=np.int64)
+    cells = np.empty((8, 9), dtype=np.float64)
+    for r in range(8):
+        band = a[rows[r]:max(rows[r + 1], rows[r] + 1)]
+        for c in range(9):
+            cells[r, c] = band[:, cols[c]:max(cols[c + 1], cols[c] + 1)].mean()
+    bits = (cells[:, :-1] > cells[:, 1:]).astype(np.uint8).reshape(-1)
+    return "".join("1" if b else "0" for b in bits)
+
+
+def media_dhash(
+    docs_media: DataFrame, render_dpi: int = 96, frame_every: int = 1
+) -> DataFrame:
+    """(doc_id, media_ref) → per-page perceptual dHash rows
+    (doc_id, media_ref, page, dhash, error).  Same decode plumbing as
+    :func:`extract_media_features` (repartition on doc_id, render → hash →
+    drop pixels inside the Arrow batch loop); non-decodable refs produce an
+    error row, decode failures keep the pipeline running (whole-sample skip
+    is the caller's policy)."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_DHASH_SCHEMA.fields}
+
+            def emit(**kw):
+                for k in out:
+                    out[k].append(kw.get(k))
+
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                try:
+                    if not media_mod.is_payload_ref(ref):
+                        emit(doc_id=doc_id, media_ref=ref, error="not_decodable")
+                        continue
+                    _mode, n_pages, seed = media_mod.parse_payload_ref(ref)
+                    for page in frame_sample_indices(n_pages, frame_every):
+                        arr = media_mod.render_page(seed, page, "L", render_dpi)
+                        emit(
+                            doc_id=doc_id,
+                            media_ref=ref,
+                            page=int(page),
+                            dhash=dhash_bits(arr),
+                        )
+                        del arr
+                except Exception as exn:
+                    emit(doc_id=doc_id, media_ref=ref,
+                         error=f"{type(exn).__name__}: {exn}")
+            yield pd.DataFrame(out)
+
+    return (
+        docs_media.repartition("doc_id")
+        .mapInPandas(body, schema=MEDIA_DHASH_SCHEMA)
+    )
+
+
+def media_near_dupes(
+    docs_media: DataFrame,
+    render_dpi: int = 96,
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Perceptual near-duplicate page pairs: dHash signatures → banded
+    Hamming candidate join → exact bit_count verify (the image twin of
+    text SimHash dedup, sharing :func:`...dedup.hamming_pairs_from_bits`).
+    Returns (doc_a, doc_b, hamming) where each id is 'doc_id:page'."""
+    from .dedup import hamming_pairs_from_bits
+
+    sigs = media_dhash(docs_media, render_dpi=render_dpi).filter(
+        F.col("error").isNull()
+    ).select(
+        F.concat_ws(":", "doc_id", F.col("page").cast("string")).alias("doc_id"),
+        F.col("dhash").alias("sig"),
+    )
+    return hamming_pairs_from_bits(
+        sigs, sig_col="sig", max_distance=max_distance, bands=bands,
+        max_bucket_size=max_bucket_size,
+    )

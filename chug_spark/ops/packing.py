@@ -85,3 +85,58 @@ def pack_sequences(docs: DataFrame, window: int = 512) -> DataFrame:
             " + 1 as int)"
         ).alias("n_packs"),
     )
+
+
+def budget_select(docs: DataFrame, token_budget: int) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: rank docs by
+    composite quality (``textstats.quality_score`` quality_bp, doc_id
+    tie-break) and keep the ranked prefix whose cumulative whitespace-token
+    count stays within ``token_budget`` — the "best N tokens" selection every
+    budgeted pretraining run needs.
+
+    Prefix semantics: a doc is kept iff the cumulative count INCLUDING it is
+    <= budget (the maximal ranked prefix that fits; the one boundary doc that
+    straddles the budget is dropped, not split — splitting is `chunking`'s
+    job).  Deterministic at any parallelism.
+
+    Scale shape (same distributed prefix sum as :func:`pack_sequences`, but
+    bucketed by the score itself): per-score-bucket window cumsums run in
+    parallel (each bucket's rows are one partition's window, ordered by
+    doc_id), bucket offsets come from a <=10001-row broadcast window, and no
+    global single-partition sort ever happens.  The only whole-corpus ordering
+    is BY BUCKET VALUE, which is free (bucket = the score).
+
+    Returns (doc_id, quality_bp, n_tok, cum_tok) for kept docs.
+    """
+    from .textstats import quality_score
+
+    scored = quality_score(docs).select("doc_id", "quality_bp")
+    norm = normalize_text(F.col("text"))
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    base = scored.join(toks, "doc_id")
+
+    in_bucket = Window.partitionBy("quality_bp").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cum = base.withColumn("cum_in_bucket", F.sum("n_tok").over(in_bucket))
+    bucket_tot = base.groupBy("quality_bp").agg(F.sum("n_tok").alias("btot"))
+    off_w = Window.orderBy(F.desc("quality_bp")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tot.select(
+        "quality_bp",
+        F.coalesce(F.sum("btot").over(off_w), F.lit(0)).alias("offset"),
+    )
+    placed = with_cum.join(F.broadcast(offsets), "quality_bp").select(
+        "doc_id",
+        "quality_bp",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        (F.col("offset") + F.col("cum_in_bucket")).alias("cum_tok"),
+    )
+    return placed.filter(F.col("cum_tok") <= token_budget)

@@ -53,6 +53,9 @@ def read_source(spark: SparkSession, spec: str) -> DataFrame:
     legacy rules (.jsonl/.json suffix → jsonl, dotted name without '/' →
     catalog table, else parquet path).
     """
+    if spec.startswith("pipe:"):
+        # reference syntax has no '//' (README.md:145: 'pipe:curl -s ...')
+        return _READERS["pipe"](spark, spec[len("pipe:"):])
     if "://" in spec:
         scheme, locator = spec.split("://", 1)
         if scheme not in _READERS:

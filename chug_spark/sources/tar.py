@@ -63,27 +63,33 @@ def tar_members(spark: SparkSession, path: str) -> DataFrame:
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for shard, blob in zip(pdf["path"], pdf["content"]):
-                names: list[str] = []
-                datas: list[bytes] = []
-                with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
-                    for info in tf:
-                        if not info.isreg():
-                            continue
-                        base = os.path.basename(info.name)
-                        if base.startswith("__") and base.endswith("__"):
-                            continue  # shard metadata (wds meta_prefix/suffix)
-                        names.append(info.name)
-                        datas.append(tf.extractfile(info).read())
-                yield pd.DataFrame(
-                    {
-                        "shard": shard,
-                        "idx": range(len(names)),
-                        "fname": names,
-                        "data": datas,
-                    }
-                )
+                yield expand_tar_blob(shard, blob)
 
     return raw.mapInPandas(expand, schema=MEMBER_SCHEMA)
+
+
+def expand_tar_blob(shard: str, blob: bytes) -> pd.DataFrame:
+    """One tar stream → MEMBER_SCHEMA rows (wds ``tar_file_expander``
+    member-level semantics; shared by the binaryFile and pipe: readers)."""
+    names: list[str] = []
+    datas: list[bytes] = []
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        for info in tf:
+            if not info.isreg():
+                continue
+            base = os.path.basename(info.name)
+            if base.startswith("__") and base.endswith("__"):
+                continue  # shard metadata (wds meta_prefix/suffix)
+            names.append(info.name)
+            datas.append(tf.extractfile(info).read())
+    return pd.DataFrame(
+        {
+            "shard": shard,
+            "idx": range(len(names)),
+            "fname": names,
+            "data": datas,
+        }
+    )
 
 
 def _suffix_kind(suffix: str) -> str:
