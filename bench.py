@@ -166,6 +166,19 @@ def main() -> int:
     timed("seq_pack", lambda: q_seq_pack(spark, SF_DIR).count())
     timed("snapshot_dedup", lambda: q_snapshot_dedup(spark, SF_DIR).count())
 
+    # q15-q17: round-4 additions
+    from chug_spark.ops.packing import budget_select
+    from chug_spark.sources.tar import build_fixture_corpus, read_tar_samples
+
+    timed("budget_select",
+          lambda: budget_select(docs_pq, token_budget=120_000).count())
+    corpus = build_fixture_corpus(spark, SF_DIR)  # untimed (fixture build)
+    timed("tar_ingest",
+          lambda: read_tar_samples(spark, corpus + "/*.tar").count())
+    from chug_spark.ops.entry import q_media_dhash
+
+    timed("media_dhash", lambda: q_media_dhash(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
