@@ -2292,7 +2292,7 @@ def q_media_dhash(spark, sf_dir):
             (F.col("doc_id") % 50).cast("string"),
         ).alias("media_ref"),
     )
-    return media_dhash(refs, render_dpi=48)
+    return media_dhash(refs, render_dpi=32)
 
 
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -675,14 +675,18 @@ def dhash_bits(arr: "np.ndarray") -> str:
     if arr.ndim == 3:
         arr = np.mean(arr[:, :, :3], axis=2)
     a = arr.astype(np.float64)
+    if a.shape[0] < 8:
+        a = np.repeat(a, -(-8 // a.shape[0]), axis=0)
+    if a.shape[1] < 9:
+        a = np.repeat(a, -(-9 // a.shape[1]), axis=1)
     h, w = a.shape
     rows = np.linspace(0, h, 8 + 1, dtype=np.int64)
     cols = np.linspace(0, w, 9 + 1, dtype=np.int64)
-    cells = np.empty((8, 9), dtype=np.float64)
-    for r in range(8):
-        band = a[rows[r]:max(rows[r + 1], rows[r] + 1)]
-        for c in range(9):
-            cells[r, c] = band[:, cols[c]:max(cols[c + 1], cols[c] + 1)].mean()
+    # area sums via two reduceat passes (vectorized grid pooling), then
+    # normalize by the per-cell pixel counts — no per-cell python loop
+    sums = np.add.reduceat(np.add.reduceat(a, rows[:-1], axis=0), cols[:-1], axis=1)
+    counts = np.outer(np.diff(rows), np.diff(cols)).astype(np.float64)
+    cells = sums / np.maximum(counts, 1)
     bits = (cells[:, :-1] > cells[:, 1:]).astype(np.uint8).reshape(-1)
     return "".join("1" if b else "0" for b in bits)
 

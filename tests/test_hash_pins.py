@@ -25,7 +25,7 @@ PINS = {
     "media_train": (250, "ebddc395659715b0a942c57d29b5ddb3"),
     "audio_features": (500, "b87a10b164f40cb0dddbd5c76528839c"),
     "media_frames": (375, "afc5b2230834cc20dedd95076f208536"),
-    "media_dhash": (499, "813bd598f419a24b903e56ab35631828"),
+    "media_dhash": (499, "62755f6a655d215f60b9893e5d0f071f"),
 }
 
 
