@@ -177,6 +177,20 @@ def read_tar_samples(spark: SparkSession, path: str) -> DataFrame:
     return group_members_adjacent(tar_members(spark, path))
 
 
+def _register() -> None:
+    from .registry import register_source
+
+    @register_source("tar")
+    def _read_tar(spark: SparkSession, locator: str) -> DataFrame:
+        """``tar://<path-or-glob>`` — real wds shards straight into the
+        extraction pipeline (span schema), e.g.
+        ``spark-submit chug_spark/job.py --input 'tar:///data/shards/*.tar'``."""
+        return read_tar_samples(spark, locator).select("doc_id", "spans")
+
+
+_register()
+
+
 # ---------------------------------------------------------------------------
 # deterministic fixture writer (tests / driver oracle only — NOT the ingest
 # path; builds wds-style shards from rows so the reader above has real tars
@@ -184,7 +198,9 @@ def read_tar_samples(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def build_fixture_corpus(spark: SparkSession, sf_dir: str, n_shards: int = 8) -> str:
+def build_fixture_corpus(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8, anno: str = "flat"
+) -> str:
     """Deterministic wds-shard fixture corpus derived from the driver's
     ``documents`` table (no external data): per doc, members in tar order
     ``s-<id>.json`` / ``s-<id>.pdf`` / ``s-<id>.txt`` (first 4 words), plus —
@@ -197,7 +213,7 @@ def build_fixture_corpus(spark: SparkSession, sf_dir: str, n_shards: int = 8) ->
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(f"{sf_dir}|v1|{n_shards}".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{sf_dir}|v1|{n_shards}|{anno}".encode()).hexdigest()[:12]
     out_dir = os.path.join(tempfile.gettempdir(), f"chug_tar_fixture_{tag}")
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
@@ -212,8 +228,22 @@ def build_fixture_corpus(spark: SparkSession, sf_dir: str, n_shards: int = 8) ->
     for r in docs:
         did = str(r.doc_id)
         words = r.text.split(" ")
+        if anno == "pages":
+            # extraction-grade annotation: the spans_from_documents page
+            # layout (8 words/page, 2 lines of 4) so the full doc-read
+            # pipeline runs over tar:// input end-to-end
+            import json as _json
+
+            pages = [
+                {"text": [" ".join(words[p * 8: p * 8 + 4]),
+                          " ".join(words[p * 8 + 4: p * 8 + 8])]}
+                for p in range((len(words) + 7) // 8)
+            ]
+            anno_payload = _json.dumps({"pages": pages}).encode()
+        else:
+            anno_payload = ('{"k": %s}' % did).encode()
         members = [
-            (f"s-{did}.json", ('{"k": %s}' % did).encode()),
+            (f"s-{did}.json", anno_payload),
             (f"s-{did}.pdf", hashlib.md5(did.encode()).hexdigest().encode()),
             (f"s-{did}.txt", " ".join(words[0:4]).encode()),
         ]

@@ -102,3 +102,67 @@ def run_stream_extract(
 
 def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_dir, "spans")).drop("batch_id")
+
+
+def run_stream_tar_ingest(
+    spark: SparkSession,
+    shard_dir: str,
+    output_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> None:
+    """Incremental wds-shard ingestion: drop new ``.tar`` shards into
+    ``shard_dir`` and each drain ingests ONLY unseen shards — the streaming
+    file-source checkpoint does the shard-level bookkeeping the reference
+    delegates to epoch bookkeeping in its loader.
+
+    readStream(binaryFile) → the same tarfile expansion + adjacency grouping
+    as the batch path (sources/tar.py) → grouped samples written to
+    ``samples/`` partitioned by batch_id with dynamic partition-overwrite
+    (idempotent under foreachBatch's at-least-once replay, like
+    :func:`run_stream_extract`).  Each shard is one input file → one task;
+    zero shuffles per micro-batch.
+    """
+    from ..sources.tar import group_members_adjacent, expand_tar_blob, MEMBER_SCHEMA
+
+    samples_path = os.path.join(output_dir, "samples")
+    ckpt = os.path.join(output_dir, "_checkpoint")
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(shard_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from typing import Iterator
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        ss = batch_df.sparkSession
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        def expand(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                for shard, blob in zip(pdf["path"], pdf["content"]):
+                    yield expand_tar_blob(shard, blob)
+
+        members = batch_df.select("path", "content").mapInPandas(
+            expand, schema=MEMBER_SCHEMA
+        )
+        (
+            group_members_adjacent(members)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(samples_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

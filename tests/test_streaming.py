@@ -226,3 +226,44 @@ def test_stream_window_late_data_dropped(spark, tmp_path):
     # the late rows neither re-emitted the window nor changed its counts
     assert second[key0] == (5, 500)
     assert sum(1 for (ws, _t) in second if ws == base) == 1
+
+
+def test_stream_tar_ingest_incremental_drains(spark, tmp_path):
+    """Two-drain shard ingestion: drain 1 ingests the first shards; new
+    shards dropped afterwards are the ONLY thing drain 2 processes (file-
+    source checkpoint); final samples equal the batch reader over all
+    shards."""
+    import os
+
+    from chug_spark.sources.tar import read_tar_samples, write_tar_shards
+    from chug_spark.streaming.stream import run_stream_tar_ingest
+
+    shard_dir = str(tmp_path / "shards")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(shard_dir)
+
+    def mk(i):
+        return (f"k{i}", [(f"k{i}.json", b'{"k": %d}' % i),
+                          (f"k{i}.txt", f"text {i}".encode())])
+
+    write_tar_shards([mk(0), mk(1)], shard_dir, n_shards=1)
+    os.rename(shard_dir + "/shard-00000.tar", shard_dir + "/a.tar")
+    run_stream_tar_ingest(spark, shard_dir + "/*.tar", out_dir)
+    first = spark.read.parquet(out_dir + "/samples")
+    assert sorted(r.doc_id for r in first.collect()) == ["k0", "k1"]
+
+    write_tar_shards([mk(2), mk(3)], shard_dir, n_shards=1)
+    os.rename(shard_dir + "/shard-00000.tar", shard_dir + "/b.tar")
+    run_stream_tar_ingest(spark, shard_dir + "/*.tar", out_dir)
+    out = spark.read.parquet(out_dir + "/samples")
+    got = {r.doc_id: r for r in out.collect()}
+    assert sorted(got) == ["k0", "k1", "k2", "k3"]
+    # drain 2 only processed the new shard (different batch partition)
+    b0 = {r.doc_id for r in out.filter("batch_id = 0").collect()}
+    assert b0 == {"k0", "k1"}
+
+    # value parity with the batch reader
+    batch = read_tar_samples(spark, shard_dir + "/*.tar").collect()
+    bm = {r.doc_id: r.spans for r in batch}
+    for k, r in got.items():
+        assert [tuple(s) for s in r.spans] == [tuple(s) for s in bm[k]]

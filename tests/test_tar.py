@@ -150,3 +150,35 @@ def test_large_shard_batch_boundary(spark, tmp_path):
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert len(rows) == 500
     assert all(len(r.spans) == 2 for r in rows)
+
+
+def test_tar_scheme_feeds_extraction_end_to_end(spark, tmp_path):
+    """tar:// registry scheme → full doc-read extraction: the reference's
+    primary ingest path (wds shards → decode pipeline) as one composition."""
+    import json
+
+    from chug_spark.config import ExtractJobCfg
+    from chug_spark.extract import extract_docread_flat
+    from chug_spark.sources.registry import read_source
+
+    samples = []
+    for i in range(12):
+        words = [f"w{i}_{j}" for j in range(16)]
+        pages = [{"text": [" ".join(words[p*8:p*8+4]), " ".join(words[p*8+4:p*8+8])]}
+                 for p in range(2)]
+        samples.append((f"k{i}", [
+            (f"k{i}.json", json.dumps({"pages": pages}).encode()),
+            (f"k{i}.pdf", f"payload{i}".encode()),
+        ]))
+    write_tar_shards(samples, str(tmp_path), n_shards=2)
+    docs = read_source(spark, f"tar://{tmp_path}/*.tar")
+    assert docs.columns == ["doc_id", "spans"]
+    flat, errors = extract_docread_flat(spark, docs, ExtractJobCfg(page_sampling="all_valid"))
+    rows = flat.collect()
+    assert errors.count() == 0
+    assert len(rows) == 12 * 2 * 2  # 12 docs x 2 pages x (text+media)
+    texts = {r.text for r in rows if r.kind == "text"}
+    assert "w3_0 w3_1 w3_2 w3_3\nw3_4 w3_5 w3_6 w3_7" in texts
+    # media spans wrap the sample's single media ref
+    media = [r for r in rows if r.kind == "media"]
+    assert all(r.media_ref.startswith("sha256:") for r in media)
