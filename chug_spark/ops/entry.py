@@ -956,6 +956,128 @@ FROM k
 """
 
 
+def q_html_spans(spark, sf_dir):
+    """HTML -> interleaved (kind, text, media_ref, offset) spans: the HTML
+    leg feeding the engine's span model.  Page synthesis embeds media —
+    a nav logo (must be stripped with its subtree), a figure image after
+    every 3rd paragraph, a single-quoted hero image — so the oracle
+    value-checks boilerplate-aware media extraction AND document-order
+    interleaving, not just text gating."""
+    from pyspark.sql import functions as F
+
+    from .html import html_to_spans
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_paras = F.ceil(F.size(words) / 12).cast("int")
+    did = F.col("doc_id").cast("string")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda p: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(words, p * 12 + 1, 12), " "),
+                F.lit("</p>"),
+                F.when(
+                    p % 3 == F.lit(2),
+                    F.concat(
+                        F.lit('<img alt="fig" src="img/'), did, F.lit("_"),
+                        p.cast("string"), F.lit('.jpg">'),
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><style>p{color:red}</style></head><body>'
+              '<nav><img src="/logo.png"> <a href="/">home</a>'
+              ' <a href="/a">about</a></nav>'),
+        paras,
+        F.lit("<figure><img class='hero' src='media/"), did,
+        F.lit(".png'></figure>"),
+        F.lit('<p><a href="/sub">click here to subscribe now</a></p>'
+              "<footer>copyright "),
+        F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+    return html_to_spans(docs.select("doc_id", html.alias("html")))
+
+
+def _html_spans_sql() -> str:
+    from .html import BOILERPLATE_TAGS, _BLOCK_TAG_RE, _IMG_TAG_RE
+
+    body = "html"
+    for t in BOILERPLATE_TAGS:
+        body = (
+            f"regexp_replace({body}, '(?is)<{t}[^>]*>.*?</{t}>', ' ', 'g')"
+        )
+    img_re = _IMG_TAG_RE.replace("'", "''")
+    body = (
+        f"regexp_replace({body}, '{img_re}',"
+        " chr(30) || 'IMG' || chr(31) || '\\1' || chr(30), 'g')"
+    )
+    body = f"regexp_replace({body}, '{_BLOCK_TAG_RE}', chr(30), 'g')"
+    unesc = "regexp_replace(x, '<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        unesc = f"replace({unesc}, '{ent}', '{ch}')"
+    clean = f"trim(regexp_replace({unesc}, '\\s+', ' ', 'g'))"
+    link_len = (
+        "coalesce(list_sum(list_transform("
+        "regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a>', 1), "
+        "a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))))), 0)"
+    )
+    is_img = "starts_with(x, 'IMG' || chr(31))"
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p{{color:red}}</style></head><body>'
+         || '<nav><img src="/logo.png"> <a href="/">home</a>'
+         || ' <a href="/a">about</a></nav>'
+         || array_to_string(list_transform(
+              generate_series(0, CAST(ceil(len(words) / 12.0) AS INT) - 1),
+              p -> '<p>' || array_to_string(list_slice(words, p*12 + 1, p*12 + 12), ' ') || '</p>'
+                   || CASE WHEN p % 3 = 2
+                           THEN '<img alt="fig" src="img/' || CAST(doc_id AS VARCHAR)
+                                || '_' || CAST(p AS VARCHAR) || '.jpg">'
+                           ELSE '' END),
+            '')
+         || '<figure><img class=''hero'' src=''media/' || CAST(doc_id AS VARCHAR) || '.png''></figure>'
+         || '<p><a href="/sub">click here to subscribe now</a></p>'
+         || '<footer>copyright ' || source || '</footer></body></html>' AS html
+  FROM w
+),
+p AS (
+  SELECT doc_id, string_split({body}, chr(30)) AS pieces FROM g
+),
+s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(pieces, x -> struct_pack(
+             kind := CASE WHEN {is_img} THEN 'image' ELSE 'text' END,
+             text := CASE WHEN {is_img} THEN NULL ELSE {clean} END,
+             media_ref := CASE WHEN {is_img} THEN substring(x, 5) END,
+             keep := {is_img} OR (length({clean}) >= 20
+                     AND {link_len} <= greatest(length({clean}), 1) * 0.5))),
+           t -> t.keep) AS spans
+  FROM p
+)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS "offset",
+       spans[u.i].kind AS kind, spans[u.i].text AS text,
+       spans[u.i].media_ref AS media_ref
+FROM s, unnest(generate_series(1, len(spans))) AS u(i)
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary top-50: one word-keyed aggregation (map-side
     partial agg) + TakeOrderedAndProject — never a full sort."""
@@ -2352,6 +2474,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "block_dedup": q_block_dedup,
         "html_extract": q_html_extract,
+        "html_spans": q_html_spans,
         "budget_select": q_budget_select,
         "sample_exact_k": q_sample_exact_k,
         "snapshot_diff": q_snapshot_diff,
@@ -2412,6 +2535,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "length_percentiles": _SQL_LENGTH_PERCENTILES,
         "block_dedup": _SQL_BLOCK_DEDUP,
         "html_extract": _html_extract_sql(),
+        "html_spans": _html_spans_sql(),
         "budget_select": _SQL_BUDGET_SELECT,
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,

@@ -34,7 +34,11 @@ BOILERPLATE_TAGS = ("head", "script", "style", "nav", "header", "footer", "aside
 #: tags treated as block boundaries
 _BLOCK_TAG_RE = r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|br)[^>]*>"
 
+#: quoted-src image tags (RE2/Java compatible; backref syntax differs per engine)
+_IMG_TAG_RE = "(?is)<img[^>]*src\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>"
+
 _SEP = "\x1e"  # record separator: never appears in text
+_IMG_MARK = "IMG\x1f"  # unit separator keeps the marker un-typeable in text
 
 
 def strip_boilerplate(html: Column) -> Column:
@@ -88,19 +92,11 @@ def html_main_content(
         F.regexp_replace(body, _BLOCK_TAG_RE, _SEP), _SEP
     )
 
-    def link_text_len(b: Column) -> Column:
-        # total visible chars inside <a> anchors of this block
-        return F.aggregate(
-            F.regexp_extract_all(b, F.lit(r"(?is)<a[^>]*>(.*?)</a>"), F.lit(1)),
-            F.lit(0),
-            lambda acc, a: acc + F.length(_norm_ws(strip_tags(a))),
-        )
-
     scored = F.transform(
         blocks_raw,
         lambda b: F.struct(
             _norm_ws(unescape_entities(strip_tags(b))).alias("text"),
-            link_text_len(b).alias("link_len"),
+            _link_text_len(b).alias("link_len"),
         ),
     )
     kept = F.filter(
@@ -119,4 +115,75 @@ def html_main_content(
         F.array_join(F.transform(kept, lambda s: s["text"]), "\n").alias("main_text"),
         F.size(kept).cast("int").alias("n_kept"),
         (n_total - F.size(kept)).cast("int").alias("n_dropped"),
+    )
+
+
+def _link_text_len(b: Column) -> Column:
+    """total visible chars inside <a> anchors of one block"""
+    return F.aggregate(
+        F.regexp_extract_all(b, F.lit(r"(?is)<a[^>]*>(.*?)</a>"), F.lit(1)),
+        F.lit(0),
+        lambda acc, a: acc + F.length(_norm_ws(strip_tags(a))),
+    )
+
+
+def html_to_spans(
+    docs: DataFrame,
+    html_col: str = "html",
+    min_block_chars: int = 20,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """HTML -> the engine's interleaved span model: one ordered row per kept
+    span, ``(doc_id, offset, kind, text, media_ref)`` — ``kind='text'`` rows
+    carry the cleaned block text (``media_ref`` NULL), ``kind='image'`` rows
+    carry the ``<img src>`` target (``text`` NULL).  ``offset`` is the 0-based
+    document-order index over kept spans, matching the flagship's
+    ``spans:array<struct<kind,text,media_ref,offset>>`` contract
+    (reference: interleaved image-text pairing in chug/wds decode,
+    ``/root/reference/src/chug/wds/decode.py``): this op makes raw HTML a
+    first-class source for the extraction pipeline.
+
+    Heuristics are the same jusText-style gates as :func:`html_main_content`
+    (boilerplate subtrees die first — so a logo inside ``<nav>`` never becomes
+    a media span — then blocks gate on length + link density).  Images always
+    survive the gate: a figure between two dropped chrome blocks still lands
+    at its document-order position.  Pure Column expressions end-to-end
+    (map-only, codegen, no shuffle); the explode is the only row-expanding
+    step and stays pipelined over the scan.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    body = strip_boilerplate(html)
+    # quoted <img src> becomes its own segment: SEP + marker + src + SEP
+    body = F.regexp_replace(body, _IMG_TAG_RE, _SEP + _IMG_MARK + "$1" + _SEP)
+    pieces = F.split(F.regexp_replace(body, _BLOCK_TAG_RE, _SEP), _SEP)
+
+    def score(b: Column) -> Column:
+        is_img = F.startswith(b, F.lit(_IMG_MARK))
+        clean = _norm_ws(unescape_entities(strip_tags(b)))
+        keep_text = (F.length(clean) >= min_block_chars) & (
+            _link_text_len(b)
+            <= F.greatest(F.length(clean), F.lit(1)) * max_link_density
+        )
+        return F.struct(
+            F.when(is_img, F.lit("image")).otherwise(F.lit("text")).alias("kind"),
+            F.when(is_img, F.lit(None).cast("string")).otherwise(clean).alias("text"),
+            F.when(is_img, F.substring(b, len(_IMG_MARK) + 1, 1 << 30))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("media_ref"),
+            (is_img | keep_text).alias("keep"),
+        )
+
+    kept = F.filter(F.transform(pieces, score), lambda s: s["keep"])
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), kept.alias("_spans")
+        )
+        .select("doc_id", F.posexplode("_spans").alias("offset", "s"))
+        .select(
+            "doc_id",
+            F.col("offset").cast("int").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
     )

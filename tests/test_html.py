@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from chug_spark.ops.html import html_main_content
+from chug_spark.ops.html import html_main_content, html_to_spans
 
 
 def test_html_main_content_extraction(spark):
@@ -82,3 +82,63 @@ def test_html_adversarial_inputs(spark):
     assert rows[5]["main_text"] == "" and rows[5]["n_kept"] == 0
     assert rows[6]["main_text"] == "" and rows[6]["n_kept"] == 0
     assert rows[7]["n_kept"] == 1
+
+
+def test_html_to_spans_interleaving(spark):
+    """Document-order interleaved (text|image) spans with dense offsets;
+    boilerplate media dies with its subtree; images survive between dropped
+    chrome blocks; single- and double-quoted src both parse."""
+    page = (
+        "<html><head><title>t</title></head><body>"
+        "<nav><img src='/logo.png'> <a href='/'>home</a></nav>"
+        "<p>First paragraph long enough to be kept as a span.</p>"
+        '<img alt="fig" src="img/a_0.jpg">'
+        "<p>tiny</p>"
+        "<img src='media/hero.png'>"
+        "<p><a href='/sub'>click here to subscribe to everything</a></p>"
+        "<p>Closing paragraph, also long enough to keep around.</p>"
+        "<footer><img src='/foot.png'>bye</footer>"
+        "</body></html>"
+    )
+    docs = spark.createDataFrame([(7, page)], ["doc_id", "html"])
+    rows = html_to_spans(docs).orderBy("offset").collect()
+    seq = [(r["offset"], r["kind"], r["text"], r["media_ref"]) for r in rows]
+    assert seq == [
+        (0, "text", "First paragraph long enough to be kept as a span.", None),
+        (1, "image", None, "img/a_0.jpg"),
+        (2, "image", None, "media/hero.png"),
+        (3, "text", "Closing paragraph, also long enough to keep around.", None),
+    ]
+
+
+def test_html_to_spans_edge_pages(spark):
+    """Empty / NULL / media-only / boilerplate-only pages."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, None),
+            (3, "<img src='only.png'>"),
+            (4, "<nav><img src='x.png'>chrome</nav>"),
+        ],
+        "doc_id long, html string",
+    )
+    out = html_to_spans(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc and 2 not in by_doc and 4 not in by_doc
+    assert [(r["kind"], r["media_ref"]) for r in by_doc[3]] == [
+        ("image", "only.png")
+    ]
+
+
+def test_html_to_spans_is_map_only(spark):
+    docs = spark.createDataFrame(
+        [(i, f"<p>block {i} with enough characters to keep</p>"
+             f"<img src='m/{i}.png'>") for i in range(20)],
+        ["doc_id", "html"],
+    )
+    plan = (
+        html_to_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # map + generate only: no shuffle
