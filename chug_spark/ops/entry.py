@@ -1078,6 +1078,52 @@ FROM s, unnest(generate_series(1, len(spans))) AS u(i)
 """
 
 
+def q_dom_extract(spark, sf_dir):
+    """DOM-heuristics leg: readability-style container scoring over a real
+    parse tree (stdlib html.parser in one mapInPandas).  Page synthesis
+    nests the article between a link-list sidebar and a comments block so
+    the scorer must out-rank chrome by text/comma density, not position.
+    Not SQL-expressible (tree parse) -> rows-only in the driver; value-
+    pinned by md5 in tests/test_hash_pins.py and by a pure-Python parity
+    test in tests/test_dom.py."""
+    from pyspark.sql import functions as F
+
+    from .dom import dom_extract
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_paras = F.ceil(F.size(words) / 12).cast("int")
+    did = F.col("doc_id").cast("string")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda p: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(words, p * 12 + 1, 12), " "),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title></head><body>'
+              '<nav id="topnav"><a href="/">home</a> <a href="/a">about</a></nav>'
+              '<div id="page"><div id="sidebar"><ul>'
+              '<li><a href="/r1">related article number one</a></li>'
+              '<li><a href="/r2">another related piece of writing</a></li>'
+              '</ul></div><article id="main">'),
+        paras,
+        F.lit('</article><div id="comments">'
+              '<p><a href="/u1">user1</a> says: first comment!</p>'
+              '<p><a href="/u2">user2</a> replies briefly</p>'
+              "</div></div><footer>copyright "),
+        F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+    return dom_extract(docs.select("doc_id", html.alias("html")))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary top-50: one word-keyed aggregation (map-side
     partial agg) + TakeOrderedAndProject — never a full sort."""
@@ -2475,6 +2521,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_dedup": q_block_dedup,
         "html_extract": q_html_extract,
         "html_spans": q_html_spans,
+        "dom_extract": q_dom_extract,
         "budget_select": q_budget_select,
         "sample_exact_k": q_sample_exact_k,
         "snapshot_diff": q_snapshot_diff,

@@ -1,0 +1,109 @@
+"""DOM-tree readability extraction: scoring, tolerance, Spark parity."""
+
+from __future__ import annotations
+
+from chug_spark.ops.dom import dom_extract, extract_one
+
+ARTICLE_PAGE = (
+    "<html><head><title>An Article</title>"
+    "<script>var x='<div>junk</div>';</script></head>"
+    "<body>"
+    "<nav id='topnav'><ul><li><a href='/'>home</a></li>"
+    "<li><a href='/b'>blog</a></li></ul></nav>"
+    "<div id='page'>"
+    "<div id='sidebar'><ul><li><a href='1'>related post one</a></li>"
+    "<li><a href='2'>related post two with text</a></li></ul></div>"
+    "<article id='main'><h1>A Decent Headline For The Piece</h1>"
+    "<p>The first paragraph of the body, with a comma, and enough length "
+    "to score some readability points for its parent container.</p>"
+    "<p>A second paragraph, also commaful, also long enough to contribute "
+    "to the article node and push it past the sidebar.</p>"
+    "<blockquote>A quoted line that is long enough to count as a block "
+    "too.</blockquote>"
+    "</article>"
+    "<div id='comments'><p><a href='u1'>user1</a> says: nah</p>"
+    "<p><a href='u2'>user2</a> ok</p></div>"
+    "</div></body></html>"
+)
+
+
+def test_dom_scoring_picks_article():
+    title, path, score, n_blocks, text = extract_one(ARTICLE_PAGE)
+    assert title == "An Article"
+    assert path == "html/body/div#page/article#main"
+    assert score > 0 and n_blocks == 4
+    blocks = text.split("\n")
+    assert blocks[0] == "A Decent Headline For The Piece"
+    assert "past the sidebar" in blocks[2]
+    # chrome never leaks into the winning container
+    assert "related post" not in text and "home" not in text
+    assert "user1" not in text and "junk" not in text
+
+
+def test_dom_link_density_damps_chrome():
+    """A link-list container with MORE raw text than the article must still
+    lose: its score is damped by link density."""
+    page = (
+        "<body><div id='links'>"
+        + "".join(
+            f"<li><a href='{i}'>a linked headline that is long enough to "
+            f"score points number {i}, with commas, plenty</a></li>"
+            for i in range(8)
+        )
+        + "</div><div id='art'><p>One honest paragraph, modest length, "
+        "with a couple of commas, that should win anyway.</p></div></body>"
+    )
+    _, path, _, _, text = extract_one(page)
+    assert path == "body/div#art"
+    assert "honest paragraph" in text
+
+
+def test_dom_tolerates_malformed_and_deep_input():
+    # unclosed tags, stray end tags, attribute with '>', 2000-deep nesting:
+    # must not throw, must not recurse
+    assert extract_one("<p>unclosed tag with enough text, commas, to be kept")[4] != ""
+    assert extract_one("</div></p>stray closers then real text, with commas")[4] != ""
+    t = extract_one("<div>" * 2000 + "<p>deep page text, long enough to score, "
+                    "with commas</p>" + "</div>" * 2000)
+    assert "deep page text" in t[4]
+    # script containing markup is CDATA — never parsed as structure
+    assert extract_one("<script><div id='x'><p>ghost, ghost, ghost</p></div>"
+                       "</script><p>real text that is long enough, yes</p>")[4].startswith("real text")
+
+
+def test_dom_fallback_for_plain_text():
+    """No candidate container: classic readability fallback to body text."""
+    title, path, score, n_blocks, text = extract_one(
+        "plain text with no tags at all but quite long, with a comma"
+    )
+    assert path is None and score == 0.0 and n_blocks == 0
+    assert text.startswith("plain text")
+    assert extract_one("")[4] == "" and extract_one(None)[4] == ""
+
+
+def test_dom_extract_spark_parity(spark):
+    """The mapInPandas path must agree cell-for-cell with direct
+    extract_one calls on the same strings (the pure-Python oracle)."""
+    pages = [
+        (1, ARTICLE_PAGE),
+        (2, "plain text fallback page, long enough, with commas"),
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in dom_extract(docs).collect()}
+    for doc_id, html in pages:
+        title, path, score, n_blocks, text = extract_one(html)
+        r = got[doc_id]
+        assert (r["title"], r["best_path"], r["score"], r["n_blocks"],
+                r["main_text"]) == (title, path, score, n_blocks, text)
+
+
+def test_dom_extract_is_map_only(spark):
+    docs = spark.createDataFrame(
+        [(i, f"<div><p>page {i} body text, with commas, long enough to "
+             f"score</p></div>") for i in range(10)],
+        "doc_id long, html string",
+    )
+    plan = dom_extract(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -26,6 +26,7 @@ PINS = {
     "audio_features": (500, "b87a10b164f40cb0dddbd5c76528839c"),
     "media_frames": (375, "afc5b2230834cc20dedd95076f208536"),
     "media_dhash": (499, "62755f6a655d215f60b9893e5d0f071f"),
+    "dom_extract": (500, "7af5fd72066c2c5d1809c0e41118c94a"),
 }
 
 
