@@ -184,7 +184,7 @@ _SWEEP_FRONT = [
     "events_window", "events_sliding", "props_extract", "asof_join",
     # new in r4
     "tar_ingest", "budget_select", "sample_exact_k", "snapshot_diff",
-    "media_dhash", "html_spans", "dom_extract",
+    "media_dhash", "html_spans", "dom_extract", "image_eval", "image_train",
 ]
 
 

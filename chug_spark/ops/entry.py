@@ -1359,6 +1359,55 @@ def q_media_train(spark, sf_dir):
     return extract_train_tensors(fixture, image_size=(64, 96), render_dpi=24)
 
 
+def q_image_eval(spark, sf_dir):
+    """Natural-image eval pipeline (image_basic/image_timm,
+    build_transforms_image.py:166-196) over synthetic payloads, cycling all
+    three resize modes (shortest/longest/squash) by doc_id; emits
+    normalized-tensor stats.  Pixel kernels -> rows-only (md5-pinned)."""
+    from pyspark.sql import functions as F
+
+    from .image_transforms import extract_image_tensors
+
+    fixture = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+        F.element_at(
+            F.array(F.lit("shortest"), F.lit("longest"), F.lit("squash")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("resize_mode"),
+    ).limit(200)
+    return extract_image_tensors(fixture, image_size=(48, 64), render_dpi=24)
+
+
+def q_image_train(spark, sf_dir):
+    """Natural-image train pipeline: deterministic RandomResizedCrop (+
+    imagenet-style jitter) with the drawn crop box emitted per row — the
+    box schedule is part of the pinned value surface even though pixels
+    are rows-only."""
+    from pyspark.sql import functions as F
+
+    from .image_transforms import AUG_IMAGENET, extract_image_tensors
+
+    fixture = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            (F.pmod(F.col("doc_id"), F.lit(2)) + 1).cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+    ).limit(100)
+    return extract_image_tensors(
+        fixture, image_size=(48, 48), is_training=True, aug=AUG_IMAGENET,
+        render_dpi=24,
+    )
+
+
 def _aug_consts():
     """(name, lo, span, prob) per oracle-checked stage — computed ONCE in
     Python and embedded verbatim (full repr precision) in both the Spark
@@ -2522,6 +2571,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "html_spans": q_html_spans,
         "dom_extract": q_dom_extract,
+        "image_eval": q_image_eval,
+        "image_train": q_image_train,
         "budget_select": q_budget_select,
         "sample_exact_k": q_sample_exact_k,
         "snapshot_diff": q_snapshot_diff,

@@ -27,6 +27,8 @@ PINS = {
     "media_frames": (375, "afc5b2230834cc20dedd95076f208536"),
     "media_dhash": (499, "62755f6a655d215f60b9893e5d0f071f"),
     "dom_extract": (500, "7af5fd72066c2c5d1809c0e41118c94a"),
+    "image_eval": (399, "3f11336087d7f837e0bddb5b68c975f0"),
+    "image_train": (150, "ebc6a5207ccc071d961078e9547d38d1"),
 }
 
 
