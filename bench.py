@@ -179,6 +179,12 @@ def main() -> int:
 
     timed("media_dhash", lambda: q_media_dhash(spark, SF_DIR).count())
 
+    # q18-q19: HTML leg (regex-codegen spans + DOM-tree readability)
+    from chug_spark.ops.entry import q_dom_extract, q_html_spans
+
+    timed("html_spans", lambda: q_html_spans(spark, SF_DIR).count())
+    timed("dom_extract", lambda: q_dom_extract(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -23,6 +23,9 @@ the beyond-reference curation suite the engine adds.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -82,6 +85,139 @@ def decontaminate(
         "n_hits",
         "n_grams",
         # integer div: exact and engine-identical (no float floor edge cases)
+        F.expr("cast((cast(n_hits as bigint) * 10000) div n_grams as int)").alias(
+            "hit_bp"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered variant: the 100-TB shape
+# ---------------------------------------------------------------------------
+#
+# ``decontaminate`` shuffles every distinct (doc_id, gram) pair twice (the
+# global DISTINCT, then the join).  At corpus scale that shuffle IS the job.
+# ``bloom_decontaminate`` produces the *identical* report with no wide gram
+# shuffle at all:
+#
+# 1. per-doc gram dedup happens inside the row (array_distinct over the
+#    doc's own gram array) — map-only, because a doc's grams all live in
+#    one row anyway; n_grams falls out as size(grams) for free;
+# 2. a Bloom filter built from the (bounded, benchmark-sized) eval gram
+#    set is broadcast to every executor; a vectorized pandas UDF tests the
+#    two xxhash64 lanes per gram and drops ~(1-fpp) of the corpus stream
+#    map-side — no false negatives by construction, so recall is exact;
+# 3. only the tiny candidate stream joins the real eval gram set, which
+#    removes Bloom false positives — making the output value-identical to
+#    the exact operator (same DuckDB oracle).
+#
+# The remaining shuffles are the candidate-hit aggregation and the final
+# doc_id join of a tiny hits table against per-doc counts — both bounded
+# by contamination volume, not corpus volume.
+
+
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k_hashes) for a target false-positive rate."""
+    import math
+
+    n_items = max(1, n_items)
+    m = max(64, int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n_items * math.log(2))))
+    return m, k
+
+
+def _gram_hashes(col: str = "gram"):
+    """two independent 64-bit lanes; double hashing g_i = h1 + i*h2 gives k
+    probes from two hashes (Kirsch-Mitzenmacher)."""
+    return (
+        F.xxhash64(F.col(col)).alias("h1"),
+        F.xxhash64(F.lit("lane2"), F.col(col)).alias("h2"),
+    )
+
+
+def build_gram_bloom(eval_docs: DataFrame, n: int = 5, fpp: float = 0.008):
+    """Collect the eval set's gram hash lanes (bounded: the eval side is a
+    benchmark, megabytes by assumption) and pack the Bloom bitmap on the
+    driver.  Returns (bitmap bytes, m_bits, k)."""
+    rows = eval_ngram_set(eval_docs, n).select(*_gram_hashes()).collect()
+    m, k = _bloom_params(len(rows), fpp)
+    bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
+    if rows:
+        h1 = np.array([r["h1"] for r in rows], dtype=np.int64)
+        h2 = np.array([r["h2"] for r in rows], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                idx = (h1 + np.int64(i) * h2) % np.int64(m)
+                np.bitwise_or.at(
+                    bitmap, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+                )
+    return bitmap.tobytes(), m, k
+
+
+def doc_gram_arrays(docs: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, grams array<string> DISTINCT) — the in-row counterpart of
+    :func:`doc_ngrams`: dedup happens map-side because one doc's grams all
+    live in its own row; no shuffle."""
+    words = F.split(normalize_text(F.col("text")), " ")
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+                )
+            ).alias("grams"),
+        )
+    )
+
+
+def bloom_decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    fpp: float = 0.008,
+) -> DataFrame:
+    """Value-identical to :func:`decontaminate` (same columns, same rows),
+    via broadcast-Bloom map-side prefiltering instead of a corpus-wide gram
+    shuffle.  See the module comment for the scale argument."""
+    bitmap_bytes, m, k = build_gram_bloom(eval_docs, n, fpp)
+    sc = train_docs.sparkSession.sparkContext
+    bc = sc.broadcast(bitmap_bytes)
+
+    @F.pandas_udf("boolean")
+    def bloom_maybe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        a = h1.values.astype(np.int64)
+        b = h2.values.astype(np.int64)
+        ok = np.ones(len(a), dtype=bool)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                idx = (a + np.int64(i) * b) % np.int64(m)
+                ok &= ((bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1) == 1
+        return pd.Series(ok)
+
+    base = doc_gram_arrays(train_docs, n)
+    counts = base.select("doc_id", F.size("grams").cast("int").alias("n_grams"))
+    exploded = base.select("doc_id", F.explode("grams").alias("gram")).select(
+        "doc_id", "gram", *_gram_hashes()
+    )
+    candidates = exploded.filter(bloom_maybe("h1", "h2")).select("doc_id", "gram")
+    # exact confirm join kills Bloom false positives (strategy left to AQE:
+    # the eval side is bounded, so it broadcasts; a pathological eval set
+    # degrades to a shuffle join instead of an OOM — same policy as the
+    # exact operator)
+    hits = (
+        candidates.join(eval_ngram_set(eval_docs, n), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    return hits.join(counts, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_grams",
         F.expr("cast((cast(n_hits as bigint) * 10000) div n_grams as int)").alias(
             "hit_bp"
         ),

@@ -2199,6 +2199,23 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(d.filter(~is_eval), d.filter(is_eval), n=5)
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-prefiltered decontamination: same report as `decontaminate`
+    (same oracle) but the 100-TB plan shape — in-row gram dedup (map-only),
+    broadcast Bloom prefilter on two xxhash64 lanes, exact confirm join on
+    the surviving sliver.  fpp deliberately loose so false positives occur
+    at sf0.01 and the confirm join is exercised, not vacuous."""
+    from pyspark.sql import functions as F
+
+    from .decontam import bloom_decontaminate
+
+    d = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 10 == 7
+    return bloom_decontaminate(
+        d.filter(~is_eval), d.filter(is_eval), n=5, fpp=0.05
+    )
+
+
 _SQL_DECONTAMINATE = r"""
 WITH w AS (
   SELECT doc_id,
@@ -2551,6 +2568,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "chunking": q_chunking,
         "decontaminate": q_decontaminate,
+        "bloom_decontam": q_bloom_decontam,
         "seq_pack": q_seq_pack,
         "snapshot_dedup": q_snapshot_dedup,
         "split_assign": q_split_assign,
@@ -2615,6 +2633,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "token_count": _SQL_TOKEN_COUNT,
         "chunking": _SQL_CHUNKING,
         "decontaminate": _SQL_DECONTAMINATE,
+        "bloom_decontam": _SQL_DECONTAMINATE,  # value-identical by design
         "seq_pack": _SQL_SEQ_PACK,
         "snapshot_dedup": _snapshot_dedup_sql(bands=8),
         "split_assign": _split_assign_sql(),

@@ -560,6 +560,45 @@ def test_decontaminate_flags_shared_ngrams(spark):
     assert r["n_hits"] == 1 and r["n_grams"] == 7 and r["hit_bp"] == 10000 // 7
 
 
+def test_bloom_decontaminate_equals_exact(spark):
+    """The Bloom-prefiltered path must be VALUE-identical to the exact
+    operator (no false negatives by construction, false positives removed
+    by the confirm join) — checked across a corpus with planted overlaps,
+    repeats inside docs, and clean docs, at a deliberately high fpp so
+    false positives actually occur and must be scrubbed."""
+    from chug_spark.ops.decontam import bloom_decontaminate, decontaminate
+
+    shared = "alpha beta gamma delta epsilon"
+    texts = []
+    for i in range(30):
+        if i % 3 == 0:
+            texts.append(f"doc {i} contains {shared} plus filler words {i} here")
+        else:
+            texts.append(f"clean document number {i} with its own unique words w{i} x{i} y{i} z{i}")
+    texts.append(f"the held out eval row says {shared} verbatim")
+    docs = _docs(spark, texts)
+    train = docs.filter(F.col("doc_id") < 30)
+    evald = docs.filter(F.col("doc_id") == 30)
+    exact = decontaminate(train, evald, n=5)
+    bloom = bloom_decontaminate(train, evald, n=5, fpp=0.5)
+    assert bloom.exceptAll(exact).count() == 0
+    assert exact.exceptAll(bloom).count() == 0
+    assert exact.count() == 10
+
+
+def test_bloom_decontaminate_plan_has_no_gram_distinct_shuffle(spark):
+    """The corpus-side gram stream must reach the Bloom filter map-side:
+    in-row array_distinct, no global DISTINCT over (doc_id, gram)."""
+    from chug_spark.ops.decontam import doc_gram_arrays
+
+    docs = _docs(spark, ["some words for a tiny plan test here ok"] * 3)
+    plan = (
+        doc_gram_arrays(docs, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # map-only gram generation + dedup
+
+
 def test_pack_sequences_matches_python_prefix_sum(spark):
     import hashlib
 
