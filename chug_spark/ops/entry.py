@@ -2199,6 +2199,81 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(d.filter(~is_eval), d.filter(is_eval), n=5)
 
 
+def q_url_filter(spark, sf_dir):
+    """URL/domain blocklist curation: synthesized per-doc URLs (rotating
+    www./cdn. subdomains, 4 TLDs, occasional banned path keyword) filtered
+    against a blocklist derived from a slice of sources — subdomain
+    matching via the suffix-explode equi-join, oracle-checked end to end."""
+    from pyspark.sql import functions as F
+
+    from .urlfilter import url_filter
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    sub = F.element_at(
+        F.array(F.lit("www."), F.lit("cdn."), F.lit("")),
+        (F.pmod(did, 3) + 1).cast("int"),
+    )
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+        (F.pmod(did, 4) + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.lower(F.col("source")), F.lit(".example."), tld,
+        F.lit("/p/"), did.cast("string"),
+        F.when(did % 11 == 5, F.lit("/casino-bonus")).otherwise(F.lit("/article")),
+    )
+    docs = d.select("doc_id", url.alias("url"))
+    block = (
+        d.filter(did % 9 == 4)
+        .select(
+            F.concat(F.lower(F.col("source")), F.lit(".example.com")).alias("domain")
+        )
+        .distinct()
+    )
+    return url_filter(docs, block, keywords=["casino", "xxx"])
+
+
+_SQL_URL_FILTER = """
+WITH d AS (
+  SELECT doc_id,
+         'https://'
+         || list_extract(list_value('www.', 'cdn.', ''), CAST(doc_id % 3 AS INT) + 1)
+         || lower(source) || '.example.'
+         || list_extract(list_value('com', 'org', 'net', 'io'), CAST(doc_id % 4 AS INT) + 1)
+         || '/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 11 = 5 THEN '/casino-bonus' ELSE '/article' END AS url
+  FROM documents
+),
+b AS (
+  SELECT DISTINCT lower(source) || '.example.com' AS domain
+  FROM documents WHERE doc_id % 9 = 4
+),
+h AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                        ':[0-9]+$', '') AS host,
+         CASE WHEN contains(lower(url), 'casino') THEN 'casino'
+              WHEN contains(lower(url), 'xxx') THEN 'xxx' END AS keyword_hit
+  FROM d
+),
+sfx AS (
+  SELECT doc_id, u.s AS suffix
+  FROM (SELECT doc_id, string_split(host, '.') AS parts FROM h) t,
+       unnest(list_transform(generate_series(0, len(parts) - 1),
+              i -> array_to_string(list_slice(parts, i + 1, len(parts)), '.'))) AS u(s)
+),
+blk AS (
+  SELECT doc_id, arg_max(suffix, length(suffix)) AS blocked_domain
+  FROM sfx JOIN b ON sfx.suffix = b.domain
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.url, h.host, blk.blocked_domain, h.keyword_hit,
+       (blk.blocked_domain IS NULL AND h.keyword_hit IS NULL) AS keep
+FROM h LEFT JOIN blk ON h.doc_id = blk.doc_id
+"""
+
+
 def q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination: same report as `decontaminate`
     (same oracle) but the 100-TB plan shape — in-row gram dedup (map-only),
@@ -2569,6 +2644,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking": q_chunking,
         "decontaminate": q_decontaminate,
         "bloom_decontam": q_bloom_decontam,
+        "url_filter": q_url_filter,
         "seq_pack": q_seq_pack,
         "snapshot_dedup": q_snapshot_dedup,
         "split_assign": q_split_assign,
@@ -2634,6 +2710,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "chunking": _SQL_CHUNKING,
         "decontaminate": _SQL_DECONTAMINATE,
         "bloom_decontam": _SQL_DECONTAMINATE,  # value-identical by design
+        "url_filter": _SQL_URL_FILTER,
         "seq_pack": _SQL_SEQ_PACK,
         "snapshot_dedup": _snapshot_dedup_sql(bands=8),
         "split_assign": _split_assign_sql(),

@@ -599,6 +599,36 @@ def test_bloom_decontaminate_plan_has_no_gram_distinct_shuffle(spark):
     assert "Exchange" not in plan  # map-only gram generation + dedup
 
 
+def test_url_filter_blocklist_and_keywords(spark):
+    """Subdomain semantics (anything under a blocked domain dies, most
+    specific match reported), keyword order, non-URL rows survive."""
+    from chug_spark.ops.urlfilter import url_filter
+
+    rows = [
+        (0, "https://news.example.com/a"),          # exact domain block
+        (1, "https://Cdn.Sub.news.example.com:443/x"),  # subdomain + case + port
+        (2, "https://other.org/fine/article"),      # clean
+        (3, "https://clean.net/casino-night"),      # keyword
+        (4, "https://sub.news.example.com/xxx/casino"),  # both: domain wins reporting, both recorded
+        (5, "not a url at all"),                    # host='' -> keep
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    block = spark.createDataFrame(
+        [("news.example.com",), ("SUB.news.example.com",)], "domain string"
+    )
+    out = {r["doc_id"]: r for r in
+           url_filter(docs, block, keywords=["casino", "xxx"]).collect()}
+    assert out[0]["blocked_domain"] == "news.example.com" and not out[0]["keep"]
+    assert out[1]["host"] == "cdn.sub.news.example.com"
+    # most specific match: the longer blocklist entry
+    assert out[1]["blocked_domain"] == "sub.news.example.com"
+    assert out[2]["keep"] and out[2]["blocked_domain"] is None
+    assert out[3]["keyword_hit"] == "casino" and not out[3]["keep"]
+    assert out[4]["blocked_domain"] == "sub.news.example.com"
+    assert out[4]["keyword_hit"] == "casino"  # list order, not URL position
+    assert out[5]["keep"] and out[5]["host"] == ""
+
+
 def test_pack_sequences_matches_python_prefix_sum(spark):
     import hashlib
 
