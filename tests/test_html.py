@@ -132,7 +132,10 @@ def test_html_to_spans_edge_pages(spark):
     ]
 
 
-def test_html_to_spans_is_map_only(spark):
+def test_html_to_spans_single_shuffle(spark):
+    """Explode + codegen scoring + ONE keyed shuffle for the dense offsets
+    (the flagship's flat-assembly shape); never a cartesian or a second
+    exchange."""
     docs = spark.createDataFrame(
         [(i, f"<p>block {i} with enough characters to keep</p>"
              f"<img src='m/{i}.png'>") for i in range(20)],
@@ -141,4 +144,5 @@ def test_html_to_spans_is_map_only(spark):
     plan = (
         html_to_spans(docs)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan  # map + generate only: no shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
