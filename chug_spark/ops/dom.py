@@ -144,39 +144,39 @@ def _subtree_stats(root: _Node) -> dict[_Node, tuple[int, int, int]]:
 
 
 def _subtree_text(node: _Node) -> str:
-    """document-order text of a subtree (iterative, whitespace-collapsed)"""
+    """document-order text of a subtree (iterative iterator stack: O(n),
+    whitespace-collapsed)"""
     parts: list[str] = []
-    # flatten seq items depth-first preserving order
-    frames: list[list] = [list(node.seq)]
-    while frames:
-        frame = frames[-1]
-        if not frame:
-            frames.pop()
+    stack = [iter(node.seq)]
+    while stack:
+        try:
+            kind, item = next(stack[-1])
+        except StopIteration:
+            stack.pop()
             continue
-        kind, item = frame.pop(0)
         if kind == "t":
             parts.append(item)
         else:
-            frames.append(list(item.seq))
+            stack.append(iter(item.seq))
     return _norm(" ".join(parts))
 
 
 def _outer_blocks(node: _Node) -> list[_Node]:
     """outermost _BLOCK descendants in document order"""
     out: list[_Node] = []
-    frames: list[list] = [list(node.seq)]
-    while frames:
-        frame = frames[-1]
-        if not frame:
-            frames.pop()
+    stack = [iter(node.seq)]
+    while stack:
+        try:
+            kind, item = next(stack[-1])
+        except StopIteration:
+            stack.pop()
             continue
-        kind, item = frame.pop(0)
         if kind != "n":
             continue
         if item.tag in _BLOCK:
             out.append(item)  # outermost: don't descend further
         else:
-            frames.append(list(item.seq))
+            stack.append(iter(item.seq))
     return out
 
 
@@ -206,17 +206,17 @@ def extract_one(html: str | None, min_block_chars: int = 25):
 
     # every paragraph-like block donates points to parent + grandparent
     order: list[_Node] = []
-    frames: list[list] = [list(p.root.seq)]
-    while frames:
-        frame = frames[-1]
-        if not frame:
-            frames.pop()
+    stack = [iter(p.root.seq)]
+    while stack:
+        try:
+            kind, item = next(stack[-1])
+        except StopIteration:
+            stack.pop()
             continue
-        kind, item = frame.pop(0)
         if kind != "n":
             continue
         order.append(item)
-        frames.append(list(item.seq))
+        stack.append(iter(item.seq))
     for node in order:
         if node.tag not in _BLOCK:
             continue

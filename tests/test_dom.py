@@ -71,6 +71,21 @@ def test_dom_tolerates_malformed_and_deep_input():
                        "</script><p>real text that is long enough, yes</p>")[4].startswith("real text")
 
 
+def test_dom_wide_sibling_page_is_linear():
+    """5000 sibling paragraphs must parse+score in well under a second —
+    guards against accidental O(n^2) list-shift walks."""
+    import time
+
+    page = ("<body><div id='page'><article id='m'>"
+            + "".join(f"<p>paragraph number {i}, with commas, long enough "
+                      f"to score</p>" for i in range(5000))
+            + "</article></div></body>")
+    t0 = time.monotonic()
+    _, path, _, n_blocks, _ = extract_one(page)
+    assert time.monotonic() - t0 < 2.0
+    assert n_blocks == 5000 and path == "body/div#page/article#m"
+
+
 def test_dom_fallback_for_plain_text():
     """No candidate container: classic readability fallback to body text."""
     title, path, score, n_blocks, text = extract_one(
