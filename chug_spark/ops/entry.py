@@ -1078,6 +1078,98 @@ FROM s, unnest(generate_series(1, len(spans))) AS u(i)
 """
 
 
+def q_web_pipeline(spark, sf_dir):
+    """End-to-end web-corpus curation composed from this round's HTML leg:
+    URL/domain gate (url_filter) → main-content extraction
+    (html_main_content) → word-count quality gate, one value-checked
+    funnel.  The DuckDB oracle nests the url_filter and html_extract
+    oracles as CTEs, so the COMPOSITION is hash-checked, not just the
+    stages."""
+    from pyspark.sql import functions as F
+
+    from .html import html_main_content
+    from .urlfilter import url_filter
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+
+    # URL synthesis — identical to q_url_filter
+    sub = F.element_at(
+        F.array(F.lit("www."), F.lit("cdn."), F.lit("")),
+        (F.pmod(did, 3) + 1).cast("int"),
+    )
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+        (F.pmod(did, 4) + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.lower(F.col("source")), F.lit(".example."), tld,
+        F.lit("/p/"), did.cast("string"),
+        F.when(did % 11 == 5, F.lit("/casino-bonus")).otherwise(F.lit("/article")),
+    )
+    block = (
+        d.filter(did % 9 == 4)
+        .select(
+            F.concat(F.lower(F.col("source")), F.lit(".example.com")).alias("domain")
+        )
+        .distinct()
+    )
+    uf = url_filter(
+        d.select("doc_id", url.alias("url")), block, keywords=["casino", "xxx"]
+    ).filter(F.col("keep")).select("doc_id", "host")
+
+    # page synthesis — identical to q_html_extract
+    words = F.split(F.col("text"), " ")
+    n_paras = F.ceil(F.size(words) / 12).cast("int")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda p: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(words, p * 12 + 1, 12), " "),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did.cast("string"),
+        F.lit('</title><style>p{color:red}</style></head><body>'
+              '<nav><a href="/">home</a> <a href="/a">about</a></nav>'),
+        paras,
+        F.lit('<p><a href="/sub">click here to subscribe now</a></p>'
+              "<footer>copyright "),
+        F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+    mc = html_main_content(d.select("doc_id", html.alias("html")))
+    main_words = F.when(F.col("main_text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("main_text"), " "))
+    )
+    return mc.join(uf, "doc_id").select(
+        "doc_id",
+        "host",
+        "title",
+        "n_kept",
+        main_words.cast("int").alias("main_words"),
+        (main_words >= 40).alias("keep"),
+    )
+
+
+def _web_pipeline_sql() -> str:
+    return f"""
+WITH he AS ({_html_extract_sql()}),
+uf AS ({_SQL_URL_FILTER})
+SELECT he.doc_id, uf.host, he.title, he.n_kept,
+       CAST(CASE WHEN he.main_text = '' THEN 0
+                 ELSE len(string_split(he.main_text, ' ')) END AS INT) AS main_words,
+       (CASE WHEN he.main_text = '' THEN 0
+             ELSE len(string_split(he.main_text, ' ')) END) >= 40 AS keep
+FROM he JOIN uf ON he.doc_id = uf.doc_id
+WHERE uf.keep
+"""
+
+
 def q_dom_extract(spark, sf_dir):
     """DOM-heuristics leg: readability-style container scoring over a real
     parse tree (stdlib html.parser in one mapInPandas).  Page synthesis
@@ -2645,6 +2737,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "bloom_decontam": q_bloom_decontam,
         "url_filter": q_url_filter,
+        "web_pipeline": q_web_pipeline,
         "seq_pack": q_seq_pack,
         "snapshot_dedup": q_snapshot_dedup,
         "split_assign": q_split_assign,
@@ -2711,6 +2804,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "bloom_decontam": _SQL_DECONTAMINATE,  # value-identical by design
         "url_filter": _SQL_URL_FILTER,
+        "web_pipeline": _web_pipeline_sql(),
         "seq_pack": _SQL_SEQ_PACK,
         "snapshot_dedup": _snapshot_dedup_sql(bands=8),
         "split_assign": _split_assign_sql(),
