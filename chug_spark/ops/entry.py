@@ -2366,6 +2366,57 @@ FROM h LEFT JOIN blk ON h.doc_id = blk.doc_id
 """
 
 
+def q_text_norm(spark, sf_dir):
+    """Unicode normalization over deterministically corrupted text: docs are
+    wrapped/injected with mojibake quotes, accents, ellipsis, NBSP,
+    zero-width and control bytes by doc_id%4, then repaired.  The oracle
+    rebuilds corruption via chr() codepoints (encoding-unambiguous) and
+    applies the identical replace chain."""
+    from pyspark.sql import functions as F
+
+    from .textnorm import text_normalize
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    lq = "â€œ"          # mojibake “
+    rq = "â€\x9d"            # mojibake ” (raw U+009D tail)
+    ell = "â€¦"         # mojibake …
+    cafe = "CafÃ©"           # mojibake é
+    corrupted = (
+        F.when(did % 4 == 0, F.concat(F.lit(lq), F.col("text"), F.lit(rq)))
+        .when(did % 4 == 1, F.concat(F.col("text"),
+                                     F.lit(" " + ell + " ​")))
+        .when(did % 4 == 2, F.concat(F.lit(cafe + "\x01 "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return text_normalize(d.select("doc_id", corrupted.alias("text")))
+
+
+def _text_norm_sql() -> str:
+    from .textnorm import normalize_unicode_sql
+
+    lq = "chr(226)||chr(8364)||chr(339)"
+    rq = "chr(226)||chr(8364)||chr(157)"
+    ell = "chr(226)||chr(8364)||chr(166)"
+    cafe = "'Caf'||chr(195)||chr(169)"
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN {lq} || text || {rq}
+           WHEN 1 THEN text || ' ' || {ell} || chr(160) || chr(8203)
+           WHEN 2 THEN {cafe} || chr(1) || ' ' || text
+           ELSE text
+         END AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id, text, {normalize_unicode_sql('text')} AS text_norm FROM c
+)
+SELECT doc_id, text_norm, text_norm IS DISTINCT FROM text AS changed FROM n
+"""
+
+
 def q_bloom_decontam(spark, sf_dir):
     """Bloom-prefiltered decontamination: same report as `decontaminate`
     (same oracle) but the 100-TB plan shape — in-row gram dedup (map-only),
@@ -2738,6 +2789,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "url_filter": q_url_filter,
         "web_pipeline": q_web_pipeline,
+        "text_norm": q_text_norm,
         "seq_pack": q_seq_pack,
         "snapshot_dedup": q_snapshot_dedup,
         "split_assign": q_split_assign,
@@ -2805,6 +2857,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "bloom_decontam": _SQL_DECONTAMINATE,  # value-identical by design
         "url_filter": _SQL_URL_FILTER,
         "web_pipeline": _web_pipeline_sql(),
+        "text_norm": _text_norm_sql(),
         "seq_pack": _SQL_SEQ_PACK,
         "snapshot_dedup": _snapshot_dedup_sql(bands=8),
         "split_assign": _split_assign_sql(),
