@@ -128,6 +128,138 @@ def _link_text_len(b: Column) -> Column:
     )
 
 
+def _html_pieces(html: Column) -> Column:
+    """boilerplate-stripped, img-marked, block-segmented pieces array"""
+    body = strip_boilerplate(F.coalesce(html, F.lit("")))
+    # quoted <img src> becomes its own segment: SEP + marker + src + SEP
+    body = F.regexp_replace(body, _IMG_TAG_RE, _SEP + _IMG_MARK + "$1" + _SEP)
+    return F.split(F.regexp_replace(body, _BLOCK_TAG_RE, _SEP), _SEP)
+
+
+def _score_struct(
+    b: Column, min_block_chars: int, max_link_density: float, media_kind: str
+) -> Column:
+    """(kind, text, media_ref, keep) struct for one segment"""
+    is_img = F.startswith(b, F.lit(_IMG_MARK))
+    clean = _norm_ws(unescape_entities(strip_tags(b)))
+    keep_text = (F.length(clean) >= min_block_chars) & (
+        _link_text_len(b)
+        <= F.greatest(F.length(clean), F.lit(1)) * max_link_density
+    )
+    return F.struct(
+        F.when(is_img, F.lit(media_kind)).otherwise(F.lit("text")).alias("kind"),
+        F.when(is_img, F.lit(None).cast("string")).otherwise(clean).alias("text"),
+        F.when(is_img, F.substring(b, len(_IMG_MARK) + 1, 1 << 30))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("media_ref"),
+        (is_img | keep_text).alias("keep"),
+    )
+
+
+def html_to_docread_samples(
+    docs: DataFrame,
+    html_col: str = "html",
+    min_block_chars: int = 20,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """Raw HTML → a proper *docread sample* per page, ``(doc_id string,
+    spans [anno, media...])``: the kept text blocks become the annotation's
+    pages (one page per block, ``{"pages": [{"text": ["..."]}, ...]}`` via
+    ``to_json`` so escaping is engine-correct) and each ``<img src>`` target
+    becomes a page-image media span.  This is the shape
+    :func:`chug_spark.extract.extract_docread` consumes — page-sampling
+    policies, pairing, and error lineage (``no_page_images`` for image-less
+    pages, ``empty_annotation`` for content-less ones) all apply to web
+    pages exactly as to wds shards.  Map-only; zero shuffle."""
+    pieces = _html_pieces(F.col(html_col))
+    kept = F.filter(
+        F.transform(
+            pieces,
+            lambda b: _score_struct(b, min_block_chars, max_link_density, "media"),
+        ),
+        lambda s: s["keep"],
+    )
+    texts = F.transform(
+        F.filter(kept, lambda s: s["kind"] == "text"), lambda s: s["text"]
+    )
+    medias = F.transform(
+        F.filter(kept, lambda s: s["kind"] == "media"), lambda s: s["media_ref"]
+    )
+    anno_json = F.to_json(
+        F.struct(
+            F.transform(texts, lambda t: F.struct(F.array(t).alias("text"))).alias(
+                "pages"
+            )
+        )
+    )
+    spans = F.concat(
+        F.array(
+            F.struct(
+                F.lit("anno").alias("kind"),
+                anno_json.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ),
+        F.transform(
+            medias,
+            lambda m, i: F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                m.alias("media_ref"),
+                (i + 1).cast("int").alias("offset"),
+            ),
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+
+
+def html_to_span_arrays(
+    docs: DataFrame,
+    html_col: str = "html",
+    min_block_chars: int = 20,
+    max_link_density: float = 0.5,
+    media_kind: str = "media",
+) -> DataFrame:
+    """Input-contract twin of :func:`html_to_spans`: one row per doc,
+    ``(doc_id string, spans array<struct<kind,text,media_ref,offset>>)`` —
+    the exact span-table shape the extraction job consumes, with image
+    spans emitted under ``media_kind`` ('media' = the input contract's
+    media kind, so extracted ``<img>`` targets flow through the pipeline
+    as pre-resolved media references).
+
+    Built entirely map-side (array transform/filter, offsets from the
+    element index) — ZERO shuffle, because a source adapter should add no
+    exchange of its own; the extraction job downstream owns the shuffles.
+    The per-element lambdas run interpreted (the HOF tax), which is the
+    right trade here: a source feeding the full extraction pipeline is
+    not the hot loop, and shuffle-free beats 2× per-element CPU at scan
+    time.  Row-granular analytics should use :func:`html_to_spans`.
+    """
+    pieces = _html_pieces(F.col(html_col))
+    kept = F.filter(
+        F.transform(
+            pieces,
+            lambda b: _score_struct(b, min_block_chars, max_link_density, media_kind),
+        ),
+        lambda s: s["keep"],
+    )
+    spans = F.transform(
+        kept,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+
+
 def html_to_spans(
     docs: DataFrame,
     html_col: str = "html",
@@ -157,12 +289,7 @@ def html_to_spans(
     keyed shuffle whose volume is the output span stream itself — the same
     single-shuffle shape as the flagship's flat assembly.
     """
-    html = F.coalesce(F.col(html_col), F.lit(""))
-    body = strip_boilerplate(html)
-    # quoted <img src> becomes its own segment: SEP + marker + src + SEP
-    body = F.regexp_replace(body, _IMG_TAG_RE, _SEP + _IMG_MARK + "$1" + _SEP)
-    pieces = F.split(F.regexp_replace(body, _BLOCK_TAG_RE, _SEP), _SEP)
-
+    pieces = _html_pieces(F.col(html_col))
     b = F.col("_b")
     is_img = F.startswith(b, F.lit(_IMG_MARK))
     clean = _norm_ws(unescape_entities(strip_tags(b)))

@@ -13,6 +13,8 @@ Built-in schemes:
 - ``jsonl://<path>``    JSON-lines files with the span schema
 - ``table://<name>``    catalog table (Iceberg semantics when a catalog jar
   is present; bare dotted names also route here)
+- ``html://<path>``     raw web pages (doc_id, html) -> docread samples
+  (text blocks as annotation pages, <img> targets as page images)
 - ``mem://<name>``      an in-memory dataset registered with
   :func:`register_mem_dataset` — the stand-in for the HF-datasets connector
   (the ``datasets`` library is absent in this sandbox): rows are
@@ -85,6 +87,33 @@ def _read_jsonl(spark: SparkSession, path: str) -> DataFrame:
 @register_source("table")
 def _read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.read.table(name)
+
+
+@register_source("html")
+def _read_html(spark: SparkSession, locator: str) -> DataFrame:
+    """``html://<path>``: parquet (or .jsonl) files of raw web pages with
+    columns ``(doc_id, html)``, converted map-side into docread samples
+    via :func:`chug_spark.ops.html.html_to_docread_samples` — kept text
+    blocks become the annotation's pages, ``<img src>`` targets become
+    page-image media spans, so page-sampling policies and error lineage
+    apply to web pages exactly as to wds shards.  Makes raw HTML a
+    first-class job input: ``spark-submit chug_spark/job.py --input
+    'html://pages/*.parquet'``."""
+    from pyspark.sql import types as T
+
+    from ..ops.html import html_to_docread_samples
+
+    if locator.endswith((".jsonl", ".json")):
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("html", T.StringType()),
+            ]
+        )
+        raw = spark.read.schema(schema).json(locator)
+    else:
+        raw = spark.read.parquet(locator)
+    return html_to_docread_samples(raw)
 
 
 @register_source("mem")

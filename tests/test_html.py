@@ -132,6 +132,86 @@ def test_html_to_spans_edge_pages(spark):
     ]
 
 
+def test_html_to_span_arrays_parity_and_shape(spark):
+    """The map-only array variant must agree row-for-row with the exploded
+    op (modulo the image->media kind mapping) and add zero exchanges."""
+    from pyspark.sql import functions as F
+
+    from chug_spark.ops.html import html_to_span_arrays
+
+    docs = spark.createDataFrame(
+        [(i, f"<p>paragraph {i} long enough to clear the block gate</p>"
+             f"<img src='m/{i}.png'><p>tiny</p>") for i in range(10)]
+        + [(99, None)],
+        "doc_id long, html string",
+    )
+    arr = html_to_span_arrays(docs)
+    plan = arr._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # a source adapter adds no shuffle
+    exploded = (
+        arr.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("s.offset").alias("offset"),
+            F.when(F.col("s.kind") == "media", "image")
+            .otherwise(F.col("s.kind")).alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+    from chug_spark.ops.html import html_to_spans
+
+    rows = html_to_spans(docs)
+    assert exploded.exceptAll(rows).count() == 0
+    assert rows.exceptAll(exploded).count() == 0
+
+
+def test_html_source_scheme_feeds_extraction(spark, tmp_path):
+    """spark-submit's --input 'html://...' path: raw pages -> span-table
+    contract -> full doc-read extraction; text blocks come out cleaned,
+    <img> targets come out as pre-resolved media refs in order."""
+    from chug_spark.config import ExtractJobCfg
+    from chug_spark.extract import extract_docread, flatten_spans
+    from chug_spark.schema import DOCUMENTS_SCHEMA
+    from chug_spark.sources.registry import read_source
+
+    body = "a body paragraph with plenty of words to clear every gate"
+    pages = [
+        (str(i), f"<nav><a href='/'>home</a></nav><p>{body} {i}</p>"
+                 f"<img src='media/{i}.png'>")
+        for i in range(4)
+    ] + [
+        # faithful docread error lineage: image-less and content-less pages
+        ("noimg", f"<p>{body} but with no page image anywhere</p>"),
+        ("empty", "<nav><a href='/'>chrome only</a></nav>"),
+    ]
+    path = str(tmp_path / "pages")
+    spark.createDataFrame(pages, "doc_id string, html string").write.parquet(path)
+
+    src = read_source(spark, f"html://{path}")
+    assert [f.name for f in src.schema.fields] == [
+        f.name for f in DOCUMENTS_SCHEMA.fields
+    ]
+    out, errors = extract_docread(
+        spark, src, ExtractJobCfg(page_sampling="all_valid")
+    )
+    got = {}
+    for r in flatten_spans(out).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["offset"], r["kind"], r["text"], r["media_ref"])
+        )
+    assert set(got) == {str(i) for i in range(4)}
+    for i in range(4):
+        spans = sorted(got[str(i)])
+        kinds = [s[1] for s in spans]
+        assert kinds == ["text", "media"]
+        assert spans[0][2] == f"{body} {i}"
+        assert spans[1][3] == f"media/{i}.png"
+    errs = {r["doc_id"]: r["error"] for r in errors.collect()}
+    assert errs["noimg"] == "no_page_images"
+    assert errs["empty"] == "empty_annotation"
+
+
 def test_html_to_spans_single_shuffle(spark):
     """Explode + codegen scoring + ONE keyed shuffle for the dense offsets
     (the flagship's flat-assembly shape); never a cartesian or a second
