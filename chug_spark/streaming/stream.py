@@ -166,3 +166,50 @@ def run_stream_tar_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_html_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    output_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> None:
+    """Incremental web-crawl ingestion: drop new parquet files of raw pages
+    ``(doc_id, html)`` into ``pages_dir`` and each drain converts ONLY
+    unseen files into docread samples (the html:// batch source's
+    :func:`~chug_spark.ops.html.html_to_docread_samples`, which is a pure
+    map — stateless, so it streams with no watermark and zero shuffles per
+    micro-batch).  Samples land under ``samples/`` partitioned by batch_id
+    with dynamic partition-overwrite, idempotent under foreachBatch's
+    at-least-once replay — same contract as :func:`run_stream_tar_ingest`.
+    """
+    from ..ops.html import html_to_docread_samples
+
+    samples_path = os.path.join(output_dir, "samples")
+    ckpt = os.path.join(output_dir, "_checkpoint")
+
+    reader = spark.readStream.schema("doc_id string, html string").format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(pages_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        ss = batch_df.sparkSession
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            html_to_docread_samples(batch_df)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(samples_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

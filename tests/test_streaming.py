@@ -267,3 +267,45 @@ def test_stream_tar_ingest_incremental_drains(spark, tmp_path):
     bm = {r.doc_id: r.spans for r in batch}
     for k, r in got.items():
         assert [tuple(s) for s in r.spans] == [tuple(s) for s in bm[k]]
+
+
+def test_stream_html_ingest_incremental(spark, tmp_path):
+    """Two-drain web-crawl ingestion: drain 2 converts only the new pages
+    file; output samples match the html:// batch source value-for-value."""
+    import os
+
+    from chug_spark.sources.registry import read_source
+    from chug_spark.streaming.stream import run_stream_html_ingest
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(pages_dir)
+
+    def page(i):
+        return (f"p{i}", f"<p>page {i} body text long enough to keep it</p>"
+                         f"<img src='m/{i}.png'>")
+
+    def write_pages(rows, name):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({"doc_id": [r[0] for r in rows],
+                        "html": [r[1] for r in rows]})
+        pq.write_table(tbl, os.path.join(pages_dir, name))
+
+    write_pages([page(0), page(1)], "a.parquet")
+    run_stream_html_ingest(spark, pages_dir, out_dir)
+    first = spark.read.parquet(out_dir + "/samples")
+    assert sorted(r.doc_id for r in first.collect()) == ["p0", "p1"]
+
+    write_pages([page(2)], "b.parquet")
+    run_stream_html_ingest(spark, pages_dir, out_dir)
+    out = spark.read.parquet(out_dir + "/samples")
+    got = {r.doc_id: r for r in out.collect()}
+    assert sorted(got) == ["p0", "p1", "p2"]
+    assert {r.doc_id for r in out.filter("batch_id = 0").collect()} == {"p0", "p1"}
+
+    batch = {r.doc_id: r.spans
+             for r in read_source(spark, f"html://{pages_dir}").collect()}
+    for k, r in got.items():
+        assert [tuple(s) for s in r.spans] == [tuple(s) for s in batch[k]]
