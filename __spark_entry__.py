@@ -185,7 +185,7 @@ _SWEEP_FRONT = [
     # new in r4
     "tar_ingest", "budget_select", "sample_exact_k", "snapshot_diff",
     "media_dhash", "html_spans", "dom_extract", "image_eval", "image_train",
-    "bloom_decontam", "url_filter", "web_pipeline", "text_norm",
+    "bloom_decontam", "url_filter", "web_pipeline", "text_norm", "bpe_vocab",
 ]
 
 

@@ -2366,6 +2366,17 @@ FROM h LEFT JOIN blk ON h.doc_id = blk.doc_id
 """
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """Distributed BPE vocabulary induction: 30 merges learned from the
+    documents corpus (one corpus-scale word-freq agg, then an iterative
+    merge loop over the bounded vocab table with driver-scalar arg-max
+    probes).  Iterative -> not SQL-expressible; rows-only in the driver,
+    value-pinned by md5 + a pure-Python reference-trainer parity test."""
+    from .bpe import bpe_merge_table
+
+    return bpe_merge_table(_docs(spark, sf_dir), num_merges=30)
+
+
 def q_text_norm(spark, sf_dir):
     """Unicode normalization over deterministically corrupted text: docs are
     wrapped/injected with mojibake quotes, accents, ellipsis, NBSP,
@@ -2790,6 +2801,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "web_pipeline": q_web_pipeline,
         "text_norm": q_text_norm,
+        "bpe_vocab": q_bpe_vocab,
         "seq_pack": q_seq_pack,
         "snapshot_dedup": q_snapshot_dedup,
         "split_assign": q_split_assign,

@@ -1,0 +1,90 @@
+"""Distributed BPE trainer vs a pure-Python reference implementation."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from chug_spark.ops.bpe import EOW, bpe_train, word_frequencies
+
+
+def ref_bpe(texts, num_merges, min_pair_count=2):
+    """Reference trainer: Sennrich-style, (count desc, pair asc) tie-break."""
+    freqs = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                freqs[w] += 1
+    words = {w: [*w[:-1], w[-1] + EOW] for w in freqs}
+    merges = []
+    for rank in range(num_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freqs[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, a, b, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest widest",
+    "the newest gadget is the widest gadget",
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    got = bpe_train(docs, num_merges=20)
+    want = ref_bpe(CORPUS, num_merges=20)
+    assert got == want
+    assert len(got) >= 8  # the corpus supports a real merge sequence
+    # classic sanity: 'newest' dominates, so its pairs merge early
+    assert got[0][3] == max(m[3] for m in got)
+
+
+def test_bpe_fold_handles_overlap_and_repeats(spark):
+    """aaa + pair (a,a) must merge left-to-right non-overlapping: [aa, a]."""
+    docs = spark.createDataFrame([(0, "aaa aaa aa")], "doc_id long, text string")
+    got = bpe_train(docs, num_merges=3, min_pair_count=1)
+    want = ref_bpe(["aaa aaa aa"], num_merges=3, min_pair_count=1)
+    assert got == want
+
+
+def test_bpe_determinism_across_parallelism(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS * 3)), "doc_id long, text string"
+    )
+    a = bpe_train(docs.repartition(1), num_merges=10)
+    b = bpe_train(docs.repartition(13), num_merges=10)
+    assert a == b
+
+
+def test_word_frequencies_is_single_agg(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    plan = (
+        word_frequencies(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash-partitioning exchange with a map-side partial agg before it
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
