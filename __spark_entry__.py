@@ -186,6 +186,7 @@ _SWEEP_FRONT = [
     "tar_ingest", "budget_select", "sample_exact_k", "snapshot_diff",
     "media_dhash", "html_spans", "dom_extract", "image_eval", "image_train",
     "bloom_decontam", "url_filter", "web_pipeline", "text_norm", "bpe_vocab",
+    "bpe_apply",
 ]
 
 

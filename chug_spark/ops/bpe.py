@@ -24,6 +24,8 @@ Python reference trainer (tests/test_bpe.py) pins the algorithm.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -118,6 +120,70 @@ def bpe_train(
         if (rank + 1) % checkpoint_every == 0:
             state = state.localCheckpoint(eager=True)
     return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    sample_tokens: int = 30,
+) -> DataFrame:
+    """Apply a learned merge table to the corpus (the Sennrich *apply*
+    phase): per word, replay the merges in rank order.  One Arrow-batched
+    pandas UDF with the merge list in the closure (broadcast-sized: the
+    merge table is KBs) and a per-batch word→tokens memo — natural text
+    repeats words heavily, so the memo turns per-word cost into a dict
+    hit.  Map-only, no shuffle.
+
+    Returns (doc_id, n_words, n_tokens, tokens_csv) where ``tokens_csv``
+    is the first ``sample_tokens`` tokens comma-joined (the value surface
+    for the md5 pin; a csv because the driver's canonicalizer cannot hash
+    list cells)."""
+    ranked = [(a, b, a + b) for a, b in merges]
+
+    def seg_word(word: str, memo: dict) -> list[str]:
+        toks = memo.get(word)
+        if toks is None:
+            syms = [*word[:-1], word[-1] + EOW]
+            for a, b, ab in ranked:
+                if len(syms) < 2:
+                    break
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks = memo[word] = syms
+        return toks
+
+    @F.pandas_udf("n_words int, n_tokens int, tokens_csv string")
+    def seg(texts: pd.Series) -> pd.DataFrame:
+        import re
+
+        memo: dict = {}
+        nw, nt, csv = [], [], []
+        for t in texts:
+            words = [
+                w
+                for w in re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ")
+                if w
+            ]
+            toks: list[str] = []
+            for w in words:
+                toks.extend(seg_word(w, memo))
+            nw.append(len(words))
+            nt.append(len(toks))
+            csv.append(",".join(toks[:sample_tokens]))
+        return pd.DataFrame({"n_words": nw, "n_tokens": nt, "tokens_csv": csv})
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        seg(F.col(text_col)).alias("s"),
+    ).select("doc_id", "s.n_words", "s.n_tokens", "s.tokens_csv")
 
 
 def bpe_merge_table(

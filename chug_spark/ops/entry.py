@@ -2377,6 +2377,18 @@ def q_bpe_vocab(spark, sf_dir):
     return bpe_merge_table(_docs(spark, sf_dir), num_merges=30)
 
 
+def q_bpe_apply(spark, sf_dir):
+    """Train-then-apply BPE round trip: learn 30 merges from the corpus,
+    then segment every document with them (per-doc word/token counts +
+    leading-token sample).  Iterative + UDF -> rows-only, md5-pinned;
+    apply-phase parity vs a pure-Python reference in tests/test_bpe.py."""
+    from .bpe import bpe_segment, bpe_train
+
+    d = _docs(spark, sf_dir)
+    merges = bpe_train(d, num_merges=30)
+    return bpe_segment(d, [(a, b) for _, a, b, _ in merges])
+
+
 def q_text_norm(spark, sf_dir):
     """Unicode normalization over deterministically corrupted text: docs are
     wrapped/injected with mojibake quotes, accents, ellipsis, NBSP,
@@ -2802,6 +2814,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pipeline": q_web_pipeline,
         "text_norm": q_text_norm,
         "bpe_vocab": q_bpe_vocab,
+        "bpe_apply": q_bpe_apply,
         "seq_pack": q_seq_pack,
         "snapshot_dedup": q_snapshot_dedup,
         "split_assign": q_split_assign,

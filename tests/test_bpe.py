@@ -88,3 +88,52 @@ def test_word_frequencies_is_single_agg(spark):
     # one hash-partitioning exchange with a map-side partial agg before it
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def ref_apply(text, merges):
+    words = [w for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if w]
+    toks = []
+    for w in words:
+        syms = [*w[:-1], w[-1] + EOW]
+        for a, b, ab in ((a, b, a + b) for _, a, b, _ in merges):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        toks.extend(syms)
+    return words, toks
+
+
+def test_bpe_segment_matches_reference_apply(spark):
+    from chug_spark.ops.bpe import bpe_segment
+
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    merges = bpe_train(docs, num_merges=15)
+    out = {r["doc_id"]: r for r in
+           bpe_segment(docs, [(a, b) for _, a, b, _ in merges],
+                       sample_tokens=1000).collect()}
+    for i, text in enumerate(CORPUS):
+        words, toks = ref_apply(text, merges)
+        r = out[i]
+        assert r["n_words"] == len(words) and r["n_tokens"] == len(toks)
+        assert r["tokens_csv"] == ",".join(toks)
+        # round trip: concatenating a word's tokens re-yields word + EOW
+        joined = "".join(toks)
+        assert joined == "".join(w + EOW for w in words)
+
+
+def test_bpe_segment_edge_rows(spark):
+    from chug_spark.ops.bpe import bpe_segment
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "   "), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bpe_segment(docs, [("l", "o")]).collect()}
+    assert out[0]["n_tokens"] == 0 and out[1]["n_tokens"] == 0
+    assert out[2]["n_tokens"] == 0
+    assert out[3]["tokens_csv"] == "x</w>"

@@ -30,6 +30,7 @@ PINS = {
     "image_eval": (399, "3f11336087d7f837e0bddb5b68c975f0"),
     "image_train": (150, "ebc6a5207ccc071d961078e9547d38d1"),
     "bpe_vocab": (30, "bd900031c0cd1c0a1e11ec72af7f0636"),
+    "bpe_apply": (500, "9bb743ff66958ff07bac28091db348ad"),
 }
 
 
