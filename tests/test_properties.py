@@ -247,3 +247,71 @@ def test_substring_spans_match_python_oracle(spark, docs_words, w):
     want = _py_substring_spans([t.split(" ") for t in texts], w)
     want = {k: sorted(v) for k, v in want.items() if v}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization: idempotence + cleanliness on adversarial text
+# ---------------------------------------------------------------------------
+
+_dirty_atom = st.one_of(
+    st.text(alphabet="ab c,.<>&'\"-", min_size=0, max_size=6),
+    st.sampled_from(
+        [m for m, _ in __import__("chug_spark.ops.textnorm",
+                                  fromlist=["MOJIBAKE"]).MOJIBAKE]
+        + ["’", "“", "—", "…", " ", "​",
+           "﻿", "\x01", "\x07", "\t", "\n", "  ", "\x9d", "Ã", "â€"]
+    ),
+)
+_dirty_text = st.lists(_dirty_atom, min_size=0, max_size=12).map("".join)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_dirty_text, min_size=1, max_size=25))
+def test_normalize_unicode_idempotent_and_clean(spark, texts):
+    import re
+
+    from chug_spark.ops.textnorm import text_normalize
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = text_normalize(docs)
+    rows = once.collect()
+    for r in rows:
+        t = r["text_norm"]
+        # no control/zero-width residue, no multi-space, trimmed
+        assert not re.search(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f​‌‍﻿]", t)
+        assert "  " not in t and t == t.strip()
+    twice = text_normalize(
+        once.select("doc_id", once["text_norm"].alias("text"))
+    )
+    assert twice.filter(twice["changed"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# DOM extractor: arbitrary tag soup never throws, invariants hold
+# (pure Python — no Spark round-trip, so hypothesis can hammer it)
+# ---------------------------------------------------------------------------
+
+_soup_atom = st.one_of(
+    st.sampled_from(
+        ["<div>", "</div>", "<p>", "</p>", "<a href='x'>", "</a>", "<li>",
+         "<script>", "</script>", "<title>", "</title>", "<img src='m.png'>",
+         "<nav>", "</nav>", "<td>", "<!-- c -->", "<br>", "<x'>", "</", ">"]
+    ),
+    st.text(alphabet="ab c,.&;'\"<>", min_size=0, max_size=8),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_soup_atom, min_size=0, max_size=40).map("".join))
+def test_dom_extract_one_total_on_tag_soup(soup):
+    from chug_spark.ops.dom import extract_one
+
+    title, path, score, n_blocks, text = extract_one(soup)
+    assert isinstance(title, str) and isinstance(text, str)
+    assert path is None or isinstance(path, str)
+    assert score >= 0.0 and n_blocks >= 0
+    # dropped subtrees never leak (script content is CDATA + dropped)
+    assert "<script>" not in text
