@@ -124,5 +124,11 @@ def extract_audio_features(
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
             )
 
-    base = docs_audio.select("doc_id", "media_ref").repartition("doc_id")
+    # explicit count: a bare repartition(col) is AQE-coalescible, and tiny
+    # ref rows would fold into one partition — serializing the synth/FFT
+    # loop (same trap measured at 3x on media_dhash)
+    n_parts = int(
+        docs_audio.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    base = docs_audio.select("doc_id", "media_ref").repartition(n_parts, "doc_id")
     return base.mapInPandas(body, AUDIO_FEATURES_SCHEMA)

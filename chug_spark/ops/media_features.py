@@ -729,8 +729,16 @@ def media_dhash(
                          error=f"{type(exn).__name__}: {exn}")
             yield pd.DataFrame(out)
 
+    # explicit partition count: a bare repartition("doc_id") is an
+    # AQE-coalescible exchange, and the ref rows are tiny — AQE folds them
+    # into ONE partition and the render loop runs serially (measured 3.5 s
+    # vs 0.4 s at sf0.1).  The explicit count pins the parallelism the
+    # UDF's CPU cost needs, same as extract_media_features.
+    n_parts = int(
+        docs_media.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     return (
-        docs_media.repartition("doc_id")
+        docs_media.repartition(n_parts, "doc_id")
         .mapInPandas(body, schema=MEDIA_DHASH_SCHEMA)
     )
 
