@@ -155,6 +155,73 @@ def _extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_spans(spans_out)
 
 
+def _extract_synth_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payload-decode branch (D1/D2, ref wds/decode.py:49-164) with a HARD
+    oracle: the real extract pipeline over a SQL-derivable payload corpus,
+    projecting everything except the pixel-derived media_ref (replaced by a
+    has_media presence flag).  Page counts, chunk-capped k_global ordering,
+    dense offsets, raw-span interleaving, and per-chunk decode-error rows are
+    all reproduced by the DuckDB oracle; pixel hashes stay pytest-pinned via
+    extract_synth."""
+    from pyspark.sql import functions as F
+
+    from chug_spark.config import ExtractJobCfg
+    from chug_spark.extract import extract_docread_flat
+    from chug_spark.synth import payload_corpus_from_documents
+
+    docs = payload_corpus_from_documents(spark, sf_dir)
+    cfg = ExtractJobCfg(page_sampling="all_valid", render_dpi=24, max_pages_per_task=4)
+    flat, errors = extract_docread_flat(spark, docs, cfg)
+    ok = flat.select(
+        "doc_id", "offset", "kind", "text",
+        F.col("media_ref").isNotNull().alias("has_media"),
+    )
+    err = errors.select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("offset"),
+        F.lit("error").alias("kind"),
+        F.concat("stage", F.lit(":"), "error").alias("text"),
+        F.lit(False).alias("has_media"),
+    )
+    return ok.unionByName(err)
+
+
+_EXTRACT_SYNTH_STRUCT_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+         string_split(text, ' ') AS words,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_pages
+  FROM documents
+),
+pages AS (
+  SELECT doc_id, did, n_pages, u.p AS p,
+         array_to_string(
+           list_filter(
+             [array_to_string(list_slice(words, u.p*8 + 1, u.p*8 + 4), ' '),
+              array_to_string(list_slice(words, u.p*8 + 5, u.p*8 + 8), ' ')],
+             x -> x <> ''),
+           chr(10)) AS page_text
+  FROM d, unnest(generate_series(0, n_pages - 1)) AS u(p)
+)
+SELECT doc_id, CAST(0 AS INT) AS "offset", 'text' AS kind,
+       'hdr ' || doc_id AS text, false AS has_media
+FROM d WHERE did % 23 <> 0
+UNION ALL
+SELECT doc_id, CAST(1 + 2*p AS INT), 'text', page_text, false
+FROM pages WHERE did % 23 <> 0
+UNION ALL
+SELECT doc_id, CAST(2 + 2*p AS INT), 'media', CAST(NULL AS VARCHAR), true
+FROM pages WHERE did % 23 <> 0
+UNION ALL
+SELECT doc_id, CAST(1 + 2*n_pages AS INT), 'text', 'tail ' || doc_id, false
+FROM d WHERE did % 23 <> 0 AND did % 2 = 0
+UNION ALL
+SELECT doc_id, CAST(-1 AS INT), 'error', 'media:media_decode:ValueError', false
+FROM d, unnest(generate_series(1, CAST(ceil(n_pages / 4.0) AS INT))) AS u(c)
+WHERE did % 23 = 0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: doc-read extraction (all_valid) over the span corpus derived
     from sf0.001 documents."""
@@ -205,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docread_random": _docread("random", seed=0),
         "spans_derive": _spans_derive,
         "extract_synth": _extract_synth,
+        "extract_synth_struct": _extract_synth_struct,
     }
     from chug_spark.entry_ext import extra_queries
 
@@ -220,7 +288,9 @@ def oracle_sql() -> dict[str, str]:
         "docread_all": _docread_sql("all"),
         "docread_random": _docread_sql("random", seed=0),
         "spans_derive": _SPANS_DERIVE_SQL,
-        # extract_synth: non-SQL-expressible (payload render UDF) → rows-only
+        # extract_synth: non-SQL-expressible (pixel-hash media_refs) → rows-only;
+        # its structural twin below carries the hard oracle for the same path
+        "extract_synth_struct": _EXTRACT_SYNTH_STRUCT_SQL,
     }
     from chug_spark.entry_ext import extra_oracle_sql
 

@@ -1620,12 +1620,13 @@ WITH e AS (
   FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
 ), sess AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no, min(tus) AS start_us, max(tus) AS end_us,
-       CAST(count(*) AS INT) AS n_events, sum(cents) AS value_cents
+       CAST(count(*) AS INT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
 FROM sess
 GROUP BY user_id, session_no
 """
@@ -2255,8 +2256,10 @@ WITH per_doc AS (
 ),
 agg AS (
   SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
-         sum(n_words) AS total_words, min(n_words) AS min_words,
-         max(n_words) AS max_words, CAST(count(DISTINCT lang) AS INT) AS n_langs
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(min(n_words) AS INT) AS min_words,
+         CAST(max(n_words) AS INT) AS max_words,
+         CAST(count(DISTINCT lang) AS INT) AS n_langs
   FROM per_doc
 ),
 vocab AS (
@@ -2267,9 +2270,9 @@ vocab AS (
 ),
 lc AS (SELECT lang, count(*) AS c FROM per_doc GROUP BY lang),
 ent AS (
-  SELECT sum(CAST(round(-(c / CAST(agg.n_docs AS DOUBLE))
-                        * ln(c / CAST(agg.n_docs AS DOUBLE)) * 1000000) AS BIGINT))
-           AS lang_entropy_micro
+  SELECT CAST(sum(CAST(round(-(c / CAST(agg.n_docs AS DOUBLE))
+                             * ln(c / CAST(agg.n_docs AS DOUBLE)) * 1000000) AS BIGINT))
+              AS BIGINT) AS lang_entropy_micro
   FROM lc, agg
 )
 SELECT agg.n_docs, agg.n_unique, agg.n_docs - agg.n_unique AS n_exact_dups,

@@ -143,6 +143,100 @@ def make_doc(
 # ---------------------------------------------------------------------------
 
 
+def payload_corpus_from_documents(
+    spark: SparkSession, sf_dir: str, corrupt_every: int = 23
+) -> DataFrame:
+    """Span corpus whose media is a SINGLE synthetic payload ref per doc —
+    routes every document down the payload-decode branch (D1/D2, ref
+    wds/decode.py:49-164) of extract_docread, unlike
+    :func:`spans_from_documents` whose per-page refs take the passthrough
+    branch.  Catalyst-only construction, mirrored 1:1 by the
+    ``extract_synth_struct`` DuckDB oracle in __spark_entry__.py:
+
+    - span 0: raw text header ``hdr <doc_id>``
+    - span 1: anno JSON (same page derivation as spans_from_documents)
+    - span 2: payload media ref ``synth://v1/<mode>/<n_media>/<seed>`` with
+      mode = [L,RGB,RGBA][doc_id%3], n_media = max(1, n_pages + doc_id%5 - 2)
+      (media/anno page-count mismatch → index wrap p % n_media,
+      ref doc_processor.py:136-140), seed = doc_id%997;
+      every ``corrupt_every``-th doc gets a malformed ref (corrupt-PDF
+      analogue → decode error rows + whole-sample skip, wds/helpers.py:41-68)
+    - span 3 (even doc_id): raw trailing text ``tail <doc_id>``
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wpp, wpl = WORDS_PER_PAGE, WORDS_PER_LINE
+
+    words = F.split(F.col("text"), " ")
+    n_pages = F.ceil(F.size(words) / wpp).cast("int")
+    page_lines = F.transform(
+        F.sequence(F.lit(0), n_pages - 1),
+        lambda p: F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(WORDS_PER_PAGE // WORDS_PER_LINE - 1)),
+                lambda l: F.array_join(F.slice(words, p * wpp + l * wpl + 1, wpl), " "),
+            ),
+            lambda s: s != F.lit(""),
+        ),
+    )
+    anno_json = F.concat(
+        F.lit('{"pages": ['),
+        F.array_join(
+            F.transform(
+                page_lines,
+                lambda lines: F.concat(
+                    F.lit('{"text": ['),
+                    F.array_join(
+                        F.transform(lines, lambda s: F.concat(F.lit('"'), s, F.lit('"'))),
+                        ", ",
+                    ),
+                    F.lit("]}"),
+                ),
+            ),
+            ", ",
+        ),
+        F.lit("]}"),
+    )
+
+    did = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    mode = F.element_at(
+        F.array(F.lit("L"), F.lit("RGB"), F.lit("RGBA")), (F.pmod(did, 3) + 1).cast("int")
+    )
+    n_media = F.greatest(F.lit(1), n_pages + F.pmod(did, 5).cast("int") - 2)
+    ref = F.when(
+        F.pmod(did, corrupt_every) == 0,
+        F.lit(media_mod.SYNTH_PREFIX + "L/x"),
+    ).otherwise(
+        F.concat(
+            F.lit(media_mod.SYNTH_PREFIX), mode, F.lit("/"),
+            n_media.cast("string"), F.lit("/"), F.pmod(did, 997).cast("string"),
+        )
+    )
+
+    def span(kind, text, media_ref, offset):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (text if text is not None else F.lit(None).cast("string")).alias("text"),
+            (media_ref if media_ref is not None else F.lit(None).cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(offset).cast("int").alias("offset"),
+        )
+
+    spans = F.concat(
+        F.array(
+            span("text", F.concat(F.lit("hdr "), sid), None, 0),
+            span("anno", anno_json, None, 1),
+            span("media", None, ref, 2),
+        ),
+        F.when(
+            F.pmod(did, 2) == 0,
+            F.array(span("text", F.concat(F.lit("tail "), sid), None, 3)),
+        ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")),
+    )
+    return docs.select(sid.alias("doc_id"), spans.alias("spans"))
+
+
 def spans_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the span-schema documents table from the driver's flat documents
     table, deterministically and with Catalyst expressions only.

@@ -110,6 +110,7 @@ def main():
             rel = con.sql(oracles[name])
             drows = rel.fetchall()
             dcols = rel.columns
+            ddf = con.sql(oracles[name]).df()
         except Exception as exn:
             print(f"FAIL {name}: duckdb error {type(exn).__name__}: {exn}")
             failures += 1
@@ -117,6 +118,23 @@ def main():
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        # Dtype gate (r4 lesson): the driver's value hash is dtype-sensitive —
+        # DuckDB HUGEINT sums land in pandas as float64 while Spark emits
+        # int64, hashing differently even when every value matches.  Compare
+        # the pandas dtype of each shared column; any mismatch is a failure
+        # here so it can be CAST away in the oracle before the driver sees it.
+        try:
+            spdf = sdf.limit(1000).toPandas()
+            for c in sorted(set(scols) & set(dcols)):
+                st, dt = spdf[c].dtype, ddf[c].dtype
+                # Width differences (int32 vs int64) hash identically in the
+                # driver (chunking was driver-green r4 with int32-vs-int64);
+                # only a *kind* flip (int vs float — the HUGEINT→float64 trap,
+                # bool vs int, datetime vs object) changes the value repr.
+                if st.kind != dt.kind:
+                    problems.append(f"dtype[{c}] spark={st} duck={dt}")
+        except Exception as exn:  # pragma: no cover - diagnostics only
+            problems.append(f"dtype-probe error {type(exn).__name__}: {exn}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         else:
