@@ -126,8 +126,11 @@ def main() -> int:
     extra["flagship_docs_per_sec"] = round(n_docs_flat / timings["docread_all_valid"], 1)
 
     # q2: payload decode — synthetic corpus with media rendering in the UDF
+    # branch='mixed' — the synth corpus is known half-payload/half-passthrough,
+    # so skip the auto LIMIT-1 probes (each would re-shuffle this driver-local
+    # relation); this is the documented production mode for known-shape tables
     synth = generate_docs(spark, n_docs=SYNTH_DOCS, seed=99).repartition(int(CPUS) * 2)
-    cfg = ExtractJobCfg(page_sampling="all_valid", render_dpi=RENDER_DPI)
+    cfg = ExtractJobCfg(page_sampling="all_valid", render_dpi=RENDER_DPI, branch="mixed")
 
     def run_decode():
         spans_out, _ = extract_docread(spark, synth, cfg)

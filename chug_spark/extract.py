@@ -335,8 +335,24 @@ def _extract_core(
     )
     # valid_sample gate: drop empty samples silently (tariterators.py:53)
     gated = docs.filter(F.size("spans") > 0)
-    pt_in = gated.filter(~_probe)
-    pl_in = gated.filter(_probe)
+
+    # ---- adaptive branch resolution ---------------------------------------
+    # An absent branch still schedules its whole subtree (second scan, policy
+    # UDF stage, chunk explode, repartition exchange, mapInPandas Python
+    # workers, persist, window) — measured 3.0 s of fixed overhead at sf0.1
+    # for a pure-passthrough corpus.  'auto' resolves the shape with two
+    # LIMIT-1 probe jobs: on a mixed corpus each stops at the first matching
+    # row (~one scan partition); on a homogeneous corpus one probe pays a
+    # single-column scan and buys skipping the entire other subtree.  At
+    # 10^12 rows the shape is a known table property — set cfg.branch
+    # explicitly and no probe job runs.
+    branch = cfg.branch
+    if branch == "auto":
+        has_pl = not gated.filter(_probe).isEmpty()
+        has_pt = not gated.filter(~_probe).isEmpty()
+        branch = "mixed" if (has_pl and has_pt) else ("payload" if has_pl else "passthrough")
+    pt_in = gated.filter(~_probe) if branch in ("mixed", "passthrough") else None
+    pl_in = gated.filter(_probe) if branch in ("mixed", "payload") else None
 
     select_pages = _policy_udf(cfg.page_sampling, cfg.seed)
 
@@ -375,9 +391,12 @@ def _extract_core(
         )
         return ok, errs
 
-    pt_ok, pt_errors = prepared(pt_in)
+    pt_ok, pt_errors = prepared(pt_in) if pt_in is not None else (None, None)
+    if pl_in is None:
+        policy_errors = pt_errors if pt_errors is not None else empty_errors(spark)
+        return pt_ok, None, policy_errors, None, None
     pl_ok, pl_errors = prepared(pl_in)
-    policy_errors = pt_errors.unionByName(pl_errors)
+    policy_errors = pl_errors if pt_errors is None else pt_errors.unionByName(pl_errors)
 
     # ---------------- payload branch: cap -> salt -> decode UDF --------------
     k = cfg.max_pages_per_task
@@ -479,7 +498,34 @@ def extract_docread(
     pt_ok, pl_ok, policy_errors, decoded_ok, decode_errors = _extract_core(
         spark, docs, cfg
     )
+    if pl_ok is None:
+        return _passthrough_nested(pt_ok, cfg), policy_errors
 
+    # ---------------- payload assembly: decode rows -> span items -> regroup -
+    all_spans = _payload_span_rows(pl_ok, decoded_ok, cfg)
+
+    errors = policy_errors.unionByName(decode_errors)
+    # whole-sample skip: a doc with any decode error contributes nothing
+    bad_docs = decode_errors.select("doc_id").distinct()
+    all_spans = all_spans.join(F.broadcast(bad_docs), "doc_id", "left_anti")
+
+    # dense offset renumbering + nesting in ONE shuffle; span order restored
+    # by sort keys, never by collect_list order (SURVEY.md §7.4.3)
+    payload_nested = (
+        all_spans.groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct("anchor", "sub", "kind", "text", "media_ref")
+            ).alias("items")
+        )
+        .select("doc_id", _finish_items(F.col("items")).alias("spans"))
+    )
+    if pt_ok is None:
+        return payload_nested, errors
+    return _passthrough_nested(pt_ok, cfg).unionByName(payload_nested), errors
+
+
+def _passthrough_nested(pt_ok: DataFrame, cfg: ExtractJobCfg) -> DataFrame:
     # ---------------- passthrough branch: one projection, ZERO shuffle -------
     # pre-resolved media docs never touch Python and never explode: the final
     # ordered span array is assembled per-row with higher-order functions
@@ -507,35 +553,12 @@ def extract_docread(
             ),
         )
     )
-    passthrough_nested = pt_ok.select(
+    return pt_ok.select(
         "doc_id",
         _finish_items(
             F.concat(_raw_items(F.col("text_spans"), cfg), pt_page_items)
         ).alias("spans"),
     )
-
-    # ---------------- payload assembly: decode rows -> span items -> regroup -
-    all_spans = _payload_span_rows(pl_ok, decoded_ok, cfg)
-
-    errors = policy_errors.unionByName(decode_errors)
-    # whole-sample skip: a doc with any decode error contributes nothing
-    bad_docs = decode_errors.select("doc_id").distinct()
-    all_spans = all_spans.join(F.broadcast(bad_docs), "doc_id", "left_anti")
-
-    # dense offset renumbering + nesting in ONE shuffle; span order restored
-    # by sort keys, never by collect_list order (SURVEY.md §7.4.3)
-    payload_nested = (
-        all_spans.groupBy("doc_id")
-        .agg(
-            F.collect_list(
-                F.struct("anchor", "sub", "kind", "text", "media_ref")
-            ).alias("items")
-        )
-        .select("doc_id", _finish_items(F.col("items")).alias("spans"))
-    )
-
-    spans_out = passthrough_nested.unionByName(payload_nested)
-    return spans_out, errors
 
 
 def extract_docread_flat(
@@ -566,7 +589,25 @@ def extract_docread_flat(
     pt_ok, pl_ok, policy_errors, decoded_ok, decode_errors = _extract_core(
         spark, docs, cfg
     )
+    if pl_ok is None:
+        return _passthrough_flat(pt_ok, cfg), policy_errors
 
+    all_spans = _payload_span_rows(pl_ok, decoded_ok, cfg)
+    errors = policy_errors.unionByName(decode_errors)
+    bad_docs = decode_errors.select("doc_id").distinct()
+    all_spans = all_spans.join(F.broadcast(bad_docs), "doc_id", "left_anti")
+    w = Window.partitionBy("doc_id").orderBy("anchor", "sub")
+    payload_flat = all_spans.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("offset"),
+        "kind", "text", "media_ref",
+    )
+    if pt_ok is None:
+        return payload_flat, errors
+    return _passthrough_flat(pt_ok, cfg).unionByName(payload_flat), errors
+
+
+def _passthrough_flat(pt_ok: DataFrame, cfg: ExtractJobCfg) -> DataFrame:
     # ONE generator for both raw and page rows: pt_ok's subtree (scan +
     # derivation + policy UDF) must evaluate exactly once — a raw/page
     # union of two selects over pt_ok would run it twice, incl. the Python
@@ -608,20 +649,7 @@ def extract_docread_flat(
             ),
         ).alias("media_ref"),
     )
-
-    all_spans = _payload_span_rows(pl_ok, decoded_ok, cfg)
-    errors = policy_errors.unionByName(decode_errors)
-    bad_docs = decode_errors.select("doc_id").distinct()
-    all_spans = all_spans.join(F.broadcast(bad_docs), "doc_id", "left_anti")
-    w = Window.partitionBy("doc_id").orderBy("anchor", "sub")
-    payload_flat = all_spans.select(
-        "doc_id",
-        (F.row_number().over(w) - 1).cast("int").alias("offset"),
-        "kind", "text", "media_ref",
-    )
-
-    flat = pt_flat.unionByName(payload_flat)
-    return flat, errors
+    return pt_flat
 
 
 def flatten_spans(spans_out: DataFrame) -> DataFrame:

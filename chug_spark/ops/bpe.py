@@ -93,8 +93,13 @@ def bpe_train(
     #                                            must never rescan the corpus
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
+        # filter BEFORE the explode/select: keeps the sequence() upper bound
+        # non-negative (a 1-symbol row would emit a descending [0,-1] range
+        # whose F.get probes produce NULL pair rows) and avoids referencing
+        # `syms` after a projection that dropped it
         pairs = (
-            state.select(
+            state.filter(F.size("syms") >= 2)
+            .select(
                 "freq",
                 F.explode(
                     F.transform(
@@ -106,7 +111,6 @@ def bpe_train(
                     )
                 ).alias("p"),
             )
-            .filter(F.size(F.col("syms")) >= 2)
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )

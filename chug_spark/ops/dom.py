@@ -97,8 +97,18 @@ class _TreeParser(HTMLParser):
         if tag in DROP_TAGS:
             self._drop = max(0, self._drop - 1)
             return
-        if self._drop or tag in _VOID:
+        if tag in _VOID:
             return
+        if self._drop:
+            # An end tag matching an element open OUTSIDE the dropped subtree
+            # means the DROP_TAGS element was never closed (common malformed
+            # HTML, e.g. an unclosed <form>).  The ancestor's close implicitly
+            # terminates the dropped subtree — without this, _drop stays >0
+            # forever and the rest of the document is silently discarded.
+            if any(n.tag == tag for n in self.stack[1:]):
+                self._drop = 0
+            else:
+                return
         # close the innermost matching open tag (implicitly closing children)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:

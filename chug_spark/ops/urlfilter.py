@@ -56,7 +56,9 @@ def url_filter(
     url = F.col(url_col)
     lower_url = F.lower(url)
     kw_hit = F.lit(None).cast("string")
-    for kw in reversed(list(keywords)):
+    # lowercase the keywords too — they are matched against the lowercased
+    # URL, so a caller passing 'Casino' would otherwise silently never match
+    for kw in reversed([k.lower() for k in keywords]):
         kw_hit = F.when(lower_url.contains(kw), F.lit(kw)).otherwise(kw_hit)
 
     base = docs.select(

@@ -47,18 +47,19 @@ def process_one_batch(
     from pyspark.sql import functions as F
 
     ss = batch_df.sparkSession
-    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spans_out, errors = extract_docread(ss, batch_df, cfg)
     (
         flatten_spans(spans_out)
         .withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(spans_path)
     )
     (
         errors.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(errors_path)
     )
@@ -140,9 +141,6 @@ def run_stream_tar_ingest(
         import pandas as pd
         from pyspark.sql import functions as F
 
-        ss = batch_df.sparkSession
-        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
         def expand(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
             for pdf in batches:
                 for shard, blob in zip(pdf["path"], pdf["content"]):
@@ -155,6 +153,7 @@ def run_stream_tar_ingest(
             group_members_adjacent(members)
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(samples_path)
         )
@@ -196,12 +195,11 @@ def run_stream_html_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        ss = batch_df.sparkSession
-        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             html_to_docread_samples(batch_df)
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(samples_path)
         )

@@ -122,3 +122,31 @@ def test_dom_extract_is_map_only(spark):
     )
     plan = dom_extract(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dom_unclosed_drop_tag_does_not_eat_document():
+    """An unclosed DROP_TAGS element (e.g. <form> never closed) must not
+    swallow the rest of the document: a block-level ancestor's end tag
+    implicitly terminates the dropped subtree (r4 ADVICE)."""
+    page = (
+        "<html><body><div id='page'>"
+        "<div id='chrome'><form action='/s'><input name='q'>"
+        # NOTE: </form> never arrives; </div> below closes the subtree
+        "</div>"
+        "<article id='main'>"
+        "<p>The real article text, long enough to win readability scoring, "
+        "with a comma, and some more words for good measure.</p>"
+        "<p>A second paragraph that also counts, with its own comma, and "
+        "plenty of characters to pass the block threshold.</p>"
+        "</article>"
+        "</div></body></html>"
+    )
+    title, path, score, n_blocks, text = extract_one(page)
+    assert "real article text" in text
+    assert n_blocks >= 2
+
+    # fully-closed form still drops its own content
+    closed = page.replace("<input name='q'>", "<input name='q'>drop me</form>")
+    _, _, _, _, text2 = extract_one(closed)
+    assert "drop me" not in text2
+    assert "real article text" in text2

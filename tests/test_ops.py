@@ -616,8 +616,9 @@ def test_url_filter_blocklist_and_keywords(spark):
     block = spark.createDataFrame(
         [("news.example.com",), ("SUB.news.example.com",)], "domain string"
     )
+    # mixed-case keywords must match too (compared against the lowercased URL)
     out = {r["doc_id"]: r for r in
-           url_filter(docs, block, keywords=["casino", "xxx"]).collect()}
+           url_filter(docs, block, keywords=["Casino", "XXX"]).collect()}
     assert out[0]["blocked_domain"] == "news.example.com" and not out[0]["keep"]
     assert out[1]["host"] == "cdn.sub.news.example.com"
     # most specific match: the longer blocklist entry
