@@ -204,3 +204,104 @@ def bpe_merge_table(
         [(r, a, b, a + b, c) for r, a, b, c in merges],
         "rank int, left string, right string, merged string, pair_count int",
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (driver contract): the merge loop is iterative, but with
+# a FIXED merge budget it unrolls into a chain of materialized CTEs — one
+# (best-pair, fold) level per merge — reproducing bpe_train/bpe_segment
+# byte-for-byte (verified EQUAL at sf0.01).  MATERIALIZED is load-bearing:
+# each state CTE is referenced twice and plain CTE inlining would expand the
+# chain exponentially.
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _fold_sql() -> str:
+    """left-to-right non-overlapping pair merge as a DuckDB list_reduce —
+    the SQL twin of :func:`_merge_expr` (b.a/b.b from the joined best-pair
+    CTE row)."""
+    return (
+        "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+        "list_transform(syms, x -> [x])), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.a AND x[1] = b.b "
+        "THEN list_append(acc[1:len(acc)-1], b.a || b.b) "
+        "ELSE list_append(acc, x[1]) END)"
+    )
+
+
+def _cte_chain(num_merges: int, min_pair_count: int, with_final: bool) -> str:
+    parts = [f"""w AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_transform(generate_series(1, len(word)),
+           i -> CASE WHEN i = len(word) THEN substr(word, i, 1) || '{EOW}'
+                     ELSE substr(word, i, 1) END) AS syms
+  FROM w
+)"""]
+    for k in range(num_merges):
+        parts.append(f"""b{k} AS MATERIALIZED (
+  SELECT a, b, cnt FROM (
+    SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
+    FROM s{k}, unnest(generate_series(1, len(syms)-1)) AS u(i)
+    WHERE len(syms) >= 2 GROUP BY 1, 2)
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)""")
+        if k < num_merges - 1 or with_final:
+            parts.append(f"""s{k+1} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN b.cnt >= {min_pair_count} THEN {_fold_sql()} ELSE syms END AS syms
+  FROM s{k} CROSS JOIN b{k} b
+)""")
+    merges = "\nUNION ALL ".join(
+        f"SELECT {k} AS rank, a, b, cnt FROM b{k} WHERE cnt >= {min_pair_count}"
+        for k in range(num_merges))
+    return "WITH " + ",\n".join(parts) + f", merges AS (\n{merges}\n)"
+
+
+def vocab_oracle_sql(num_merges: int = 30, min_pair_count: int = 2) -> str:
+    """DuckDB twin of :func:`bpe_merge_table` (columns rank/left/right/
+    merged/pair_count)."""
+    return _cte_chain(num_merges, min_pair_count, with_final=False) + """
+SELECT CAST(rank AS INT) AS rank, a AS "left", b AS "right",
+       a || b AS merged, CAST(cnt AS INT) AS pair_count
+FROM merges ORDER BY rank
+"""
+
+
+def apply_oracle_sql(
+    num_merges: int = 30, min_pair_count: int = 2, sample_tokens: int = 30
+) -> str:
+    """DuckDB twin of the train-then-apply round trip (:func:`bpe_train` +
+    :func:`bpe_segment`): segment every distinct word with the final fold
+    state, then re-attach per document in word order."""
+    chain = _cte_chain(num_merges, min_pair_count, with_final=True)
+    return chain + f""", docw AS MATERIALIZED (
+  SELECT doc_id, u.i AS pos, ws[i] AS word
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents) t,
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+), seg AS MATERIALIZED (
+  SELECT doc_id, pos, s.syms FROM docw JOIN s{num_merges} s USING (word)
+), ranked AS (
+  SELECT doc_id, syms[u.j] AS tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos, u.j) AS rn
+  FROM seg, unnest(generate_series(1, len(syms))) AS u(j)
+), tok_agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+         string_agg(tok, ',' ORDER BY rn) FILTER (WHERE rn <= {sample_tokens}) AS tokens_csv
+  FROM ranked GROUP BY doc_id
+), word_agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_words FROM docw GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(w.n_words, 0) AS n_words,
+       coalesce(t.n_tokens, 0) AS n_tokens,
+       coalesce(t.tokens_csv, '') AS tokens_csv
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN word_agg w USING (doc_id) LEFT JOIN tok_agg t USING (doc_id)
+"""

@@ -1175,9 +1175,15 @@ def q_dom_extract(spark, sf_dir):
     parse tree (stdlib html.parser in one mapInPandas).  Page synthesis
     nests the article between a link-list sidebar and a comments block so
     the scorer must out-rank chrome by text/comma density, not position.
-    Not SQL-expressible (tree parse) -> rows-only in the driver; value-
-    pinned by md5 in tests/test_hash_pins.py and by a pure-Python parity
-    test in tests/test_dom.py."""
+
+    Oracle-checked (r5): the tree parse itself isn't SQL, but on this
+    synthesized corpus every doc has a >=25-char paragraph (verified), so
+    article#main always wins and title/best_path/score/n_blocks/main_text
+    are all closed-form over the paragraph slices — the DuckDB oracle
+    replays the block scoring (pts = 1 + commas + min(len//100, 3) donated
+    by each qualifying <p>) and the outer-block text join.  The md5 pin in
+    tests/test_hash_pins.py and the pure-Python parity test in
+    tests/test_dom.py stay as the general-HTML gates."""
     from pyspark.sql import functions as F
 
     from .dom import dom_extract
@@ -1214,6 +1220,42 @@ def q_dom_extract(spark, sf_dir):
         F.lit("</footer></body></html>"),
     )
     return dom_extract(docs.select("doc_id", html.alias("html")))
+
+
+_SQL_DOM_EXTRACT = r"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS n_paras
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, u.p AS p,
+         trim(regexp_replace(
+           array_to_string(list_slice(words, u.p*12 + 1, u.p*12 + 12), ' '),
+           '\s+', ' ', 'g')) AS ptext
+  FROM d, unnest(generate_series(0, n_paras - 1)) AS u(p)
+),
+pb AS (
+  SELECT doc_id, p, ptext, len(ptext) AS plen,
+         len(ptext) - len(replace(ptext, ',', '')) AS commas
+  FROM paras
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN plen >= 25
+                  THEN 1 + commas + least(plen // 100, 3) ELSE 0 END) AS score,
+         count(*) FILTER (WHERE plen >= 25) AS n_blocks,
+         string_agg(ptext, chr(10) ORDER BY p) FILTER (WHERE plen >= 25)
+           AS main_text
+  FROM pb GROUP BY doc_id
+)
+SELECT d.doc_id, 'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
+       'html/body/div#page/article#main' AS best_path,
+       round(CAST(agg.score AS DOUBLE), 4) AS score,
+       CAST(agg.n_blocks AS INT) AS n_blocks,
+       agg.main_text AS main_text
+FROM d JOIN agg USING (doc_id)
+"""
 
 
 def q_vocab_topk(spark, sf_dir):
@@ -1455,7 +1497,8 @@ def q_image_eval(spark, sf_dir):
     """Natural-image eval pipeline (image_basic/image_timm,
     build_transforms_image.py:166-196) over synthetic payloads, cycling all
     three resize modes (shortest/longest/squash) by doc_id; emits
-    normalized-tensor stats.  Pixel kernels -> rows-only (md5-pinned)."""
+    normalized-tensor stats.  Pixel kernels -> rows-only (md5-pinned);
+    the geometry/fan-out surface is oracle-checked via image_eval_struct."""
     from pyspark.sql import functions as F
 
     from .image_transforms import extract_image_tensors
@@ -1480,7 +1523,7 @@ def q_image_train(spark, sf_dir):
     """Natural-image train pipeline: deterministic RandomResizedCrop (+
     imagenet-style jitter) with the drawn crop box emitted per row — the
     box schedule is part of the pinned value surface even though pixels
-    are rows-only."""
+    are rows-only; the box draws are oracle-checked via image_train_struct."""
     from pyspark.sql import functions as F
 
     from .image_transforms import AUG_IMAGENET, extract_image_tensors
@@ -1498,6 +1541,146 @@ def q_image_train(spark, sf_dir):
         fixture, image_size=(48, 48), is_training=True, aug=AUG_IMAGENET,
         render_dpi=24,
     )
+
+
+def q_image_eval_struct(spark, sf_dir):
+    """Structural twin of image_eval with a HARD oracle: same pipeline
+    (render → eval resize → normalize) over a deterministic doc_id<200
+    fixture, projecting everything except the pixel stats — row fan-out
+    (one row per payload page), resize-mode schedule, and output geometry
+    (every eval mode lands exactly on image_size) are all SQL-derivable."""
+    from pyspark.sql import functions as F
+
+    from .image_transforms import extract_image_tensors
+
+    fixture = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+        F.element_at(
+            F.array(F.lit("shortest"), F.lit("longest"), F.lit("squash")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("resize_mode"),
+    )
+    out = extract_image_tensors(fixture, image_size=(48, 64), render_dpi=24)
+    return out.select(
+        "doc_id", "media_ref", "page", "resize_mode", "height", "width", "error"
+    )
+
+
+_SQL_IMAGE_EVAL_STRUCT = """
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS ds, (doc_id % 3) + 1 AS n_pages,
+         ['shortest','longest','squash'][CAST((doc_id % 3) + 1 AS INT)] AS resize_mode
+  FROM documents WHERE doc_id < 200
+)
+SELECT ds AS doc_id,
+       'synth://v1/L/' || CAST(n_pages AS VARCHAR) || '/' || ds AS media_ref,
+       CAST(u.p AS INT) AS page, resize_mode,
+       CAST(48 AS INT) AS height, CAST(64 AS INT) AS width,
+       CAST(NULL AS VARCHAR) AS error
+FROM f, unnest(generate_series(0, n_pages - 1)) AS u(p)
+"""
+
+
+def q_image_train_struct(spark, sf_dir):
+    """Structural twin of image_train with a HARD oracle: the md5-keyed
+    RandomResizedCrop box schedule (torchvision get_params: 10 attempts of
+    uniform area × log-uniform aspect, then the ratio-clamped center
+    fallback) replayed in DuckDB from the same aug_draw primitive — the
+    drawn (top, left, h, w) per page is value-checked; pixels stay
+    md5-pinned via image_train."""
+    from pyspark.sql import functions as F
+
+    from .image_transforms import AUG_IMAGENET, extract_image_tensors
+
+    fixture = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            (F.pmod(F.col("doc_id"), F.lit(2)) + 1).cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+    )
+    out = extract_image_tensors(
+        fixture, image_size=(48, 48), is_training=True, aug=AUG_IMAGENET,
+        render_dpi=24,
+    )
+    return out.select(
+        "doc_id", "media_ref", "page", "resize_mode", "height", "width",
+        "rrc_top", "rrc_left", "rrc_h", "rrc_w", "error"
+    )
+
+
+def _image_train_struct_sql() -> str:
+    import math
+
+    # render_page at dpi 24: (h, w) = (int(792/3), int(612/3)) = (264, 204)
+    h, w = 264, 204
+    area = float(h * w)
+    lo_s, span_s = 0.08, 1.0 - 0.08             # AUG_IMAGENET scale
+    ln_lo, ln_span = math.log(0.75), math.log(1.0 / 0.75) - math.log(0.75)
+    fold = (
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', substr(md5({key}), "
+        "CAST(i AS INT), 1)) - 1 AS BIGINT))), (a, b) -> a * 16 + b) / 4294967296.0)"
+    )
+    key_base = "'img|' || ds || '|' || CAST(page AS VARCHAR) || '|0|rrc' || CAST(attempt AS VARCHAR)"
+
+    def u(tag):
+        return fold.format(key=f"{key_base} || '|{tag}'")
+
+    return f"""
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS ds, (doc_id % 2) + 1 AS n_pages
+  FROM documents WHERE doc_id < 100
+),
+pg AS (
+  SELECT ds, n_pages, u.p AS page
+  FROM f, unnest(generate_series(0, n_pages - 1)) AS u(p)
+),
+att AS (
+  SELECT ds, n_pages, page, a.a AS attempt,
+         {area!r} * ({lo_s!r} + {span_s!r} * {u("area")}) AS ta,
+         exp({ln_lo!r} + {ln_span!r} * {u("ratio")}) AS ar
+  FROM pg, unnest(generate_series(0, 9)) AS a(a)
+),
+boxes AS (
+  SELECT *, CAST(round(sqrt(ta * ar)) AS INT) AS cw,
+            CAST(round(sqrt(ta / ar)) AS INT) AS ch
+  FROM att
+),
+win AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ds, page ORDER BY attempt) AS rn
+    FROM boxes WHERE cw > 0 AND cw <= {w} AND ch > 0 AND ch <= {h}
+  ) WHERE rn = 1
+),
+chosen AS (
+  SELECT ds, n_pages, page,
+         CAST(floor({u("top")} * ({h} - ch + 1)) AS INT) AS rrc_top,
+         CAST(floor({u("left")} * ({w} - cw + 1)) AS INT) AS rrc_left,
+         ch AS rrc_h, cw AS rrc_w
+  FROM win
+  UNION ALL
+  SELECT pg.ds, pg.n_pages, pg.page, 0, 0, {h}, {w}
+  FROM pg WHERE NOT EXISTS (SELECT 1 FROM win
+                            WHERE win.ds = pg.ds AND win.page = pg.page)
+)
+SELECT ds AS doc_id,
+       'synth://v1/L/' || CAST(n_pages AS VARCHAR) || '/' || ds AS media_ref,
+       CAST(page AS INT) AS page, 'train' AS resize_mode,
+       CAST(48 AS INT) AS height, CAST(48 AS INT) AS width,
+       rrc_top, rrc_left, CAST(rrc_h AS INT) AS rrc_h, CAST(rrc_w AS INT) AS rrc_w,
+       CAST(NULL AS VARCHAR) AS error
+FROM chosen
+"""
 
 
 def _aug_consts():
@@ -2373,8 +2556,10 @@ def q_bpe_vocab(spark, sf_dir):
     """Distributed BPE vocabulary induction: 30 merges learned from the
     documents corpus (one corpus-scale word-freq agg, then an iterative
     merge loop over the bounded vocab table with driver-scalar arg-max
-    probes).  Iterative -> not SQL-expressible; rows-only in the driver,
-    value-pinned by md5 + a pure-Python reference-trainer parity test."""
+    probes).  Oracle-checked (r5): with a fixed merge budget the loop
+    unrolls into a DuckDB chain of materialized (best-pair, fold) CTEs
+    (bpe.vocab_oracle_sql) — plus the md5 pin and a pure-Python
+    reference-trainer parity test."""
     from .bpe import bpe_merge_table
 
     return bpe_merge_table(_docs(spark, sf_dir), num_merges=30)
@@ -2383,8 +2568,10 @@ def q_bpe_vocab(spark, sf_dir):
 def q_bpe_apply(spark, sf_dir):
     """Train-then-apply BPE round trip: learn 30 merges from the corpus,
     then segment every document with them (per-doc word/token counts +
-    leading-token sample).  Iterative + UDF -> rows-only, md5-pinned;
-    apply-phase parity vs a pure-Python reference in tests/test_bpe.py."""
+    leading-token sample).  Oracle-checked (r5): the same unrolled CTE
+    chain carries the final fold state, segmenting every distinct word and
+    re-attaching per doc (bpe.apply_oracle_sql); apply-phase parity vs a
+    pure-Python reference in tests/test_bpe.py."""
     from .bpe import bpe_segment, bpe_train
 
     d = _docs(spark, sf_dir)
@@ -2840,11 +3027,25 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dom_extract": q_dom_extract,
         "image_eval": q_image_eval,
         "image_train": q_image_train,
+        "image_eval_struct": q_image_eval_struct,
+        "image_train_struct": q_image_train_struct,
         "budget_select": q_budget_select,
         "sample_exact_k": q_sample_exact_k,
         "snapshot_diff": q_snapshot_diff,
         "media_dhash": q_media_dhash,
     }
+
+
+def _bpe_vocab_oracle() -> str:
+    from .bpe import vocab_oracle_sql
+
+    return vocab_oracle_sql(num_merges=30)
+
+
+def _bpe_apply_oracle() -> str:
+    from .bpe import apply_oracle_sql
+
+    return apply_oracle_sql(num_merges=30)
 
 
 def ops_oracle_sql() -> dict[str, str]:
@@ -2905,6 +3106,11 @@ def ops_oracle_sql() -> dict[str, str]:
         "block_dedup": _SQL_BLOCK_DEDUP,
         "html_extract": _html_extract_sql(),
         "html_spans": _html_spans_sql(),
+        "dom_extract": _SQL_DOM_EXTRACT,
+        "image_eval_struct": _SQL_IMAGE_EVAL_STRUCT,
+        "image_train_struct": _image_train_struct_sql(),
+        "bpe_vocab": _bpe_vocab_oracle(),
+        "bpe_apply": _bpe_apply_oracle(),
         "budget_select": _SQL_BUDGET_SELECT,
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
