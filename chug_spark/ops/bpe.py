@@ -17,6 +17,12 @@ Scale shape — the classic two-phase split:
    rounds truncates the iterative lineage so round K's plan doesn't embed
    K withColumns.
 
+Two control planes for phase 2, byte-identical outputs (pytest parity):
+:func:`bpe_train` keeps the state in Spark (one job per merge — the
+didactic/unbounded-vocab path), :func:`bpe_train_fast` collects the
+bounded vocab to the driver and runs the incremental pair-index loop
+(the production path: 1000 merges in seconds, 32k-50k feasible).
+
 Determinism: ties in pair counts break on (count desc, left asc,
 right asc) — byte-identical merge tables at any parallelism.  A pure-
 Python reference trainer (tests/test_bpe.py) pins the algorithm.
@@ -126,6 +132,101 @@ def bpe_train(
     return merges
 
 
+def bpe_train_fast(
+    docs: DataFrame,
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Scale path of :func:`bpe_train`: identical merge table (pytest
+    parity), different control plane.
+
+    The corpus-scale word-frequency aggregation stays distributed — the only
+    thing that ever touches 100 TB — and the *bounded* vocab table (10^6-ish
+    rows at any corpus size) collects to the driver, where the merge loop
+    runs with the classic incremental pair index (Sennrich et al. 2016):
+    a lazy max-heap over pair counts + per-pair posting lists, so each merge
+    touches only the words containing the merged pair instead of launching a
+    Spark job.  1000 merges run in seconds where the job-per-merge loop is a
+    wall-clock ceiling at 32k-50k merges; use :func:`bpe_train` only when
+    the vocab itself cannot fit on the driver."""
+    import heapq
+    from collections import defaultdict
+
+    rows = word_frequencies(docs, text_col).collect()
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for r in rows:
+        w, f = r["word"], int(r["freq"])
+        words.append([*w[:-1], w[-1] + EOW])
+        freqs.append(f)
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += f
+            pair_words[p].add(wi)
+
+    # lazy-deletion heap ordered exactly like the Spark loop's arg-max:
+    # (count desc, left asc, right asc)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        best = None
+        while heap:
+            negc, a, b = heap[0]
+            cur = pair_counts.get((a, b), 0)
+            if -negc == cur and cur > 0:
+                best = (a, b, cur)
+                break
+            heapq.heappop(heap)  # stale entry
+        if best is None or best[2] < min_pair_count:
+            break
+        a, b, cnt = best
+        merges.append((rank, a, b, cnt))
+        ab = a + b
+        touched: dict[tuple[str, str], int] = {}
+        for wi in list(pair_words[(a, b)]):
+            syms = words[wi]
+            f = freqs[wi]
+            # remove this word's old adjacency contributions
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= f
+                touched[p] = pair_counts[p]
+            # the same left-to-right non-overlapping fold as _merge_expr
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += f
+                touched[p] = pair_counts[p]
+                pair_words[p].add(wi)
+        del pair_counts[(a, b)]
+        del pair_words[(a, b)]
+        touched.pop((a, b), None)
+        for p, c in touched.items():
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))  # lazy: stale copies ok
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+    return merges
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -195,10 +296,12 @@ def bpe_merge_table(
     num_merges: int = 50,
     min_pair_count: int = 2,
     text_col: str = "text",
+    fast: bool = True,
 ) -> DataFrame:
     """DataFrame view of :func:`bpe_train` for the driver contract:
     (rank, left, right, merged, pair_count)."""
-    merges = bpe_train(docs, num_merges, min_pair_count, text_col)
+    train = bpe_train_fast if fast else bpe_train
+    merges = train(docs, num_merges, min_pair_count, text_col)
     spark = docs.sparkSession
     return spark.createDataFrame(
         [(r, a, b, a + b, c) for r, a, b, c in merges],

@@ -2562,7 +2562,7 @@ def q_bpe_vocab(spark, sf_dir):
     reference-trainer parity test."""
     from .bpe import bpe_merge_table
 
-    return bpe_merge_table(_docs(spark, sf_dir), num_merges=30)
+    return bpe_merge_table(_docs(spark, sf_dir), num_merges=30, fast=True)
 
 
 def q_bpe_apply(spark, sf_dir):
@@ -2572,10 +2572,10 @@ def q_bpe_apply(spark, sf_dir):
     chain carries the final fold state, segmenting every distinct word and
     re-attaching per doc (bpe.apply_oracle_sql); apply-phase parity vs a
     pure-Python reference in tests/test_bpe.py."""
-    from .bpe import bpe_segment, bpe_train
+    from .bpe import bpe_segment, bpe_train_fast
 
     d = _docs(spark, sf_dir)
-    merges = bpe_train(d, num_merges=30)
+    merges = bpe_train_fast(d, num_merges=30)
     return bpe_segment(d, [(a, b) for _, a, b, _ in merges])
 
 

@@ -137,3 +137,22 @@ def test_bpe_segment_edge_rows(spark):
     assert out[0]["n_tokens"] == 0 and out[1]["n_tokens"] == 0
     assert out[2]["n_tokens"] == 0
     assert out[3]["tokens_csv"] == "x</w>"
+
+
+def test_bpe_train_fast_parity_and_scale(spark):
+    """The driver-side incremental trainer (heap + posting lists) produces
+    the EXACT merge table of the Spark job-per-merge loop, and a 1000-merge
+    budget completes in seconds (the scale path for 32k-50k vocabularies)."""
+    import time
+
+    from chug_spark.ops.bpe import bpe_train, bpe_train_fast
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    slow = bpe_train(docs, num_merges=12)
+    fast = bpe_train_fast(docs, num_merges=12)
+    assert slow == fast
+    t0 = time.monotonic()
+    big = bpe_train_fast(docs, num_merges=1000)
+    assert time.monotonic() - t0 < 30
+    # prefix property: the first 12 merges of the bigger run are identical
+    assert big[:12] == fast
