@@ -1781,6 +1781,123 @@ def _aug_schedule_sql() -> str:
     )
 
 
+def _nougat_stage_table():
+    """(name, probe_key, prob, mag_key, lo, span) rows for the oracle-checked
+    nougat schedule — constants computed ONCE from NOUGAT_TRAIN_DEFAULTS and
+    embedded verbatim in both engines (same pattern as _aug_consts)."""
+    from .media_features import NOUGAT_TRAIN_DEFAULTS as P
+
+    return [
+        ("bitmap", "bitmap?", P["bitmap_prob"], None, None, None),
+        ("eros", "eros?", P["erosion_dilation_prob"], None, None, None),
+        ("shear", "shear?", P["shear_prob"], "shearx",
+         P["shear_range_x"][0], P["shear_range_x"][1] - P["shear_range_x"][0]),
+        ("ssr", "ssr?", P["shift_scale_rotate_prob"], "ssrscale",
+         1.0 + P["scale_limit"][0], P["scale_limit"][1] - P["scale_limit"][0]),
+        ("grid", "grid?", P["grid_distort_prob"], "gridx0",
+         -P["grid_distort_range"], 2 * P["grid_distort_range"]),
+        ("elastic", "elastic?", P["elastic_prob"], None, None, None),
+        ("jitter", "jitter?", P["brightness_contrast_prob"], "bright",
+         1 - P["brightness_range"], 2 * P["brightness_range"]),
+        ("compress", "compress?", P["image_compression_prob"], "quality",
+         float(P["image_compression_quality"]),
+         100.0 - P["image_compression_quality"]),
+        ("noise", "noise?", P["gaussian_noise_prob"], "noisevar",
+         0.0, P["gaussian_noise_range"]),
+        ("blur", "blur?", P["gaussian_blur_prob"], "blursig", 0.1, 0.7),
+    ]
+
+
+def q_aug_schedule_nougat(spark, sf_dir):
+    """The doc_nougat train pipeline's deterministic draw schedule
+    (ref build_transforms_doc.py:177-296 stage list) as a pure
+    Column-expression query — per (doc, page): every stage's apply
+    decision plus drawn magnitudes in basis points, the exact md5 draws
+    doc_nougat_train_transform consumes.  Fully oracle-checked."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(4)).cast("int"))
+        ).alias("page"),
+    )
+    key = F.concat(
+        F.lit("aug|"), F.col("doc_id").cast("string"), F.lit("|"),
+        F.col("page").cast("string"), F.lit("|0"),
+    )
+
+    def u(stage):
+        m = F.md5(F.concat(key, F.lit("|" + stage)))
+        return F.conv(F.substring(m, 1, 8), 16, 10).cast("long") / F.lit(2.0**32)
+
+    cols = [F.col("doc_id"), F.col("page")]
+    for name, probe, prob, mag, lo, span in _nougat_stage_table():
+        cols.append((u(probe) < F.lit(prob)).alias(f"apply_{name}"))
+        if mag is not None:
+            cols.append(
+                F.floor((F.lit(lo) + F.lit(span) * u(mag)) * 10000)
+                .cast("int").alias(f"{name}_bp")
+            )
+    # the two integer draws (erosion kernel size, elastic pre-shift px)
+    cols.append((F.lit(2) + F.floor(u("erosk") * 2)).cast("int").alias("eros_kernel"))
+    cols.append(F.floor(u("epre") * 6).cast("int").alias("elastic_shift"))
+    return d.select(*cols)
+
+
+def _aug_schedule_nougat_sql() -> str:
+    fold = (
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', substr(md5({key} || '|' || '{stage}'), "
+        "CAST(i AS INT), 1)) - 1 AS BIGINT))), (a, b) -> a * 16 + b) / 4294967296.0)"
+    )
+    key_sql = "'aug|' || CAST(doc_id AS VARCHAR) || '|' || CAST(page AS VARCHAR) || '|0'"
+
+    def u(stage):
+        return fold.format(key=key_sql, stage=stage)
+
+    sel = ["doc_id", "page"]
+    for name, probe, prob, mag, lo, span in _nougat_stage_table():
+        sel.append(f"{u(probe)} < {prob!r} AS apply_{name}")
+        if mag is not None:
+            sel.append(
+                f"CAST(floor(({lo!r} + {span!r} * {u(mag)}) * 10000) AS INT)"
+                f" AS {name}_bp"
+            )
+    sel.append(f"CAST(2 + floor({u('erosk')} * 2) AS INT) AS eros_kernel")
+    sel.append(f"CAST(floor({u('epre')} * 6) AS INT) AS elastic_shift")
+    return (
+        "SELECT " + ",\n       ".join(sel) + "\n"
+        "FROM (SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 4 AS INT))) AS page\n"
+        "      FROM documents)"
+    )
+
+
+def q_media_train_nougat(spark, sf_dir):
+    """doc_nougat train pixels over synthetic payloads: render →
+    doc_nougat_train_transform (bitmap/erosion/shear/SSR/grid/elastic/
+    jitter/JPEG-DCT-compression/gauss-noise/blur, all md5-keyed) → tensor
+    stats + applied-stage flags.  Pixels are numpy (rows-only check); the
+    stage SCHEDULE is value-checked by ``aug_schedule_nougat``."""
+    from pyspark.sql import functions as F
+
+    from .media_features import extract_train_tensors
+
+    fixture = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+    )
+    return extract_train_tensors(
+        fixture, image_size=(64, 96), render_dpi=24, variant="nougat"
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessions over the events table (30-min gap): window lag →
     boundary flag → running sum, one shuffle on user_id.  All time math in
@@ -3029,6 +3146,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_train": q_image_train,
         "image_eval_struct": q_image_eval_struct,
         "image_train_struct": q_image_train_struct,
+        "aug_schedule_nougat": q_aug_schedule_nougat,
+        "media_train_nougat": q_media_train_nougat,
         "budget_select": q_budget_select,
         "sample_exact_k": q_sample_exact_k,
         "snapshot_diff": q_snapshot_diff,
@@ -3109,6 +3228,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "dom_extract": _SQL_DOM_EXTRACT,
         "image_eval_struct": _SQL_IMAGE_EVAL_STRUCT,
         "image_train_struct": _image_train_struct_sql(),
+        "aug_schedule_nougat": _aug_schedule_nougat_sql(),
+        # media_train_nougat: rows-only (pixel kernels; md5-pinned)
         "bpe_vocab": _bpe_vocab_oracle(),
         "bpe_apply": _bpe_apply_oracle(),
         "budget_select": _SQL_BUDGET_SELECT,

@@ -225,17 +225,19 @@ def affine_warp(
     rotate_deg: float = 0.0,
     shift_x: float = 0.0,
     shift_y: float = 0.0,
+    scale: float = 1.0,
     fill: int = 255,
 ) -> np.ndarray:
     """Nearest-neighbor affine about the image center (torchvision
-    RandomAffine semantics: rotate ∘ shear ∘ translate, fill outside) —
-    shared kernel for the shear stage and the shift-scale-rotate stage."""
+    RandomAffine semantics: scale ∘ rotate ∘ shear ∘ translate, fill
+    outside) — shared kernel for the shear stage and the
+    shift-scale-rotate stage (nougat SSR carries its scale_limit here)."""
     h, w = arr.shape[:2]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     a = np.deg2rad(rotate_deg)
     sx, sy = np.tan(np.deg2rad(shear_x_deg)), np.tan(np.deg2rad(shear_y_deg))
-    # forward matrix M = R @ Shear; sample with the inverse map
-    m = np.array(
+    # forward matrix M = scale * (R @ Shear); sample with the inverse map
+    m = scale * np.array(
         [
             [np.cos(a) - np.sin(a) * sy, np.cos(a) * sx - np.sin(a)],
             [np.sin(a) + np.cos(a) * sy, np.sin(a) * sx + np.cos(a)],
@@ -322,6 +324,215 @@ def color_jitter(arr: np.ndarray, brightness: float, contrast: float) -> np.ndar
     mean = out.mean()
     out = (out - mean) * contrast + mean
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _md5_rng(key: str) -> np.random.Generator:
+    """Generator seeded from md5(key) — the vectorized companion of
+    :func:`aug_draw` for field-shaped noise (elastic fields, gaussian
+    noise): deterministic on any executor, any retry."""
+    seed = int.from_bytes(__import__("hashlib").md5(key.encode()).digest()[:8], "big")
+    return np.random.default_rng(seed)
+
+
+def grid_distort(
+    arr: np.ndarray, key: str, distort_limit: float = 0.05, num_steps: int = 5
+) -> np.ndarray:
+    """albumentations GridDistortion semantics (nougat stage,
+    ref build_transforms_doc.py:271-277): the image is cut into
+    ``num_steps`` cells per axis, each cell's width/height is stretched by
+    an independent 1+u factor (u ~ U[-limit, limit], md5-keyed per cell),
+    and the warped grid is resampled back to the original size
+    (nearest-neighbor, like the other deterministic kernels here)."""
+    h, w = arr.shape[:2]
+
+    def axis_map(n: int, tag: str) -> np.ndarray:
+        # stretched cumulative cell edges -> source coordinate per output px
+        facs = np.array(
+            [1.0 + aug_uniform(f"{key}|{tag}{i}", -distort_limit, distort_limit)
+             for i in range(num_steps)]
+        )
+        step = n / num_steps
+        widths = facs * step                      # distorted cell widths
+        edges = np.concatenate([[0.0], np.cumsum(widths)])
+        edges *= n / edges[-1]                    # renormalize to [0, n]
+        # output position y: find its distorted cell, invert linearly
+        pos = np.arange(n, dtype=np.float64)
+        cell = np.clip(np.searchsorted(edges, pos, side="right") - 1, 0, num_steps - 1)
+        frac = (pos - edges[cell]) / np.maximum(edges[cell + 1] - edges[cell], 1e-9)
+        src = (cell + frac) * step
+        return np.clip(np.round(src), 0, n - 1).astype(np.int64)
+
+    ys = axis_map(h, "gridy")
+    xs = axis_map(w, "gridx")
+    return arr[ys][:, xs]
+
+
+def gaussian_noise(arr: np.ndarray, key: str, var_limit: float = 20.0) -> np.ndarray:
+    """albumentations GaussNoise (nougat stage): variance drawn uniform in
+    (0, var_limit] via the md5 primitive, the noise field itself from the
+    md5-seeded generator — additive, clipped back to u8."""
+    var = aug_uniform(key + "|noisevar", 0.0, var_limit)
+    noise = _md5_rng(key + "|noisefield").normal(0.0, np.sqrt(var), size=arr.shape)
+    return np.clip(np.round(arr.astype(np.float64) + noise), 0, 255).astype(np.uint8)
+
+
+#: standard JPEG luminance quantization table (ITU-T T.81 Annex K)
+_JPEG_Q = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+
+_DCT8 = np.array([
+    [np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8) * np.cos((2 * n + 1) * k * np.pi / 16)
+     for n in range(8)]
+    for k in range(8)
+])
+
+
+def jpeg_compress(arr: np.ndarray, key: str, quality_lower: int = 95) -> np.ndarray:
+    """albumentations ImageCompression (nougat stage): quality drawn uniform
+    in [quality_lower, 100], then a real JPEG luma round trip — 8×8 DCT,
+    quantization by the standard table scaled to the drawn quality, inverse
+    DCT — in pure numpy (no PIL/cv2 in this environment; the artifact
+    *structure* is the real thing, byte-level JPEG entropy coding is not
+    needed since the pixels never leave the UDF)."""
+    q = aug_uniform(key + "|quality", float(quality_lower), 100.0)
+    s = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    qt = np.clip(np.floor((_JPEG_Q * s + 50.0) / 100.0), 1, 255)
+    h, w = arr.shape[:2]
+    ph, pw = (-h) % 8, (-w) % 8
+    x = np.pad(arr.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
+    H, W = x.shape
+    blocks = x.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    coef = _DCT8 @ blocks @ _DCT8.T
+    coef = np.round(coef / qt) * qt
+    rec = _DCT8.T @ coef @ _DCT8
+    out = rec.transpose(0, 2, 1, 3).reshape(H, W)[:h, :w] + 128.0
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+#: nougat train-path defaults (ref build_transforms_doc.py:204-233; the
+#: scale_range is centered there to become ShiftScaleRotate's scale_limit)
+NOUGAT_TRAIN_DEFAULTS = dict(
+    bitmap_prob=0.05,
+    erosion_dilation_prob=0.02,
+    erosion_dilation_scale=(2, 3),
+    shear_prob=0.03,
+    shear_range_x=(0.0, 3.0),
+    shear_range_y=(-3.0, 0.0),
+    shift_scale_rotate_prob=0.03,
+    shift_range_x=0.04,
+    shift_range_y=0.03,
+    scale_limit=(0.85 - 1.0, 1.03 - 1.0),
+    rotate_range=2.0,
+    grid_distort_prob=0.04,
+    grid_distort_range=0.05,
+    elastic_prob=0.04,
+    elastic_alpha=50.0,
+    elastic_sigma=12.0,
+    brightness_contrast_prob=0.03,
+    brightness_range=0.1,
+    contrast_range=0.1,
+    gaussian_noise_prob=0.08,
+    gaussian_noise_range=20.0,
+    gaussian_blur_prob=0.03,
+    gaussian_blur_kernel=3,
+    image_compression_prob=0.1,
+    image_compression_quality=95,
+)
+
+
+def nougat_schedule_for(key: str, params: dict = NOUGAT_TRAIN_DEFAULTS) -> dict:
+    """Draw schedule for the doc_nougat train pipeline — same md5 primitive
+    and naming convention as :func:`aug_schedule_for`; mirrored 1:1 in the
+    ``aug_schedule_nougat`` DuckDB oracle."""
+    p = params
+    return {
+        "apply_bitmap": aug_draw(key + "|bitmap?") < p["bitmap_prob"],
+        "apply_erode_dilate": aug_draw(key + "|eros?") < p["erosion_dilation_prob"],
+        "choose_dilation": aug_draw(key + "|erosdil") < 0.5,
+        "kernel": p["erosion_dilation_scale"][0] + int(
+            aug_draw(key + "|erosk")
+            * (p["erosion_dilation_scale"][1] - p["erosion_dilation_scale"][0] + 1)
+        ),
+        "apply_shear": aug_draw(key + "|shear?") < p["shear_prob"],
+        "shear_x": aug_uniform(key + "|shearx", *p["shear_range_x"]),
+        "shear_y": aug_uniform(key + "|sheary", *p["shear_range_y"]),
+        "apply_ssr": aug_draw(key + "|ssr?") < p["shift_scale_rotate_prob"],
+        "shift_x": aug_uniform(key + "|shiftx", -p["shift_range_x"], p["shift_range_x"]),
+        "shift_y": aug_uniform(key + "|shifty", -p["shift_range_y"], p["shift_range_y"]),
+        "ssr_scale": 1.0 + aug_uniform(key + "|ssrscale", *p["scale_limit"]),
+        "rotate": aug_uniform(key + "|rot", -p["rotate_range"], p["rotate_range"]),
+        "apply_grid": aug_draw(key + "|grid?") < p["grid_distort_prob"],
+        "apply_elastic": aug_draw(key + "|elastic?") < p["elastic_prob"],
+        "elastic_shift": int(aug_draw(key + "|epre") * 6),  # Affine translate_px (0, 5)
+        "apply_jitter": aug_draw(key + "|jitter?") < p["brightness_contrast_prob"],
+        "brightness": aug_uniform(
+            key + "|bright", 1 - p["brightness_range"], 1 + p["brightness_range"]
+        ),
+        "contrast": aug_uniform(
+            key + "|contrast", 1 - p["contrast_range"], 1 + p["contrast_range"]
+        ),
+        "apply_compress": aug_draw(key + "|compress?") < p["image_compression_prob"],
+        "apply_noise": aug_draw(key + "|noise?") < p["gaussian_noise_prob"],
+        "apply_blur": aug_draw(key + "|blur?") < p["gaussian_blur_prob"],
+        "blur_sigma": aug_uniform(key + "|blursig", 0.1, 0.8),
+    }
+
+
+def doc_nougat_train_transform(
+    arr: np.ndarray,
+    image_size: tuple[int, int],
+    key: str,
+    fill: int = 255,
+    params: dict = NOUGAT_TRAIN_DEFAULTS,
+) -> np.ndarray:
+    """The is_training=True pipeline of build_transforms_doc_nougat
+    (ref build_transforms_doc.py:177-296), stage order preserved:
+    ResizeKeepRatio(longest) → RandomCropOrPad → Bitmap? →
+    Erosion|Dilation? → shear Affine? → ShiftScaleRotate? →
+    GridDistortion? → (translate + Elastic)? → BrightnessContrast? →
+    ImageCompression? → GaussNoise? → GaussianBlur?.  All randomness via
+    :func:`nougat_schedule_for` — pixels reproduce on any retry."""
+    s = nougat_schedule_for(key, params)
+    arr = resize_keep_ratio(arr, max(image_size))
+    arr = random_crop_or_pad(arr, image_size, key, fill=fill)
+    if s["apply_bitmap"]:
+        arr = bitmap(arr)
+    if s["apply_erode_dilate"]:
+        k = s["kernel"]
+        arr = dilation(arr, k) if s["choose_dilation"] else erosion(arr, k)
+    if s["apply_shear"]:
+        arr = affine_warp(arr, shear_x_deg=s["shear_x"], shear_y_deg=s["shear_y"], fill=fill)
+    if s["apply_ssr"]:
+        arr = affine_warp(
+            arr, rotate_deg=s["rotate"], shift_x=s["shift_x"], shift_y=s["shift_y"],
+            scale=s["ssr_scale"], fill=fill,
+        )
+    if s["apply_grid"]:
+        arr = grid_distort(arr, key, params["grid_distort_range"])
+    if s["apply_elastic"]:
+        d = s["elastic_shift"]
+        if d:
+            arr = affine_warp(arr, shift_x=d / arr.shape[1], shift_y=d / arr.shape[0],
+                              fill=fill)
+        arr = elastic_warp(arr, key + "|efield", params["elastic_alpha"],
+                           params["elastic_sigma"], fill=fill)
+    if s["apply_jitter"]:
+        arr = color_jitter(arr, s["brightness"], s["contrast"])
+    if s["apply_compress"]:
+        arr = jpeg_compress(arr, key, params["image_compression_quality"])
+    if s["apply_noise"]:
+        arr = gaussian_noise(arr, key, params["gaussian_noise_range"])
+    if s["apply_blur"]:
+        arr = np.clip(np.round(gaussian_blur(arr, s["blur_sigma"])), 0, 255).astype(np.uint8)
+    return arr
 
 
 def aug_schedule_for(key: str, params: dict = DOC_TRAIN_DEFAULTS) -> dict:
@@ -596,13 +807,17 @@ def extract_train_tensors(
     image_size: tuple[int, int] = (96, 128),
     render_dpi: int = 96,
     seed: int = 0,
+    variant: str = "better",
 ) -> DataFrame:
     """Train-path counterpart of :func:`extract_media_features`: render each
-    page, run :func:`doc_train_transform` (deterministic hash-keyed
-    augmentations), emit the tensor stats + which stochastic stages actually
-    fired.  Every output is a pure function of (doc_id, page, seed) — a
-    retried partition reproduces identical rows, which is what makes an
-    augmenting pipeline safe under Spark task retries."""
+    page, run the hash-keyed augmentation pipeline (``variant='better'`` →
+    :func:`doc_train_transform`, ``variant='nougat'`` →
+    :func:`doc_nougat_train_transform`), emit the tensor stats + which
+    stochastic stages actually fired.  Every output is a pure function of
+    (doc_id, page, seed) — a retried partition reproduces identical rows,
+    which is what makes an augmenting pipeline safe under Spark task
+    retries."""
+    assert variant in ("better", "nougat"), variant
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -621,8 +836,12 @@ def extract_train_tensors(
                     for page in range(n_pages):
                         key = f"aug|{doc_id}|{page}|{seed}"
                         arr = media_mod.render_page(pseed, page, "L", render_dpi)
-                        s = aug_schedule_for(key)
-                        t = doc_train_transform(arr, image_size, key)
+                        if variant == "nougat":
+                            s = nougat_schedule_for(key)
+                            t = doc_nougat_train_transform(arr, image_size, key)
+                        else:
+                            s = aug_schedule_for(key)
+                            t = doc_train_transform(arr, image_size, key)
                         emit(
                             doc_id=doc_id, media_ref=ref, page=page,
                             height=int(t.shape[0]), width=int(t.shape[1]),

@@ -29,6 +29,7 @@ PINS = {
     "dom_extract": (500, "7af5fd72066c2c5d1809c0e41118c94a"),
     "image_eval": (399, "3f11336087d7f837e0bddb5b68c975f0"),
     "image_train": (150, "ebc6a5207ccc071d961078e9547d38d1"),
+    "media_train_nougat": (250, "aabdf66145bb298f04c1a30c9a668683"),
     "bpe_vocab": (30, "bd900031c0cd1c0a1e11ec72af7f0636"),
     "bpe_apply": (500, "9bb743ff66958ff07bac28091db348ad"),
 }

@@ -224,3 +224,98 @@ def test_train_tensor_flags_match_sql_schedule(spark):
     assert udf_flags and all(
         sched[k] == v for k, v in udf_flags.items()
     )
+
+
+def test_nougat_kernels_deterministic_and_shaped():
+    """grid_distort / gaussian_noise / jpeg_compress: deterministic in the
+    key, shape-preserving, and actually perturbing."""
+    import numpy as np
+
+    from chug_spark.ops.media_features import (
+        gaussian_noise,
+        grid_distort,
+        jpeg_compress,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    for fn in (lambda a: grid_distort(a, "k1", 0.05),
+               lambda a: gaussian_noise(a, "k1", 20.0),
+               lambda a: jpeg_compress(a, "k1", 95)):
+        out1, out2 = fn(arr), fn(arr)
+        assert out1.shape == arr.shape and out1.dtype == np.uint8
+        assert (out1 == out2).all()          # determinism
+        assert (out1 != arr).any()           # it did something
+    # different key -> different noise field
+    assert (gaussian_noise(arr, "k1", 20.0) != gaussian_noise(arr, "k2", 20.0)).any()
+
+
+def test_jpeg_compress_quality_monotone():
+    """Higher quality -> smaller reconstruction error (DCT quantization is a
+    real JPEG luma round trip, not an arbitrary perturbation)."""
+    import numpy as np
+
+    from chug_spark.ops.media_features import _DCT8, _JPEG_Q, jpeg_compress
+
+    # orthonormality of the DCT basis
+    assert np.allclose(_DCT8 @ _DCT8.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+
+    def err_at(q):
+        import chug_spark.ops.media_features as mf
+
+        # fix the drawn quality by monkey-keying: draw from [q, q]
+        out = mf.jpeg_compress(arr, "kq", quality_lower=q)
+        return np.abs(out.astype(int) - arr.astype(int)).mean()
+
+    # quality_lower=100 forces q=100 (draw range [100,100])
+    assert err_at(100) < err_at(95) < err_at(60)
+
+
+def test_doc_nougat_train_transform_sized_and_deterministic():
+    import numpy as np
+
+    from chug_spark.ops.media_features import (
+        NOUGAT_TRAIN_DEFAULTS,
+        doc_nougat_train_transform,
+        nougat_schedule_for,
+    )
+
+    arr = media_mod.render_page(7, 0, "L", 24)
+    out1 = doc_nougat_train_transform(arr, (64, 96), "aug|x|0|0")
+    out2 = doc_nougat_train_transform(arr, (64, 96), "aug|x|0|0")
+    assert out1.shape == (64, 96) and (out1 == out2).all()
+
+    # force-all-stages params: every stage applies and output is still sized
+    p = dict(NOUGAT_TRAIN_DEFAULTS)
+    for k in list(p):
+        if k.endswith("_prob"):
+            p[k] = 1.1
+    s = nougat_schedule_for("aug|x|0|0", p)
+    assert all(v for k, v in s.items() if k.startswith("apply_"))
+    out3 = doc_nougat_train_transform(arr, (64, 96), "aug|x|0|0", params=p)
+    assert out3.shape == (64, 96)
+    assert (out3 != out1).any()
+
+
+def test_nougat_train_tensor_flags_match_schedule(spark):
+    """The applied_* flags coming out of the nougat mapInPandas leg equal
+    the pure-Python schedule — the UDF consumes exactly these draws."""
+    from chug_spark.ops.media_features import extract_train_tensors, nougat_schedule_for
+
+    refs = spark.createDataFrame(
+        [(str(i), f"synth://v1/L/2/{i}") for i in range(8)],
+        "doc_id string, media_ref string",
+    )
+    rows = extract_train_tensors(
+        refs, image_size=(32, 48), render_dpi=12, variant="nougat"
+    ).collect()
+    assert len(rows) == 16
+    for r in rows:
+        s = nougat_schedule_for(f"aug|{r['doc_id']}|{r['page']}|0")
+        assert r["applied_bitmap"] == s["apply_bitmap"]
+        assert r["applied_shear"] == s["apply_shear"]
+        assert r["applied_jitter"] == s["apply_jitter"]
+        assert r["applied_blur"] == s["apply_blur"]
+        assert (r["height"], r["width"]) == (32, 48)
