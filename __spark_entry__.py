@@ -236,24 +236,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate long-green rows (pytest-pinned) to the back.  Names not listed
 # keep their registration order after the front block.
 _SWEEP_FRONT = [
-    # flagship (core metric, keep every round)
+    # flagship (core metric, keep every round) + the new D1/D2 hard oracle
     "docread_all_valid", "docread_first", "docread_last", "docread_all",
-    "docread_random", "spans_derive", "extract_synth",
-    # r3 red rows, fixed this round — must re-verify in the driver env
-    "sessionize", "sessionize_presplit", "embed_quantize",
-    # never driver-swept before r4 (registered late in r3)
-    "token_count", "chunking", "decontaminate", "seq_pack", "snapshot_dedup",
-    "split_assign", "bpe_token_count", "repetition_stats", "gopher_filter",
-    "pii_scrub", "quality_score", "corpus_report", "lang_id", "fingerprint",
-    "vocab_topk", "tfidf_terms", "lm_score", "topk_per_group",
-    "length_percentiles", "block_dedup", "html_extract",
-    # read-path changed this round (explicit NTZ events schema)
-    "events_window", "events_sliding", "props_extract", "asof_join",
-    # new in r4
-    "tar_ingest", "budget_select", "sample_exact_k", "snapshot_diff",
-    "media_dhash", "html_spans", "dom_extract", "image_eval", "image_train",
-    "bloom_decontam", "url_filter", "web_pipeline", "text_norm", "bpe_vocab",
-    "bpe_apply",
+    "docread_random", "spans_derive", "extract_synth", "extract_synth_struct",
+    # r4 hash-red rows, fixed this round (HUGEINT->BIGINT oracle casts) —
+    # must re-verify in the driver env
+    "sessionize", "sessionize_presplit", "corpus_report",
+    # changed/new in r5: dom_extract gained a full oracle; image/bpe twins;
+    # nougat train leg; bpe queries switched to the driver-side fast trainer
+    "dom_extract", "image_eval_struct", "image_train_struct",
+    "aug_schedule_nougat", "media_train_nougat", "bpe_vocab", "bpe_apply",
+    # r1-r3-green rows never swept in r4 (stale evidence rotation — the
+    # oracle-bearing 32 of the 36; the 4 rows-only ones rotate to r6 since
+    # the driver can only count their rows): see OPERATORS.md
+    "group_members", "urldir", "coalesce_rename", "filter_incomplete",
+    "base_plus_ext", "vqa_prompt", "line_join", "target_mask", "weighted_mix",
+    "aug_schedule", "dedup_exact", "url_dedup", "substring_spans",
+    "substring_cut", "minhash_pairs", "minhash_verified", "minhash_recall",
+    "simhash", "simhash_pairs", "ngram_jaccard", "cosine_threshold",
+    "ann_topk", "ivf_topk", "knn_exact", "ann_recall", "semantic_pairs",
+    "semantic_dedup", "stratified_sample", "dedup_clusters",
+    "cluster_histogram", "curation_keep", "curation_sampled",
 ]
 
 
