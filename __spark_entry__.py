@@ -253,10 +253,12 @@ _SWEEP_FRONT = [
     "base_plus_ext", "vqa_prompt", "line_join", "target_mask", "weighted_mix",
     "aug_schedule", "dedup_exact", "url_dedup", "substring_spans",
     "substring_cut", "minhash_pairs", "minhash_verified", "minhash_recall",
-    "simhash", "simhash_pairs", "ngram_jaccard", "cosine_threshold",
-    "ann_topk", "ivf_topk", "knn_exact", "ann_recall", "semantic_pairs",
+    "simhash_pairs", "ngram_jaccard", "cosine_threshold",
+    "ann_topk", "ivf_topk", "knn_exact", "semantic_pairs",
     "semantic_dedup", "stratified_sample", "dedup_clusters",
     "cluster_histogram", "curation_keep", "curation_sampled",
+    # new r5: S1-S4 shard machinery gets a driver surface
+    "shard_plan", "shard_resample",
 ]
 
 

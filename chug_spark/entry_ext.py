@@ -402,6 +402,96 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# S1-S4: shard-manifest machinery (expand_urls / shuffled / resampled) as a
+# driver-checked surface (ref src/chug/common/urls.py:48-88,
+# src/chug/wds/shardlists.py:10-119).  The fixture is a constant two-source
+# weighted brace spec, so the oracle is self-contained SQL (env-substitution
+# stays pytest-covered — the driver env is not ours to set).
+# ---------------------------------------------------------------------------
+
+_SHARD_SPEC = (
+    "s3://corpus/train-{000000..000199}.tar::file:/data/extra-{00..19}.tar"
+)
+_SHARD_WEIGHTS = "2.0::1.0"
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+S3: '::'-weighted brace expansion -> manifest -> deterministic
+    per-epoch shuffle with sub-interval striping (seed=1, interval=3 of 4):
+    (shard_url, weight, epoch_pos) for the stripe."""
+    from pyspark.sql import Window
+
+    from .sources.manifest import shard_manifest, shuffled_shards
+
+    manifest = shard_manifest(spark, _SHARD_SPEC, _SHARD_WEIGHTS)
+    epoch = shuffled_shards(manifest, seed=1, interval=3, num_sub_intervals=4)
+    order = F.md5(F.concat_ws("|", F.col("shard_url"), F.lit(str(1 + 3 // 4))))
+    return epoch.select(
+        "shard_url", "weight",
+        (F.row_number().over(Window.orderBy(order)) - 1).cast("int").alias("epoch_pos"),
+    )
+
+
+def q_shard_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (ResampledShardsV2): 100 weighted draws with replacement via
+    inverse-CDF over md5-derived uniforms — (draw, shard_url)."""
+    from .sources.manifest import resampled_shards, shard_manifest
+
+    manifest = shard_manifest(spark, _SHARD_SPEC, _SHARD_WEIGHTS)
+    return resampled_shards(manifest, nshards=100, seed=5)
+
+
+_FOLD12 = (
+    "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, {n}), "
+    "i -> CAST(strpos('0123456789abcdef', substr(md5({key}), "
+    "CAST(i AS INT), 1)) - 1 AS BIGINT))), (a, b) -> a * 16 + b))"
+)
+
+_SHARDS_CTE = """
+shards AS (
+  SELECT printf('s3://corpus/train-%06d.tar', u.i) AS shard_url, CAST(2.0 AS DOUBLE) AS weight
+  FROM unnest(generate_series(0, 199)) AS u(i)
+  UNION ALL
+  SELECT printf('file:/data/extra-%02d.tar', u.i), CAST(1.0 AS DOUBLE)
+  FROM unnest(generate_series(0, 19)) AS u(i)
+)
+"""
+
+_SQL_SHARD_PLAN = f"""
+WITH {_SHARDS_CTE},
+striped AS (
+  SELECT shard_url, weight
+  FROM shards
+  WHERE {_FOLD12.format(n=8, key="shard_url || '|1'")} % 4 = 3
+)
+SELECT shard_url, weight,
+       CAST(row_number() OVER (ORDER BY md5(shard_url || '|1')) - 1 AS INT)
+         AS epoch_pos
+FROM striped
+"""
+
+_SQL_SHARD_RESAMPLE = f"""
+WITH {_SHARDS_CTE},
+cdf AS (
+  SELECT shard_url,
+         sum(weight) OVER (ORDER BY shard_url ROWS UNBOUNDED PRECEDING)
+           / sum(weight) OVER () AS cdf
+  FROM shards
+),
+draws AS (
+  SELECT CAST(u.i AS INT) AS draw,
+         {_FOLD12.format(n=12, key="'draw|' || CAST(u.i AS VARCHAR) || '|5'")}
+           / CAST(281474976710656 AS DOUBLE) AS uu
+  FROM unnest(generate_series(0, 99)) AS u(i)
+)
+SELECT d.draw, min_by(c.shard_url, c.cdf) AS shard_url
+FROM draws d JOIN cdf c ON c.cdf > d.uu
+GROUP BY d.draw
+"""
+
+
 def q_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.tar import build_fixture_corpus, read_tar_samples
 
@@ -485,6 +575,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_mask": q_target_mask,
         "weighted_mix": q_weighted_mix,
         "tar_ingest": q_tar_ingest,
+        "shard_plan": q_shard_plan,
+        "shard_resample": q_shard_resample,
     }
     from .ops.entry import ops_queries
 
@@ -504,6 +596,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "target_mask": _SQL_TARGET_MASK,
         "weighted_mix": _SQL_WEIGHTED_MIX,
         "tar_ingest": _SQL_TAR_INGEST,
+        "shard_plan": _SQL_SHARD_PLAN,
+        "shard_resample": _SQL_SHARD_RESAMPLE,
     }
     from .ops.entry import ops_oracle_sql
 
