@@ -126,10 +126,17 @@ def main() -> int:
     extra["flagship_docs_per_sec"] = round(n_docs_flat / timings["docread_all_valid"], 1)
 
     # q2: payload decode — synthetic corpus with media rendering in the UDF
-    # branch='mixed' — the synth corpus is known half-payload/half-passthrough,
-    # so skip the auto LIMIT-1 probes (each would re-shuffle this driver-local
-    # relation); this is the documented production mode for known-shape tables
-    synth = generate_docs(spark, n_docs=SYNTH_DOCS, seed=99).repartition(int(CPUS) * 2)
+    # The synthetic corpus is materialized to parquet once (untimed): a
+    # driver-local createDataFrame relation would be re-serialized to the
+    # executors on every stage (~1-2 s of pure fixture overhead, measured),
+    # whereas production input is always a columnar table scan.
+    # branch='mixed' — the corpus is known half-payload/half-passthrough, so
+    # skip the auto LIMIT-1 probes; the documented known-shape production mode.
+    synth_tbl = tempfile.mkdtemp(prefix="bench_synth_") + "/documents"
+    generate_docs(spark, n_docs=SYNTH_DOCS, seed=99).repartition(
+        int(CPUS) * 2
+    ).write.mode("overwrite").parquet(synth_tbl)
+    synth = spark.read.parquet(synth_tbl)
     cfg = ExtractJobCfg(page_sampling="all_valid", render_dpi=RENDER_DPI, branch="mixed")
 
     def run_decode():
@@ -187,6 +194,13 @@ def main() -> int:
 
     timed("html_spans", lambda: q_html_spans(spark, SF_DIR).count())
     timed("dom_extract", lambda: q_dom_extract(spark, SF_DIR).count())
+
+    # q20: BPE vocab induction at a real merge budget — one distributed
+    # word-freq agg + the driver-side incremental merge loop (r5)
+    from chug_spark.ops.bpe import bpe_train_fast
+
+    timed("bpe_vocab_1k",
+          lambda: len(bpe_train_fast(docs_pq, num_merges=1000)))
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

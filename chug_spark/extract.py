@@ -442,6 +442,28 @@ def _extract_core(
     return pt_ok, pl_ok, policy_errors, decoded_ok, decode_errors
 
 
+def _payload_items(
+    pl_ok: DataFrame, decoded_ok: DataFrame, decode_errors: DataFrame, cfg: ExtractJobCfg
+) -> DataFrame:
+    """span item rows + one ``__error__`` marker row per decode-error chunk.
+
+    The marker rides the SAME doc_id shuffle the reassembly needs anyway, so
+    the whole-sample skip (a doc with any decode error contributes nothing)
+    is a window/aggregate predicate instead of a ``broadcast(bad_docs)``
+    anti-join — which both forced a full decode pass to finish before the
+    main stage could start AND broadcast a set whose size scales with the
+    error count (unbounded at 10^12 docs)."""
+    marks = decode_errors.select(
+        "doc_id",
+        F.lit(-1).alias("anchor"),
+        F.lit(-1).alias("sub"),
+        F.lit("__error__").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+    return _payload_span_rows(pl_ok, decoded_ok, cfg).unionByName(marks)
+
+
 def _payload_span_rows(pl_ok: DataFrame, decoded_ok: DataFrame, cfg: ExtractJobCfg) -> DataFrame:
     """decode rows + raw input spans -> flat (doc_id, anchor, sub, kind,
     text, media_ref) item rows for the payload branch."""
@@ -502,22 +524,21 @@ def extract_docread(
         return _passthrough_nested(pt_ok, cfg), policy_errors
 
     # ---------------- payload assembly: decode rows -> span items -> regroup -
-    all_spans = _payload_span_rows(pl_ok, decoded_ok, cfg)
-
+    all_items = _payload_items(pl_ok, decoded_ok, decode_errors, cfg)
     errors = policy_errors.unionByName(decode_errors)
-    # whole-sample skip: a doc with any decode error contributes nothing
-    bad_docs = decode_errors.select("doc_id").distinct()
-    all_spans = all_spans.join(F.broadcast(bad_docs), "doc_id", "left_anti")
 
     # dense offset renumbering + nesting in ONE shuffle; span order restored
-    # by sort keys, never by collect_list order (SURVEY.md §7.4.3)
+    # by sort keys, never by collect_list order (SURVEY.md §7.4.3).  The
+    # whole-sample skip is the exists-marker predicate on the grouped array —
+    # same shuffle, no broadcast (see _payload_items).
     payload_nested = (
-        all_spans.groupBy("doc_id")
+        all_items.groupBy("doc_id")
         .agg(
             F.collect_list(
                 F.struct("anchor", "sub", "kind", "text", "media_ref")
             ).alias("items")
         )
+        .filter(~F.exists("items", lambda s: s["kind"] == F.lit("__error__")))
         .select("doc_id", _finish_items(F.col("items")).alias("spans"))
     )
     if pt_ok is None:
@@ -592,15 +613,24 @@ def extract_docread_flat(
     if pl_ok is None:
         return _passthrough_flat(pt_ok, cfg), policy_errors
 
-    all_spans = _payload_span_rows(pl_ok, decoded_ok, cfg)
+    all_items = _payload_items(pl_ok, decoded_ok, decode_errors, cfg)
     errors = policy_errors.unionByName(decode_errors)
-    bad_docs = decode_errors.select("doc_id").distinct()
-    all_spans = all_spans.join(F.broadcast(bad_docs), "doc_id", "left_anti")
+    # whole-sample skip as a window predicate on the SAME doc_id shuffle the
+    # row_number needs (unordered max + ordered row_number share one
+    # Exchange); no broadcast, no pre-pass (see _payload_items)
+    w_doc = Window.partitionBy("doc_id")
     w = Window.partitionBy("doc_id").orderBy("anchor", "sub")
-    payload_flat = all_spans.select(
-        "doc_id",
-        (F.row_number().over(w) - 1).cast("int").alias("offset"),
-        "kind", "text", "media_ref",
+    payload_flat = (
+        all_items.withColumn(
+            "_bad",
+            F.max(F.when(F.col("kind") == "__error__", 1).otherwise(0)).over(w_doc),
+        )
+        .filter((F.col("_bad") == 0) & (F.col("kind") != "__error__"))
+        .select(
+            "doc_id",
+            (F.row_number().over(w) - 1).cast("int").alias("offset"),
+            "kind", "text", "media_ref",
+        )
     )
     if pt_ok is None:
         return payload_flat, errors
