@@ -256,9 +256,9 @@ _SWEEP_FRONT = [
     "simhash_pairs", "ngram_jaccard", "cosine_threshold",
     "ann_topk", "ivf_topk", "knn_exact", "semantic_pairs",
     "semantic_dedup", "stratified_sample", "dedup_clusters",
-    "cluster_histogram", "curation_keep", "curation_sampled",
-    # new r5: S1-S4 shard machinery gets a driver surface
-    "shard_plan", "shard_resample",
+    "curation_keep", "curation_sampled",
+    # new r5: S1-S4 shard machinery + streaming≡batch get driver surfaces
+    "shard_plan", "shard_resample", "stream_extract",
 ]
 
 
@@ -296,6 +296,9 @@ def oracle_sql() -> dict[str, str]:
         # extract_synth: non-SQL-expressible (pixel-hash media_refs) → rows-only;
         # its structural twin below carries the hard oracle for the same path
         "extract_synth_struct": _EXTRACT_SYNTH_STRUCT_SQL,
+        # streaming ≡ batch: the streaming drain must reproduce the batch
+        # extraction oracle on the same derived corpus
+        "stream_extract": _docread_sql("all_valid"),
     }
     from chug_spark.entry_ext import extra_oracle_sql
 

@@ -402,6 +402,30 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming leg with a HARD oracle: the derived span corpus
+    is written as 4 parquet files, drained through run_stream_extract
+    (Trigger.AvailableNow, maxFilesPerTrigger=2 → 2 micro-batches, each
+    running the identical batch plan via foreachBatch with idempotent
+    batch_id-partitioned writes), and the combined streaming output must
+    hash-equal the BATCH extraction oracle — streaming ≡ batch on the same
+    corpus, verified by the driver."""
+    import tempfile
+
+    from chug_spark.config import ExtractJobCfg
+    from chug_spark.streaming.stream import read_stream_output, run_stream_extract
+    from chug_spark.synth import spans_from_documents
+
+    base = tempfile.mkdtemp(prefix="q_stream_")
+    in_dir, out_dir = base + "/in", base + "/out"
+    spans_from_documents(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    cfg = ExtractJobCfg(page_sampling="all_valid", branch="passthrough")
+    run_stream_extract(spark, in_dir, out_dir, cfg, max_files_per_trigger=2)
+    return read_stream_output(spark, out_dir)
+
+
 # ---------------------------------------------------------------------------
 # S1-S4: shard-manifest machinery (expand_urls / shuffled / resampled) as a
 # driver-checked surface (ref src/chug/common/urls.py:48-88,
@@ -577,6 +601,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_ingest": q_tar_ingest,
         "shard_plan": q_shard_plan,
         "shard_resample": q_shard_resample,
+        "stream_extract": q_stream_extract,
     }
     from .ops.entry import ops_queries
 
