@@ -1472,6 +1472,46 @@ def q_media_frames(spark, sf_dir):
                                   resize_longest=128)
 
 
+def q_media_frames_struct(spark, sf_dir):
+    """Structural twin of media_frames with a HARD oracle: same pipeline
+    (render -> every-3rd-frame sampling -> resize-keep-ratio(128) ->
+    features) over a deterministic doc_id<200 fixture, projecting the
+    sampled frame indices and output geometry (128x99 from the 264x204
+    dpi-24 page) - frame_sample_indices and the keep-ratio resize are
+    value-checked; pixel stats stay md5-pinned via media_frames."""
+    from pyspark.sql import functions as F
+
+    from .media_features import extract_media_features
+
+    fixture = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            (F.pmod(F.col("doc_id"), F.lit(8)) + 1).cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+    )
+    out = extract_media_features(fixture, render_dpi=24, frame_every=3,
+                                 resize_longest=128)
+    return out.select("doc_id", "media_ref", "page", "height", "width", "error")
+
+
+_SQL_MEDIA_FRAMES_STRUCT = """
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS ds, (doc_id % 8) + 1 AS n_pages
+  FROM documents WHERE doc_id < 200
+)
+SELECT ds AS doc_id,
+       'synth://v1/L/' || CAST(n_pages AS VARCHAR) || '/' || ds AS media_ref,
+       CAST(u.p AS INT) AS page,
+       CAST(128 AS INT) AS height, CAST(99 AS INT) AS width,
+       CAST(NULL AS VARCHAR) AS error
+FROM f, unnest(generate_series(0, n_pages - 1)) AS u(p)
+WHERE u.p % 3 = 0
+"""
+
+
 def q_media_train(spark, sf_dir):
     """Train-path augmentation pipeline over synthetic payloads: render →
     doc_train_transform (hash-keyed stochastic stages) → tensor stats +
@@ -3147,6 +3187,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_eval_struct": q_image_eval_struct,
         "image_train_struct": q_image_train_struct,
         "aug_schedule_nougat": q_aug_schedule_nougat,
+        "media_frames_struct": q_media_frames_struct,
         "media_train_nougat": q_media_train_nougat,
         "budget_select": q_budget_select,
         "sample_exact_k": q_sample_exact_k,
@@ -3229,6 +3270,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "image_eval_struct": _SQL_IMAGE_EVAL_STRUCT,
         "image_train_struct": _image_train_struct_sql(),
         "aug_schedule_nougat": _aug_schedule_nougat_sql(),
+        "media_frames_struct": _SQL_MEDIA_FRAMES_STRUCT,
         # media_train_nougat: rows-only (pixel kernels; md5-pinned)
         "bpe_vocab": _bpe_vocab_oracle(),
         "bpe_apply": _bpe_apply_oracle(),
