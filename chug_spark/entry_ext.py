@@ -402,6 +402,34 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (wds flatten_nested, ref src/chug/wds/filters.py:129-142): a nested
+    json-style struct built from documents is merged up into the row with
+    replace-existing semantics (the struct's `lang` wins over the column);
+    oracle reproduces the synthesis + flatten in SQL."""
+    from .functions import flatten_nested
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.struct(
+            F.upper(F.col("lang")).alias("lang"),      # collides -> replaces
+            F.length("text").alias("n_chars_meta"),
+            F.substring("text", 1, 12).alias("head"),
+        ).alias("meta"),
+    )
+    return flatten_nested(df, "meta")
+
+
+_SQL_FLATTEN_NESTED = """
+SELECT doc_id,
+       upper(lang) AS lang,
+       CAST(length(text) AS INT) AS n_chars_meta,
+       substr(text, 1, 12) AS head
+FROM documents
+"""
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming leg with a HARD oracle: the derived span corpus
     is written as 4 parquet files, drained through run_stream_extract
@@ -602,6 +630,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": q_shard_plan,
         "shard_resample": q_shard_resample,
         "stream_extract": q_stream_extract,
+        "flatten_nested": q_flatten_nested,
     }
     from .ops.entry import ops_queries
 
@@ -623,6 +652,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "tar_ingest": _SQL_TAR_INGEST,
         "shard_plan": _SQL_SHARD_PLAN,
         "shard_resample": _SQL_SHARD_RESAMPLE,
+        "flatten_nested": _SQL_FLATTEN_NESTED,
     }
     from .ops.entry import ops_oracle_sql
 
