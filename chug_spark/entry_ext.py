@@ -430,6 +430,39 @@ FROM documents
 """
 
 
+def q_safe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (map_v2 skip-on-error, ref src/chug/wds/filters.py:49-70): a
+    per-row sample function that RAISES on every 13th doc and returns None
+    on every 7th runs under safe_map's log_and_continue semantics — raising
+    and None rows are silently dropped, everything else is mapped.  The
+    oracle reproduces the survivor set + mapping in SQL."""
+    from .tasks.manual import safe_map
+
+    def fn(row: dict):
+        did = int(row["doc_id"])
+        if did % 13 == 0:
+            raise ValueError("boom")
+        if did % 7 == 0:
+            return None
+        return {"doc_id": did, "shout": (row["lang"] or "").upper(),
+                "n_words": len((row["text"] or "").split())}
+
+    body = safe_map(fn, ["doc_id", "shout", "n_words"])
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "text")
+        .mapInPandas(body, "doc_id long, shout string, n_words int")
+    )
+
+
+_SQL_SAFE_MAP = """
+SELECT doc_id, upper(lang) AS shout,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words
+FROM documents
+WHERE doc_id % 13 <> 0 AND doc_id % 7 <> 0
+"""
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming leg with a HARD oracle: the derived span corpus
     is written as 4 parquet files, drained through run_stream_extract
@@ -631,6 +664,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_resample": q_shard_resample,
         "stream_extract": q_stream_extract,
         "flatten_nested": q_flatten_nested,
+        "safe_map": q_safe_map,
     }
     from .ops.entry import ops_queries
 
@@ -653,6 +687,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "shard_plan": _SQL_SHARD_PLAN,
         "shard_resample": _SQL_SHARD_RESAMPLE,
         "flatten_nested": _SQL_FLATTEN_NESTED,
+        "safe_map": _SQL_SAFE_MAP,
     }
     from .ops.entry import ops_oracle_sql
 
