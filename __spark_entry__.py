@@ -299,6 +299,8 @@ def oracle_sql() -> dict[str, str]:
         # streaming ≡ batch: the streaming drain must reproduce the batch
         # extraction oracle on the same derived corpus
         "stream_extract": _docread_sql("all_valid"),
+        # crash+resume ≡ clean batch run on the same derived corpus
+        "checkpoint_resume": _docread_sql("all_valid"),
     }
     from chug_spark.entry_ext import extra_oracle_sql
 

@@ -463,6 +463,36 @@ WHERE doc_id % 13 <> 0 AND doc_id % 7 <> 0
 """
 
 
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume leg (S10/X7/X13) with a HARD oracle: the bucketed
+    checkpointed job is crashed mid-run (fail_after=2 of 6 buckets), resumed
+    (remaining 4 buckets only — checkpoint rows prove it), and the stitched
+    output must hash-equal the BATCH extraction oracle — resumed ≡ clean
+    run, verified by the driver."""
+    import tempfile
+
+    from chug_spark.checkpoint import read_checkpoint, read_output, write_with_checkpoint
+    from chug_spark.config import ExtractJobCfg
+    from chug_spark.synth import spans_from_documents
+
+    out_dir = tempfile.mkdtemp(prefix="q_ckpt_") + "/out"
+    docs = spans_from_documents(spark, sf_dir)
+    cfg = ExtractJobCfg(page_sampling="all_valid", branch="passthrough",
+                        run_id="driver_ckpt")
+    try:
+        write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=6, fail_after=2)
+    except RuntimeError:
+        pass  # simulated mid-job crash after 2 buckets
+    done = read_checkpoint(spark, out_dir, "driver_ckpt").filter(
+        F.col("status") == "done"
+    ).count()
+    assert done == 2, done
+    write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=6)  # resume
+    return read_output(spark, out_dir).select(
+        "doc_id", "offset", "kind", "text", "media_ref"
+    )
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming leg with a HARD oracle: the derived span corpus
     is written as 4 parquet files, drained through run_stream_extract
@@ -665,6 +695,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_extract": q_stream_extract,
         "flatten_nested": q_flatten_nested,
         "safe_map": q_safe_map,
+        "checkpoint_resume": q_checkpoint_resume,
     }
     from .ops.entry import ops_queries
 
