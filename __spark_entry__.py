@@ -155,38 +155,56 @@ def _extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_spans(spans_out)
 
 
-def _extract_synth_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _extract_synth_struct(which: str = "all_valid"):
     """The payload-decode branch (D1/D2, ref wds/decode.py:49-164) with a HARD
     oracle: the real extract pipeline over a SQL-derivable payload corpus,
     projecting everything except the pixel-derived media_ref (replaced by a
     has_media presence flag).  Page counts, chunk-capped k_global ordering,
-    dense offsets, raw-span interleaving, and per-chunk decode-error rows are
-    all reproduced by the DuckDB oracle; pixel hashes stay pytest-pinned via
-    extract_synth."""
-    from pyspark.sql import functions as F
+    dense offsets, raw-span interleaving, per-chunk decode-error rows AND
+    anno_parse policy-error rows (every-31st doc's anno JSON is truncated)
+    are all reproduced by the DuckDB oracle; pixel hashes stay pytest-pinned
+    via extract_synth.  ``which='random'`` re-runs the same corpus under the
+    random page policy (D5 wraparound pick on the payload branch)."""
 
-    from chug_spark.config import ExtractJobCfg
-    from chug_spark.extract import extract_docread_flat
-    from chug_spark.synth import payload_corpus_from_documents
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
 
-    docs = payload_corpus_from_documents(spark, sf_dir)
-    cfg = ExtractJobCfg(page_sampling="all_valid", render_dpi=24, max_pages_per_task=4)
-    flat, errors = extract_docread_flat(spark, docs, cfg)
-    ok = flat.select(
-        "doc_id", "offset", "kind", "text",
-        F.col("media_ref").isNotNull().alias("has_media"),
-    )
-    err = errors.select(
-        "doc_id",
-        F.lit(-1).cast("int").alias("offset"),
-        F.lit("error").alias("kind"),
-        F.concat("stage", F.lit(":"), "error").alias("text"),
-        F.lit(False).alias("has_media"),
-    )
-    return ok.unionByName(err)
+        from chug_spark.config import ExtractJobCfg
+        from chug_spark.extract import extract_docread_flat
+        from chug_spark.synth import payload_corpus_from_documents
+
+        docs = payload_corpus_from_documents(spark, sf_dir)
+        cfg = ExtractJobCfg(page_sampling=which, render_dpi=24, max_pages_per_task=4)
+        flat, errors = extract_docread_flat(spark, docs, cfg)
+        ok = flat.select(
+            "doc_id", "offset", "kind", "text",
+            F.col("media_ref").isNotNull().alias("has_media"),
+        )
+        err = errors.select(
+            "doc_id",
+            F.lit(-1).cast("int").alias("offset"),
+            F.lit("error").alias("kind"),
+            F.concat("stage", F.lit(":"), "error").alias("text"),
+            F.lit(False).alias("has_media"),
+        )
+        return ok.unionByName(err)
+
+    return q
 
 
-_EXTRACT_SYNTH_STRUCT_SQL = """
+def _extract_synth_struct_sql(which: str = "all_valid") -> str:
+    if which == "all_valid":
+        sel = "pages"          # every page valid → identity selection
+        k = "p"
+    elif which == "random":
+        pick = _RAND_PICK.format(seed=0)
+        sel = f"(SELECT * FROM pages WHERE p = {pick})"
+        k = "0"
+    else:  # pragma: no cover
+        raise ValueError(which)
+    # n_sel per doc (for per-chunk error rows and the tail offset)
+    n_sel = "n_pages" if which == "all_valid" else "1"
+    return f"""
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
          string_split(text, ' ') AS words,
@@ -205,20 +223,23 @@ pages AS (
 )
 SELECT doc_id, CAST(0 AS INT) AS "offset", 'text' AS kind,
        'hdr ' || doc_id AS text, false AS has_media
-FROM d WHERE did % 23 <> 0
+FROM d WHERE did % 23 <> 0 AND did % 31 <> 0
 UNION ALL
-SELECT doc_id, CAST(1 + 2*p AS INT), 'text', page_text, false
-FROM pages WHERE did % 23 <> 0
+SELECT doc_id, CAST(1 + 2*{k} AS INT), 'text', page_text, false
+FROM {sel} s WHERE did % 23 <> 0 AND did % 31 <> 0
 UNION ALL
-SELECT doc_id, CAST(2 + 2*p AS INT), 'media', CAST(NULL AS VARCHAR), true
-FROM pages WHERE did % 23 <> 0
+SELECT doc_id, CAST(2 + 2*{k} AS INT), 'media', CAST(NULL AS VARCHAR), true
+FROM {sel} s WHERE did % 23 <> 0 AND did % 31 <> 0
 UNION ALL
-SELECT doc_id, CAST(1 + 2*n_pages AS INT), 'text', 'tail ' || doc_id, false
-FROM d WHERE did % 23 <> 0 AND did % 2 = 0
+SELECT doc_id, CAST(1 + 2*{n_sel} AS INT), 'text', 'tail ' || doc_id, false
+FROM d WHERE did % 23 <> 0 AND did % 31 <> 0 AND did % 2 = 0
 UNION ALL
 SELECT doc_id, CAST(-1 AS INT), 'error', 'media:media_decode:ValueError', false
-FROM d, unnest(generate_series(1, CAST(ceil(n_pages / 4.0) AS INT))) AS u(c)
-WHERE did % 23 = 0
+FROM d, unnest(generate_series(1, CAST(ceil({n_sel} / 4.0) AS INT))) AS u(c)
+WHERE did % 23 = 0 AND did % 31 <> 0
+UNION ALL
+SELECT doc_id, CAST(-1 AS INT), 'error', 'anno:anno_parse', false
+FROM d WHERE did % 31 = 0
 """
 
 
@@ -238,7 +259,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _SWEEP_FRONT = [
     # flagship (core metric, keep every round) + the new D1/D2 hard oracle
     "docread_all_valid", "docread_first", "docread_last", "docread_all",
-    "docread_random", "spans_derive", "extract_synth", "extract_synth_struct",
+    "docread_random", "spans_derive", "extract_synth_struct",
+    "extract_synth_struct_random",
     # r4 hash-red rows, fixed this round (HUGEINT->BIGINT oracle casts) —
     # must re-verify in the driver env
     "sessionize", "sessionize_presplit", "corpus_report",
@@ -277,7 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docread_random": _docread("random", seed=0),
         "spans_derive": _spans_derive,
         "extract_synth": _extract_synth,
-        "extract_synth_struct": _extract_synth_struct,
+        "extract_synth_struct": _extract_synth_struct("all_valid"),
+        "extract_synth_struct_random": _extract_synth_struct("random"),
     }
     from chug_spark.entry_ext import extra_queries
 
@@ -295,7 +318,8 @@ def oracle_sql() -> dict[str, str]:
         "spans_derive": _SPANS_DERIVE_SQL,
         # extract_synth: non-SQL-expressible (pixel-hash media_refs) → rows-only;
         # its structural twin below carries the hard oracle for the same path
-        "extract_synth_struct": _EXTRACT_SYNTH_STRUCT_SQL,
+        "extract_synth_struct": _extract_synth_struct_sql("all_valid"),
+        "extract_synth_struct_random": _extract_synth_struct_sql("random"),
         # streaming ≡ batch: the streaming drain must reproduce the batch
         # extraction oracle on the same derived corpus
         "stream_extract": _docread_sql("all_valid"),

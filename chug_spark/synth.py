@@ -144,7 +144,8 @@ def make_doc(
 
 
 def payload_corpus_from_documents(
-    spark: SparkSession, sf_dir: str, corrupt_every: int = 23
+    spark: SparkSession, sf_dir: str, corrupt_every: int = 23,
+    anno_corrupt_every: int = 31,
 ) -> DataFrame:
     """Span corpus whose media is a SINGLE synthetic payload ref per doc —
     routes every document down the payload-decode branch (D1/D2, ref
@@ -160,7 +161,10 @@ def payload_corpus_from_documents(
       (media/anno page-count mismatch → index wrap p % n_media,
       ref doc_processor.py:136-140), seed = doc_id%997;
       every ``corrupt_every``-th doc gets a malformed ref (corrupt-PDF
-      analogue → decode error rows + whole-sample skip, wds/helpers.py:41-68)
+      analogue → decode error rows + whole-sample skip, wds/helpers.py:41-68);
+      every ``anno_corrupt_every``-th doc gets a TRUNCATED anno JSON
+      (anno_parse policy error at the anno stage — fires before decode, so a
+      doc corrupt in both ways reports only the anno error)
     - span 3 (even doc_id): raw trailing text ``tail <doc_id>``
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -223,10 +227,14 @@ def payload_corpus_from_documents(
             F.lit(offset).cast("int").alias("offset"),
         )
 
+    anno_txt = F.when(
+        F.pmod(did, anno_corrupt_every) == 0,
+        F.substring(anno_json, 1, (F.length(anno_json) / 2).cast("int")),
+    ).otherwise(anno_json)
     spans = F.concat(
         F.array(
             span("text", F.concat(F.lit("hdr "), sid), None, 0),
-            span("anno", anno_json, None, 1),
+            span("anno", anno_txt, None, 1),
             span("media", None, ref, 2),
         ),
         F.when(
