@@ -315,3 +315,96 @@ def test_dom_extract_one_total_on_tag_soup(soup):
     assert score >= 0.0 and n_blocks >= 0
     # dropped subtrees never leak (script content is CDATA + dropped)
     assert "<script>" not in text
+
+
+# ---------------------------------------------------------------------------
+# r5 kernels: nougat stage kernels survive arbitrary shapes; the fast BPE
+# trainer matches the pure-Python reference on random corpora
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=70),
+    st.integers(min_value=1, max_value=70),
+    st.text(alphabet="abcdef|0123", min_size=1, max_size=12),
+)
+def test_nougat_kernels_any_shape(h, w, key):
+    """grid_distort / gaussian_noise / jpeg_compress are total on any
+    (h, w) >= (1, 1) — incl. sub-8x8 JPEG blocks and images smaller than
+    the 5-cell distortion grid — shape-preserving, deterministic, u8."""
+    import numpy as np
+
+    from chug_spark.ops.media_features import (
+        gaussian_noise,
+        grid_distort,
+        jpeg_compress,
+    )
+
+    arr = ((np.arange(h)[:, None] * 31 + np.arange(w)[None, :] * 7) % 256).astype(
+        np.uint8
+    )
+    for fn in (
+        lambda a: grid_distort(a, key, 0.05),
+        lambda a: gaussian_noise(a, key, 20.0),
+        lambda a: jpeg_compress(a, key, 95),
+    ):
+        out = fn(arr)
+        assert out.shape == arr.shape and out.dtype == np.uint8
+        assert (out == fn(arr)).all()
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(alphabet="abcdz ", min_size=0, max_size=40),
+        min_size=0, max_size=25,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_bpe_fast_matches_pure_python(spark, texts, num_merges):
+    """bpe_train_fast == a direct pure-Python Sennrich trainer on arbitrary
+    corpora (incl. empty texts, 1-char words, heavy repetition)."""
+    from collections import Counter
+
+    from chug_spark.ops.bpe import EOW, bpe_train_fast
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train_fast(docs, num_merges=num_merges)
+
+    # reference: naive recount-every-round trainer
+    import re
+
+    freqs = Counter()
+    for t in texts:
+        for word in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if word:
+                freqs[word] += 1
+    state = {w: [*w[:-1], w[-1] + EOW] for w in freqs}
+    want = []
+    for rank in range(num_merges):
+        pc = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freqs[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        want.append((rank, a, b, cnt))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    assert got == want
