@@ -2622,6 +2622,43 @@ FROM agg, vocab, ent
 """
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination: train vectors within cosine>=0.35 of
+    any held-out eval vector (vec_id%10==7) -> (vec_id, n_hits,
+    best_eval_id, best_cosine).  Eval side broadcast (benchmarks are small
+    by nature); no shuffle of the big side; deterministic
+    (cosine desc, eval_id asc) best-match tie-break."""
+    from .similarity import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_decontaminate(emb)
+
+
+_SQL_SEMANTIC_DECONTAM = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+),
+ev AS (SELECT vec_id AS eval_id, embedding AS e FROM base WHERE vec_id % 10 = 7),
+tr AS (SELECT vec_id, embedding FROM base WHERE vec_id % 10 <> 7),
+scored AS (
+  SELECT tr.vec_id, ev.eval_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(tr.embedding)),
+                    i -> CAST(tr.embedding[i] AS DOUBLE) * CAST(ev.e[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(tr.embedding, x -> CAST(x AS DOUBLE) * x)))
+              * sqrt(list_sum(list_transform(ev.e, x -> CAST(x AS DOUBLE) * x)))),
+           4) AS cos
+  FROM tr, ev
+)
+SELECT vec_id, CAST(count(*) AS INT) AS n_hits,
+       min_by(eval_id, CAST(round(-cos * 10000) AS BIGINT) * 10000000 + eval_id)
+         AS best_eval_id,
+       max(cos) AS best_cosine
+FROM scored WHERE cos >= 0.35
+GROUP BY vec_id
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any 5-gram with a
     deterministic held-out eval slice (doc_id % 10 == 7) of the corpus."""
@@ -3156,6 +3193,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "chunking": q_chunking,
         "decontaminate": q_decontaminate,
+        "semantic_decontam": q_semantic_decontam,
         "bloom_decontam": q_bloom_decontam,
         "url_filter": q_url_filter,
         "web_pipeline": q_web_pipeline,
@@ -3243,6 +3281,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "token_count": _SQL_TOKEN_COUNT,
         "chunking": _SQL_CHUNKING,
         "decontaminate": _SQL_DECONTAMINATE,
+        "semantic_decontam": _SQL_SEMANTIC_DECONTAM,
         "bloom_decontam": _SQL_DECONTAMINATE,  # value-identical by design
         "url_filter": _SQL_URL_FILTER,
         "web_pipeline": _web_pipeline_sql(),

@@ -397,3 +397,42 @@ def quantize_embeddings_int8(emb: DataFrame, round_to: int = 4) -> DataFrame:
         codes.alias("codes"),
         F.round(F.array_max(err) * 10_000, round_to).alias("max_abs_err_bp"),
     ).filter(max_abs > 0)
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    eval_mod: int = 10,
+    eval_rem: int = 7,
+    threshold: float = 0.35,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-space decontamination: flag train vectors whose cosine to
+    ANY held-out eval vector meets ``threshold`` — the semantic companion of
+    the n-gram ``decontaminate`` op (eval split = vec_id % eval_mod ==
+    eval_rem, same convention).  Per contaminated vector: hit count, the
+    best-matching eval id and its cosine ((cosine desc, eval_id asc)
+    tie-break for determinism).
+
+    Scale shape: the eval benchmark side is small by nature → broadcast; the
+    train side streams through one scan, no shuffle of the big side; the
+    final per-vector reduction is a partial-aggregating groupBy on vec_id."""
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    evals = base.filter(F.pmod("vec_id", F.lit(eval_mod)) == eval_rem).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
+    )
+    train = base.filter(F.pmod("vec_id", F.lit(eval_mod)) != eval_rem)
+    scored = train.join(F.broadcast(evals)).select(
+        "vec_id",
+        "eval_id",
+        F.round(cosine(F.col("embedding"), F.col("e_emb")), round_to).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+    best = F.struct(F.col("cos").alias("c"), (-F.col("eval_id")).alias("nid"))
+    return scored.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        F.max(best).alias("_b"),
+    ).select(
+        "vec_id",
+        "n_hits",
+        (-F.col("_b.nid")).cast("long").alias("best_eval_id"),
+        F.col("_b.c").alias("best_cosine"),
+    )

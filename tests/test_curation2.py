@@ -122,3 +122,39 @@ def test_media_near_dupes_finds_planted_pairs(spark):
     assert ("a:0", "b:0") in got and ("a:1", "b:1") in got
     assert all(r.hamming == 0 for r in pairs if {r.doc_a[0], r.doc_b[0]} == {"a", "b"})
     assert not any({r.doc_a[0], r.doc_b[0]} == {"c", "d"} for r in pairs)
+
+
+def test_semantic_decontaminate_matches_numpy(spark):
+    """Hit set, counts, and deterministic best-match vs a numpy oracle."""
+    import numpy as np
+
+    from chug_spark.ops.similarity import semantic_decontaminate
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    vecs[23] = vecs[7] * 2.0          # planted: train 23 ~ eval 7 (cos=1)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_decontaminate(emb, threshold=0.5).collect()}
+
+    ev = {i: vecs[i] for i in range(60) if i % 10 == 7}
+    for i in range(60):
+        if i % 10 == 7:
+            assert i not in out
+            continue
+        cos = {
+            j: round(float(np.dot(vecs[i], e)
+                     / (np.linalg.norm(vecs[i]) * np.linalg.norm(e))), 4)
+            for j, e in ev.items()
+        }
+        hits = {j: c for j, c in cos.items() if c >= 0.5}
+        if not hits:
+            assert i not in out
+            continue
+        best_c = max(hits.values())
+        best_j = min(j for j, c in hits.items() if c == best_c)
+        assert out[i]["n_hits"] == len(hits)
+        assert out[i]["best_eval_id"] == best_j
+        assert out[i]["best_cosine"] == best_c
+    assert out[23]["best_eval_id"] == 7 and out[23]["best_cosine"] == 1.0
