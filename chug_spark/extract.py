@@ -152,6 +152,161 @@ def _policy_udf(page_sampling: str, seed: int):
     return select_pages.asNondeterministic()
 
 
+def _policy_sql(page_sampling: str, seed: int):
+    """Pure-Catalyst twin of :func:`_policy_udf` — kept as an EXECUTABLE
+    SPEC, not the default engine.  The wraparound
+    ``get_next_valid_page_index`` scan (≤10 retries, KeyError on a missing
+    text key, RuntimeError on exhaustion) becomes a bounded aggregate fold,
+    and ``all_valid``'s n-step collection an outer fold over it; whole-row
+    equivalence to the pandas UDF is locked by
+    tests/test_extract_flat.py::test_policy_sql_equals_udf across all 5
+    policies on the adversarial corpus.
+
+    Measured negative result (r5): Spark evaluates higher-order lambdas via
+    CodegenFallback — interpreted per lambda application — so this nested
+    fold costs 1-2 orders of magnitude MORE per row than the Arrow-
+    vectorized pandas state machine over pruned inputs, even after a
+    substitution barrier stopped Catalyst from duplicating the fold (and
+    its from_json-derived inputs) across branches.  The policy stays a
+    pandas UDF by measurement, not assumption; flip cfg.policy_engine to
+    'sql' to reproduce.
+    """
+
+    def next_valid(flags, n, start):
+        # fold VALID_PAGE_RETRIES steps; acc = (done, idx, err, cur)
+        def stf(done, idx, err, cur):
+            return F.struct(
+                done.alias("done"), idx.cast("int").alias("idx"),
+                err.cast("string").alias("err"), cur.cast("int").alias("cur"),
+            )
+
+        init = stf(F.lit(False), F.lit(None), F.lit(None), start)
+
+        def step(acc, _):
+            cur2 = F.pmod(acc["cur"] + 1, n).cast("int")
+            fcur = F.element_at(flags, cur2 + 1)
+            return F.when(acc["done"], acc).otherwise(
+                F.when(fcur == _FLAG_MISSING,
+                       stf(F.lit(True), F.lit(None), F.lit("key"), cur2))
+                .when(fcur == _FLAG_VALID,
+                      stf(F.lit(True), cur2, F.lit(None), cur2))
+                .otherwise(stf(F.lit(False), F.lit(None), F.lit(None), cur2))
+            )
+
+        res = F.aggregate(
+            F.sequence(F.lit(1), F.lit(VALID_PAGE_RETRIES)), init, step
+        )
+        # not done after 10 steps == the reference's RuntimeError
+        return F.when(
+            res["done"],
+            F.struct(res["idx"].alias("idx"), res["err"].alias("err")),
+        ).otherwise(
+            F.struct(F.lit(None).cast("int").alias("idx"),
+                     F.lit("run").cast("string").alias("err"))
+        )
+
+    def apply(doc_id, flags, has_anno, has_media):
+        n = F.size(flags)
+
+        if page_sampling in ("first", "random"):
+            if page_sampling == "first":
+                start = F.lit(-1)
+            else:
+                # doc_rand_below(doc_id, seed, n, tag='page') - 1:
+                # incremental (a*16 + digit) % n fold over the first 16 md5
+                # hex chars == full-u64 % n (same fold as the DuckDB oracle)
+                h = F.md5(F.concat(doc_id, F.lit(f"|{seed}|page")))
+                pick = F.aggregate(
+                    F.sequence(F.lit(1), F.lit(16)),
+                    F.lit(0).cast("long"),
+                    lambda a, i: F.pmod(
+                        a * 16 + F.conv(F.substring(h, i, F.lit(1)), 16, 10).cast("long"),
+                        n.cast("long"),
+                    ),
+                )
+                start = (pick - 1).cast("int")
+            nv = next_valid(flags, n, start)
+            ind = F.when(nv["err"].isNull(), F.array(nv["idx"]))
+            # 'run' (exhausted retries) keeps ind null → no_valid_pages below,
+            # matching the UDF's `except RuntimeError: pass` with empty idx
+            perr = F.when(nv["err"] == "key", F.lit("key"))
+        elif page_sampling == "last":
+            missing = F.element_at(flags, n) == _FLAG_MISSING
+            ind = F.when(~missing, F.array((n - 1).cast("int")))
+            perr = F.when(missing, F.lit("key"))
+        elif page_sampling == "all":
+            firstbad = F.get(
+                F.filter(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.element_at(flags, i + 1) != _FLAG_VALID,
+                ),
+                0,
+            )
+            ind = F.when(
+                firstbad.isNull(),
+                F.transform(F.sequence(F.lit(0), n - 1), lambda i: i.cast("int")),
+            )
+            perr = F.when(
+                F.element_at(flags, firstbad + 1) == _FLAG_MISSING, F.lit("key")
+            ).when(
+                F.element_at(flags, firstbad + 1) == _FLAG_INVALID,
+                F.lit("empty_page_in_all"),
+            )
+        elif page_sampling == "all_valid":
+            # outer fold: n next_valid scans, partial kept on exhaustion
+            def stf(cur, idx, done, keyerr):
+                return F.struct(
+                    cur.cast("int").alias("cur"), idx.alias("idx"),
+                    done.alias("done"), keyerr.alias("keyerr"),
+                )
+
+            init = stf(F.lit(-1), F.array().cast("array<int>"),
+                       F.lit(False), F.lit(False))
+
+            def step(acc, _):
+                nv = next_valid(flags, n, acc["cur"])
+                return F.when(acc["done"] | acc["keyerr"], acc).otherwise(
+                    F.when(nv["err"] == "key",
+                           stf(acc["cur"], acc["idx"], F.lit(True), F.lit(True)))
+                    .when(nv["err"] == "run",
+                          stf(acc["cur"], acc["idx"], F.lit(True), F.lit(False)))
+                    .otherwise(
+                        stf(nv["idx"], F.concat(acc["idx"], F.array(nv["idx"])),
+                            F.lit(False), F.lit(False))
+                    )
+                )
+
+            res = F.aggregate(F.sequence(F.lit(1), n), init, step)
+            ind = F.when(~res["keyerr"], res["idx"])
+            perr = F.when(res["keyerr"], F.lit("key"))
+        else:  # pragma: no cover - validate() rejects earlier
+            raise ValueError(page_sampling)
+
+        error = (
+            F.when(~has_anno, F.lit("no_annotation"))
+            .when(flags.isNull(), F.lit("anno_parse"))
+            .when(n == 0, F.lit("empty_annotation"))
+            .when(perr == "key", F.lit("missing_text_key"))
+            .when(perr.isNotNull(), perr)
+            .when(F.coalesce(F.size(ind), F.lit(0)) == 0, F.lit("no_valid_pages"))
+            .when(~has_media, F.lit("no_page_images"))
+        )
+        sel = F.struct(
+            F.when(error.isNull(), ind).alias("indices"),
+            error.alias("error"),
+        )
+        # Substitution barrier — the same role as the pandas UDF's
+        # asNondeterministic(): the value IS deterministic (rand(seed) > -1
+        # is always true), but the nondeterministic marker stops Catalyst
+        # from inlining this non-cheap fold into Filter conditions and
+        # duplicating it (together with its from_json-derived inputs) across
+        # the ok/error branches — measured as a >10x interpreted-eval blowup
+        # without it.
+        return F.when(F.rand(0) > -1.0, sel).otherwise(sel)
+
+    return apply
+
+
 def _decode_udf(image_mode: str, render_dpi: int, max_pages: int):
     """mapInPandas body for the payload branch: render selected pages of the
     synthetic media payload → stable content refs (decode semantics of
@@ -354,20 +509,28 @@ def _extract_core(
     pt_in = gated.filter(~_probe) if branch in ("mixed", "passthrough") else None
     pl_in = gated.filter(_probe) if branch in ("mixed", "payload") else None
 
-    select_pages = _policy_udf(cfg.page_sampling, cfg.seed)
+    if cfg.policy_engine == "sql":
+        policy_col = _policy_sql(cfg.page_sampling, cfg.seed)
+        select_pages = None
+    else:
+        policy_col = None
+        select_pages = _policy_udf(cfg.page_sampling, cfg.seed)
 
     def prepared(branch_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """heavy derivation + policy UDF over one branch; returns (ok, errors)"""
+        """heavy derivation + page policy over one branch; returns (ok, errors)"""
         df = _prepare(branch_docs, cfg)
-        df = df.withColumn(
-            "sel",
-            select_pages(
-                F.col("doc_id"),
-                F.col("flags"),
-                F.col("anno_txt").isNotNull(),
-                F.col("n_media") > 0,
-            ),
-        ).select(
+        sel = (
+            policy_col(
+                F.col("doc_id"), F.col("flags"),
+                F.col("anno_txt").isNotNull(), F.col("n_media") > 0,
+            )
+            if policy_col is not None
+            else select_pages(
+                F.col("doc_id"), F.col("flags"),
+                F.col("anno_txt").isNotNull(), F.col("n_media") > 0,
+            )
+        )
+        df = df.withColumn("sel", sel).select(
             "doc_id", "text_spans", "anchor", "first_media", "media_refs",
             "page_texts", "n_media",
             F.col("sel")["indices"].alias("indices"),

@@ -62,3 +62,35 @@ def test_branch_declared_wrong_shape_is_explicit(spark):
     cfg = ExtractJobCfg(page_sampling="all_valid", branch="payload")
     flat, errors = extract_docread_flat(spark, docs, cfg)
     assert flat.count() == 0
+
+
+@pytest.mark.parametrize("policy", ["all_valid", "first", "last", "all", "random"])
+def test_policy_sql_equals_udf(spark, policy):
+    """The pure-Catalyst policy spec (cfg.policy_engine='sql') produces the
+    exact (indices, error) struct of the pandas-UDF reference on the
+    adversarial corpus — every flag shape (valid/invalid/missing pages,
+    corrupt anno, no media, wraparound duplicates, retry exhaustion)
+    across all 5 policies.  Compared at the `sel` column directly (the
+    decode stage downstream is engine-independent)."""
+    from pyspark.sql import functions as F
+
+    from chug_spark.extract import _policy_sql, _policy_udf, _prepare
+
+    docs = generate_docs(spark, n_docs=150, seed=31)
+    cfg = ExtractJobCfg(page_sampling=policy, render_dpi=16)
+    df = _prepare(docs.filter(F.size("spans") > 0), cfg)
+    args = (
+        F.col("doc_id"), F.col("flags"),
+        F.col("anno_txt").isNotNull(), F.col("n_media") > 0,
+    )
+    sql_col = _policy_sql(policy, cfg.seed)(*args)
+    udf_col = _policy_udf(policy, cfg.seed)(*args)
+    rows = df.select(
+        "doc_id", sql_col.alias("s"), udf_col.alias("u")
+    ).collect()
+    assert len(rows) == 150
+    for r in rows:
+        s, u = r["s"], r["u"]
+        assert (s["error"], s["indices"]) == (u["error"], u["indices"]), (
+            r["doc_id"], s, u
+        )
