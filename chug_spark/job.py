@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render-dpi", type=int, default=144)
     p.add_argument("--max-pages-per-task", type=int, default=8)
+    p.add_argument("--branch", default="auto",
+                   choices=["auto", "mixed", "passthrough", "payload"],
+                   help="corpus shape: declare it for known tables (no probe "
+                        "jobs); 'auto' resolves with two LIMIT-1 probes")
     p.add_argument("--buckets", type=int, default=8)
     p.add_argument("--run-id", default="run0")
     p.add_argument("--no-checkpoint", action="store_true",
@@ -75,6 +79,7 @@ def main(argv=None) -> int:
         render_dpi=args.render_dpi,
         max_pages_per_task=args.max_pages_per_task,
         run_id=args.run_id,
+        branch=args.branch,
     )
 
     if not args.no_warmup:
@@ -83,6 +88,7 @@ def main(argv=None) -> int:
         warm_cfg = ExtractJobCfg(
             page_sampling=args.page_sampling, seed=args.seed + 1,
             render_dpi=12, max_pages_per_task=args.max_pages_per_task,
+            branch=args.branch,
         )
         spans_w, _ = extract_docread(spark, docs.limit(64), warm_cfg)
         flatten_spans(spans_w).count()
