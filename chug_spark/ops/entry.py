@@ -2866,6 +2866,56 @@ FROM hits h JOIN tg USING (doc_id)
 """
 
 
+def q_decontam_report(spark, sf_dir):
+    """Composed contamination report: per train doc, the n-gram signal
+    (decontaminate: shared 5-grams with the eval slice doc_id%10==7) FULL
+    OUTER the semantic signal (semantic_decontaminate over the doc's
+    embedding, vec_id == doc_id) — (doc_id, ngram_hits, semantic_hits,
+    best_cosine, flagged).  The oracle nests both queries' SQL as CTEs, so
+    the composition itself is hash-checked (web_pipeline pattern)."""
+    from pyspark.sql import functions as F
+
+    from .decontam import decontaminate
+    from .similarity import semantic_decontaminate
+
+    d = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 10 == 7
+    ng = decontaminate(d.filter(~is_eval), d.filter(is_eval), n=5).select(
+        "doc_id", F.col("n_hits").alias("ngram_hits")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = semantic_decontaminate(emb).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("n_hits").alias("semantic_hits"),
+        "best_cosine",
+    )
+    return (
+        ng.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("ngram_hits", F.lit(0)).alias("ngram_hits"),
+            F.coalesce("semantic_hits", F.lit(0)).alias("semantic_hits"),
+            F.coalesce("best_cosine", F.lit(0.0)).alias("best_cosine"),
+            F.lit(True).alias("flagged"),
+        )
+    )
+
+
+def _decontam_report_sql() -> str:
+    return f"""
+WITH ng_base AS ({_SQL_DECONTAMINATE}),
+sem_base AS ({_SQL_SEMANTIC_DECONTAM}),
+ng AS (SELECT doc_id, n_hits AS ngram_hits FROM ng_base),
+sem AS (SELECT vec_id AS doc_id, n_hits AS semantic_hits, best_cosine FROM sem_base)
+SELECT coalesce(ng.doc_id, sem.doc_id) AS doc_id,
+       coalesce(ng.ngram_hits, 0) AS ngram_hits,
+       coalesce(sem.semantic_hits, 0) AS semantic_hits,
+       coalesce(sem.best_cosine, 0.0) AS best_cosine,
+       true AS flagged
+FROM ng FULL OUTER JOIN sem ON ng.doc_id = sem.doc_id
+"""
+
+
 def q_seq_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing into 64-token contexts: per-doc
     stream placement via a distributed prefix sum (no global window)."""
@@ -3194,6 +3244,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking": q_chunking,
         "decontaminate": q_decontaminate,
         "semantic_decontam": q_semantic_decontam,
+        "decontam_report": q_decontam_report,
         "bloom_decontam": q_bloom_decontam,
         "url_filter": q_url_filter,
         "web_pipeline": q_web_pipeline,
@@ -3282,6 +3333,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "chunking": _SQL_CHUNKING,
         "decontaminate": _SQL_DECONTAMINATE,
         "semantic_decontam": _SQL_SEMANTIC_DECONTAM,
+        "decontam_report": _decontam_report_sql(),
         "bloom_decontam": _SQL_DECONTAMINATE,  # value-identical by design
         "url_filter": _SQL_URL_FILTER,
         "web_pipeline": _web_pipeline_sql(),
