@@ -2896,7 +2896,8 @@ def q_decontam_report(spark, sf_dir):
             F.coalesce("ngram_hits", F.lit(0)).alias("ngram_hits"),
             F.coalesce("semantic_hits", F.lit(0)).alias("semantic_hits"),
             F.coalesce("best_cosine", F.lit(0.0)).alias("best_cosine"),
-            F.lit(True).alias("flagged"),
+            (F.col("ngram_hits").isNotNull()
+             & F.col("semantic_hits").isNotNull()).alias("both_signals"),
         )
     )
 
@@ -2911,7 +2912,7 @@ SELECT coalesce(ng.doc_id, sem.doc_id) AS doc_id,
        coalesce(ng.ngram_hits, 0) AS ngram_hits,
        coalesce(sem.semantic_hits, 0) AS semantic_hits,
        coalesce(sem.best_cosine, 0.0) AS best_cosine,
-       true AS flagged
+       (ng.doc_id IS NOT NULL AND sem.doc_id IS NOT NULL) AS both_signals
 FROM ng FULL OUTER JOIN sem ON ng.doc_id = sem.doc_id
 """
 
