@@ -2021,6 +2021,51 @@ def q_audio_features(spark, sf_dir):
     return extract_audio_features(refs)
 
 
+def q_audio_struct(spark, sf_dir):
+    """Structural twin of audio_features with a HARD oracle: clip-length
+    discovery is md5-derivable (n = sr/10 + u16(md5(ref)[:2]) % sr,
+    ops/audio.synth_waveform), so n_samples/duration_ms are value-checked in
+    DuckDB; the waveform-derived features (rms/zcr/peak/dom-freq FFT) stay
+    md5-pinned via audio_features."""
+    from pyspark.sql import functions as F
+
+    from .audio import extract_audio_features
+
+    refs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("audio:"), F.md5(F.col("doc_id").cast("string"))).alias("media_ref"),
+    )
+    return extract_audio_features(refs).select(
+        "doc_id", "media_ref", "n_samples", "duration_ms", "error"
+    )
+
+
+_SQL_AUDIO_STRUCT = """
+WITH r AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'audio:' || md5(CAST(doc_id AS VARCHAR)) AS media_ref
+  FROM documents
+),
+n AS (
+  SELECT doc_id, media_ref,
+         1600 + CAST(
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, 4),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(media_ref),
+                    CAST(i AS INT), 1)) - 1 AS BIGINT))),
+             (a, b) -> a * 16 + b) % 16000 AS INT) AS n_samples
+  FROM r
+)
+SELECT doc_id, media_ref, n_samples,
+       -- python round() is banker's: the .5 tie (n % 16 == 8) rounds to even
+       CAST(CASE WHEN n_samples % 16 = 8
+                 THEN (n_samples // 16) + ((n_samples // 16) % 2)
+                 ELSE round(n_samples * 1000.0 / 16000) END AS INT) AS duration_ms,
+       CAST(NULL AS VARCHAR) AS error
+FROM n
+"""
+
+
 def q_props_extract(spark, sf_dir):
     """Semi-structured extraction: pull the integer k out of the events
     props JSON column (scan-side get_json_object — no UDF, prunes to two
@@ -3233,6 +3278,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "props_extract": q_props_extract,
         "audio_features": q_audio_features,
+        "audio_struct": q_audio_struct,
         "sessionize": q_sessionize,
         "sessionize_presplit": q_sessionize_presplit,
         "asof_join": q_asof_join,
@@ -3335,6 +3381,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "semantic_decontam": _SQL_SEMANTIC_DECONTAM,
         "decontam_report": _decontam_report_sql(),
+        "audio_struct": _SQL_AUDIO_STRUCT,
         "bloom_decontam": _SQL_DECONTAMINATE,  # value-identical by design
         "url_filter": _SQL_URL_FILTER,
         "web_pipeline": _web_pipeline_sql(),
