@@ -267,10 +267,16 @@ def dom_extract(docs: DataFrame, html_col: str = "html") -> DataFrame:
     the readability-style DOM scorer — one Arrow-batched mapInPandas map."""
     import pandas as pd
 
+    # explicit-count repartition before the parse UDF: a single-file scan
+    # (or AQE-coalesced tiny input) would otherwise serialize the whole
+    # tree-parse loop on one core — the same trap measured at 3x on
+    # media_dhash (ops/audio.py:127-133); at 5000 docs this was the entire
+    # dom_extract wall (parse itself is ~0.2 ms/doc)
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     src = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col(html_col).alias("html"),
-    )
+    ).repartition(n_parts, "doc_id")
 
     def run(batches):
         for pdf in batches:
