@@ -114,14 +114,19 @@ def test_dom_extract_spark_parity(spark):
                 r["main_text"]) == (title, path, score, n_blocks, text)
 
 
-def test_dom_extract_is_map_only(spark):
+def test_dom_extract_plan_shape(spark):
+    """Exactly ONE exchange — the deliberate explicit-count repartition that
+    distributes the parse UDF (a single-file scan would otherwise serialize
+    the whole tree-parse loop on one core, r5); nothing else shuffles, and
+    the parse stays a single MapInPandas."""
     docs = spark.createDataFrame(
         [(i, f"<div><p>page {i} body text, with commas, long enough to "
              f"score</p></div>") for i in range(10)],
         "doc_id long, html string",
     )
     plan = dom_extract(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("MapInPandas") == 1
 
 
 def test_dom_unclosed_drop_tag_does_not_eat_document():
