@@ -967,7 +967,12 @@ def q_html_spans(spark, sf_dir):
 
     from .html import html_to_spans
 
-    docs = _docs(spark, sf_dir)
+    # the sf parquet is a single row group → a map-only chain would run on
+    # ONE core; distribute the synthesis+extraction (2x at sf0.1).  This is
+    # fixture plumbing — html_to_spans itself stays zero-shuffle for
+    # well-partitioned production tables.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    docs = _docs(spark, sf_dir).repartition(n_parts, "doc_id")
     words = F.split(F.col("text"), " ")
     n_paras = F.ceil(F.size(words) / 12).cast("int")
     did = F.col("doc_id").cast("string")
