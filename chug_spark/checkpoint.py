@@ -39,8 +39,21 @@ CHECKPOINT_TABLE_SCHEMA = T.StructType(
 )
 
 
-def bucket_col(seed: int, n_buckets: int):
-    return F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(n_buckets)).cast("int")
+def bucket_col(seed: int, n_buckets: int, engine: str = "xxhash64"):
+    """Deterministic bucket assignment: pmod(hash(doc_id, seed), n_buckets).
+
+    ``engine='xxhash64'`` (default) is the JVM fast path; ``engine='md5'``
+    computes the same kind of draw portably (md5 exists in every engine, so
+    a DuckDB oracle can replay the exact bucket assignment and check the
+    per-bucket lineage metrics value-for-value)."""
+    if engine == "xxhash64":
+        h = F.xxhash64(F.col("doc_id"), F.lit(seed))
+    elif engine == "md5":
+        m = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{seed}")))
+        h = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown bucket hash engine {engine!r}")
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -101,6 +114,7 @@ def write_with_checkpoint(
     fail_after: int | None = None,
     stage_input: bool = True,
     single_pass: bool = False,
+    bucket_engine: str = "xxhash64",
 ) -> None:
     """Run doc-read extraction bucket-by-bucket with checkpointed lineage.
 
@@ -148,20 +162,23 @@ def write_with_checkpoint(
         or 0
     )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
+    # partitionOverwriteMode is scoped per-writer via .option(...) below (a
+    # session conf.set here would leak dynamic mode to unrelated writes).
+    # The staging write deliberately stays STATIC overwrite: a re-stage after
+    # a mid-stage crash must truncate the whole dir, not merge with leftover
+    # partial partitions.
     staged_path = os.path.join(out_dir, f"staged_{cfg.run_id}")
     if stage_input:
         if not _fs_exists(spark, os.path.join(staged_path, "_SUCCESS")):
             (
-                docs.withColumn("bucket", bucket_col(cfg.seed, n_buckets))
+                docs.withColumn("bucket", bucket_col(cfg.seed, n_buckets, bucket_engine))
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(staged_path)
             )
         docs_b = spark.read.parquet(staged_path)
     else:
-        docs_b = docs.withColumn("bucket", bucket_col(cfg.seed, n_buckets))
+        docs_b = docs.withColumn("bucket", bucket_col(cfg.seed, n_buckets, bucket_engine))
 
     if single_pass:
         if fail_after is not None:
@@ -174,11 +191,17 @@ def write_with_checkpoint(
             # bucket is a pure function of doc_id — recompute on the outputs
             # instead of threading it through the extraction plan
             flat = flatten_spans(spans_out).withColumn(
-                "bucket", bucket_col(cfg.seed, n_buckets)
+                "bucket", bucket_col(cfg.seed, n_buckets, bucket_engine)
             )
-            flat.write.mode("overwrite").partitionBy("bucket").parquet(data_path)
-            err_rows = errors.withColumn("bucket", bucket_col(cfg.seed, n_buckets))
-            err_rows.write.mode("overwrite").partitionBy("bucket").parquet(err_path)
+            (flat.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket").parquet(data_path))
+            err_rows = errors.withColumn(
+                "bucket", bucket_col(cfg.seed, n_buckets, bucket_engine)
+            )
+            (err_rows.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket").parquet(err_path))
             wall_ms = int((time.monotonic() - t0) * 1000)
 
             # per-bucket lineage from the WRITTEN parquet (plan never re-runs);
@@ -233,9 +256,13 @@ def write_with_checkpoint(
         sub = docs_b.filter(F.col("bucket") == b).drop("bucket")
         spans_out, errors = extract_docread(spark, sub, cfg)
         flat = flatten_spans(spans_out).withColumn("bucket", F.lit(b))
-        flat.write.mode("overwrite").partitionBy("bucket").parquet(data_path)
+        (flat.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(data_path))
         err_rows = errors.withColumn("bucket", F.lit(b))
-        err_rows.write.mode("overwrite").partitionBy("bucket").parquet(err_path)
+        (err_rows.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(err_path))
 
         # lineage metrics from the *written* partitions — the extraction plan
         # (incl. the policy/decode UDFs) never re-runs for stats

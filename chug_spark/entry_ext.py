@@ -678,6 +678,204 @@ FROM numbered WHERE sub = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# X2 det_shuffle: the deterministic-shuffle schedule (stripe + intra-stripe
+# rank) with the portable md5 hash engine, so DuckDB replays the exact
+# permutation (ref detshuffle_v2, src/chug/wds/filters.py:11-46)
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED, _SHUF_INTERVAL, _SHUF_STRIPES = 3, 2, 8
+
+
+def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dataflow import det_shuffle_plan
+
+    return det_shuffle_plan(
+        _docs(spark, sf_dir).select("doc_id"),
+        seed=_SHUF_SEED, interval=_SHUF_INTERVAL,
+        num_stripes=_SHUF_STRIPES, engine="md5",
+    )
+
+
+_HEX15 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(generate_series(1, 15),"
+    " i -> CAST(strpos('0123456789abcdef', substr({m}, i, 1)) - 1 AS BIGINT))),"
+    " (a, b) -> a * 16 + b)"
+)
+
+_SQL_DET_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_HEX15.format(m=f"md5(CAST(doc_id AS VARCHAR) || '|{_SHUF_SEED + _SHUF_INTERVAL}')")} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(shuffle_key % {_SHUF_STRIPES} AS INT) AS stripe,
+       CAST(row_number() OVER (PARTITION BY shuffle_key % {_SHUF_STRIPES}
+                               ORDER BY shuffle_key, doc_id) - 1 AS INT) AS pos_in_stripe,
+       shuffle_key
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2 to_tuple + task assembly: the full image-text task pipeline (validity
+# filter → coalesce-rename → per-feature map → positional tuple projection,
+# ref pipeline_image_text.py:32-90)
+# ---------------------------------------------------------------------------
+
+
+def q_image_text_task(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .config import FeatureInfo, ImageFeatureInfo, ImageTextTaskCfg
+    from .tasks.imagetext import build_image_text
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.col("text")).alias("caption_en"),
+        F.col("text").alias("caption"),
+        F.when(
+            F.col("n_chars") >= 100,
+            F.concat(F.lit("img://"), F.col("doc_id").cast("string")),
+        ).alias("image"),
+    )
+    cfg = ImageTextTaskCfg(
+        image_input_feat=ImageFeatureInfo("image_input", "image", "RGB"),
+        text_input_feat=FeatureInfo("text", "caption_en;caption"),
+        filter_valid=True,
+        output_tuple=True,
+    )
+    return build_image_text(df, cfg, text_process=lambda c: F.lower(c))
+
+
+_SQL_IMAGE_TEXT_TASK = """
+SELECT 'img://' || CAST(doc_id AS VARCHAR) AS image_input,
+       lower(coalesce(CASE WHEN lang = 'en' THEN text END, text)) AS text
+FROM documents
+WHERE n_chars >= 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# D11/D12 prepare_text_input: task-start prefix + eos append + tokenize +
+# pad/truncate + target masking (ref src/chug/text/tokenization.py:61-96)
+# ---------------------------------------------------------------------------
+
+_TP_MAX_LEN, _TP_PAD = 24, 0
+
+
+def q_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text.tokenization import prepare_text_input_cols
+
+    cols = prepare_text_input_cols(
+        F.col("text"), max_length=_TP_MAX_LEN, pad_id=_TP_PAD,
+        task_start_token="<s_doc>", eos_token="</s>",
+        prompt_end_token_id=None, include_target=True,
+    )
+    df = _docs(spark, sf_dir).select(
+        "doc_id", cols["text_input"].alias("ti"), cols["text_target"].alias("tt")
+    )
+    return df.select(
+        "doc_id",
+        _ids_csv(F.col("ti")).alias("text_input"),
+        _ids_csv(F.col("tt")).alias("text_target"),
+    )
+
+
+_SQL_TEXT_PREP = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split('<s_doc>' || text || ' </s>', ' '),
+                        w -> CAST(length(w) % 97 AS INT)) AS toks
+  FROM documents
+),
+ids AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, {_TP_MAX_LEN}),
+                        i -> CASE WHEN i <= len(toks) THEN toks[i] ELSE {_TP_PAD} END) AS input_ids
+  FROM t
+)
+SELECT doc_id,
+       array_to_string(input_ids, ',') AS text_input,
+       array_to_string(
+         list_transform(input_ids,
+                        x -> CASE WHEN x = {_TP_PAD} THEN -100 ELSE x END), ',') AS text_target
+FROM ids
+"""
+
+
+# ---------------------------------------------------------------------------
+# S8 dataset_size: sizes.json discovery as a one-row distributed aggregate
+# (ref src/chug/wds/dataset_info.py:11-28)
+# ---------------------------------------------------------------------------
+
+
+def q_dataset_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.ingest import dataset_size_df
+
+    return dataset_size_df(_docs(spark, sf_dir), shard_size=512)
+
+
+_SQL_DATASET_SIZE = """
+SELECT count(*) AS num_samples,
+       CAST(ceil(count(*) / 512.0) AS INT) AS num_shards
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# X7 lineage accounting: the checkpointed job's per-bucket metrics table
+# (doc/span/error counts) with the portable md5 bucket engine — DuckDB
+# replays the bucket assignment over the docread oracle and checks every
+# lineage value (run_id/wall_ms excluded: constant / timing)
+# ---------------------------------------------------------------------------
+
+_LIN_BUCKETS = 6
+
+
+def q_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .checkpoint import read_checkpoint, write_with_checkpoint
+    from .config import ExtractJobCfg
+    from .synth import spans_from_documents
+
+    out_dir = tempfile.mkdtemp(prefix="q_lineage_") + "/out"
+    docs = spans_from_documents(spark, sf_dir)
+    cfg = ExtractJobCfg(page_sampling="all_valid", branch="passthrough",
+                        run_id="driver_lineage")
+    write_with_checkpoint(spark, docs, cfg, out_dir, n_buckets=_LIN_BUCKETS,
+                          single_pass=True, bucket_engine="md5")
+    return read_checkpoint(spark, out_dir, "driver_lineage").select(
+        "bucket", "doc_count", "span_count", "error_count", "status", "attempt"
+    )
+
+
+def _lineage_sql() -> str:
+    from __spark_entry__ import _docread_sql  # shared extraction oracle
+
+    bucket = _HEX15.format(m="md5(doc_id || '|0')") + f" % {_LIN_BUCKETS}"
+    return f"""
+WITH spans AS ({_docread_sql("all_valid")}),
+per_bucket AS (
+  SELECT CAST({bucket} AS INT) AS bucket,
+         count(DISTINCT doc_id) AS doc_count,
+         count(*) AS span_count
+  FROM spans
+  GROUP BY 1
+)
+SELECT b.bucket,
+       CAST(coalesce(p.doc_count, 0) AS BIGINT) AS doc_count,
+       CAST(coalesce(p.span_count, 0) AS BIGINT) AS span_count,
+       CAST(0 AS BIGINT) AS error_count,
+       'done' AS status,
+       1 AS attempt
+FROM (SELECT u.b AS bucket
+      FROM unnest(generate_series(0, {_LIN_BUCKETS - 1})) AS u(b)) b
+LEFT JOIN per_bucket p ON b.bucket = p.bucket
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "group_members": q_group_members,
@@ -696,6 +894,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_nested": q_flatten_nested,
         "safe_map": q_safe_map,
         "checkpoint_resume": q_checkpoint_resume,
+        "det_shuffle": q_det_shuffle,
+        "image_text_task": q_image_text_task,
+        "text_prep": q_text_prep,
+        "dataset_size": q_dataset_size,
+        "lineage_report": q_lineage_report,
     }
     from .ops.entry import ops_queries
 
@@ -719,6 +922,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "shard_resample": _SQL_SHARD_RESAMPLE,
         "flatten_nested": _SQL_FLATTEN_NESTED,
         "safe_map": _SQL_SAFE_MAP,
+        "det_shuffle": _SQL_DET_SHUFFLE,
+        "image_text_task": _SQL_IMAGE_TEXT_TASK,
+        "text_prep": _SQL_TEXT_PREP,
+        "dataset_size": _SQL_DATASET_SIZE,
+        "lineage_report": _lineage_sql(),
     }
     from .ops.entry import ops_oracle_sql
 

@@ -11,21 +11,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def shuffle_hash(seed: int = 0, interval: int = 0, key: str = "doc_id",
+                 engine: str = "xxhash64"):
+    """The deterministic shuffle draw behind :func:`det_shuffle`.
+
+    ``engine='xxhash64'`` (default) stays JVM-side and is the fast path;
+    ``engine='md5'`` computes the same *kind* of draw portably (md5 is
+    available in every engine, so a DuckDB oracle can replay the exact
+    stripe assignment and intra-stripe order)."""
+    if engine == "xxhash64":
+        return F.xxhash64(F.col(key), F.lit(seed + interval))
+    if engine == "md5":
+        m = F.md5(F.concat(F.col(key).cast("string"),
+                           F.lit("|" + str(seed + interval))))
+        return F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown shuffle hash engine {engine!r}")
+
+
 def det_shuffle(df: DataFrame, seed: int = 0, interval: int = 0,
-                key: str = "doc_id", num_partitions: Optional[int] = None) -> DataFrame:
+                key: str = "doc_id", num_partitions: Optional[int] = None,
+                engine: str = "xxhash64") -> DataFrame:
     """Deterministic sample shuffle: the schedule-independent replacement for
     chug's bounded-buffer ``detshuffle_v2`` (src/chug/wds/filters.py:11-46,
     seed = seed+interval).  Rows land in a pseudo-random but reproducible
     order keyed on (key, seed+interval) — same order at any parallelism,
     unlike the reference's worker-buffer shuffle.
     """
-    h = F.xxhash64(F.col(key), F.lit(seed + interval))
+    h = shuffle_hash(seed, interval, key, engine)
     out = df.withColumn("_h", h)
     out = (
         out.repartition(num_partitions, "_h") if num_partitions
         else out.repartition("_h")
     )
     return out.sortWithinPartitions("_h").drop("_h")
+
+
+def det_shuffle_plan(df: DataFrame, seed: int = 0, interval: int = 0,
+                     key: str = "doc_id", num_stripes: int = 8,
+                     engine: str = "xxhash64") -> DataFrame:
+    """The *observable* shuffle schedule: for each row, the stripe it lands
+    in (``pmod(draw, num_stripes)`` — exactly the hash-partitioning target
+    of :func:`det_shuffle`) and its rank within that stripe (the
+    ``sortWithinPartitions`` order).  Per-stripe windows only — no global
+    sort, so the plan scales (each stripe sorts independently, the same
+    work ``det_shuffle`` itself does)."""
+    from pyspark.sql import Window
+
+    h = shuffle_hash(seed, interval, key, engine)
+    out = df.withColumn("_h", h).withColumn(
+        "stripe", F.pmod(F.col("_h"), F.lit(num_stripes)).cast("int")
+    )
+    w = Window.partitionBy("stripe").orderBy("_h", key)
+    return (
+        out.withColumn("pos_in_stripe", F.row_number().over(w) - 1)
+        .withColumn("shuffle_key", F.col("_h"))
+        .drop("_h")
+    )
 
 
 def split_by_worker(df: DataFrame, num_partitions: int) -> DataFrame:

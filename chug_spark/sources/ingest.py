@@ -90,3 +90,15 @@ def dataset_size(documents: DataFrame) -> tuple[int, int]:
     sizes.json discovery (src/chug/wds/dataset_info.py:11-28; Iceberg makes
     this the snapshot's row-count statistic)."""
     return documents.count(), documents.rdd.getNumPartitions()
+
+
+def dataset_size_df(documents: DataFrame, shard_size: int = 512) -> DataFrame:
+    """:func:`dataset_size` as a one-row DataFrame with an engine-independent
+    shard count (``ceil(num_samples / shard_size)`` — the planned shard fanout
+    for a target samples-per-shard, the quantity sizes.json records per tar
+    shard in the reference).  Distributed aggregate, no driver-side count."""
+    n = F.count(F.lit(1))
+    return documents.agg(
+        n.alias("num_samples"),
+        F.ceil(n / F.lit(float(shard_size))).cast("int").alias("num_shards"),
+    )

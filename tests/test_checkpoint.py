@@ -157,3 +157,34 @@ def test_single_pass_resumes_serial_crash(spark, tmp_path):
         write_with_checkpoint(
             spark, docs, cfg, out_dir, n_buckets=5, single_pass=True, fail_after=1
         )
+
+
+def test_md5_bucket_engine_equals_default_and_no_conf_leak(spark, tmp_path):
+    """bucket_engine='md5' (the portable-oracle path) produces the same final
+    table as the xxhash64 default, only bucketed differently; and the job
+    must not leak partitionOverwriteMode into the session conf (it is scoped
+    per-writer)."""
+    from chug_spark.checkpoint import bucket_col
+
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+
+    docs = _corpus(spark, n=50)
+    cfg = ExtractJobCfg(render_dpi=12, run_id="runM")
+    out_md5, out_xx = str(tmp_path / "m"), str(tmp_path / "x")
+    write_with_checkpoint(spark, docs, cfg, out_md5, n_buckets=4,
+                          single_pass=True, bucket_engine="md5")
+    write_with_checkpoint(spark, docs, cfg, out_xx, n_buckets=4,
+                          single_pass=True)
+    assert _flat_set(read_output(spark, out_md5)) == _flat_set(
+        read_output(spark, out_xx)
+    )
+
+    # md5 bucket assignment is in range and deterministic
+    b = docs.select(bucket_col(0, 4, "md5").alias("b")).distinct().collect()
+    assert {r["b"] for r in b} <= set(range(4))
+
+    after = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    assert after == before
+
+    with pytest.raises(ValueError, match="engine"):
+        docs.select(bucket_col(0, 4, "crc32"))

@@ -73,6 +73,14 @@ def test_dataset_size(spark):
     assert n == 2
 
 
+def test_dataset_size_df(spark):
+    from chug_spark.sources.ingest import dataset_size_df
+
+    df = spark.range(1100).selectExpr("cast(id as string) as doc_id")
+    row = dataset_size_df(df, shard_size=512).collect()[0]
+    assert (row["num_samples"], row["num_shards"]) == (1100, 3)
+
+
 def test_det_shuffle_deterministic(spark):
     df = spark.range(100).selectExpr("cast(id as string) as doc_id", "id as v")
     a = [r["doc_id"] for r in det_shuffle(df, seed=5, num_partitions=4).collect()]
@@ -80,6 +88,32 @@ def test_det_shuffle_deterministic(spark):
     c = [r["doc_id"] for r in det_shuffle(df, seed=6, num_partitions=4).collect()]
     assert a == b                      # schedule-independent order
     assert sorted(a) == sorted(c) and a != c  # different seed → different order
+
+
+def test_det_shuffle_md5_engine_matches_plan(spark):
+    """The md5 hash engine (the portable-oracle path) is a valid permutation
+    and det_shuffle_plan reports exactly the stripe/order det_shuffle uses."""
+    from chug_spark.ops.dataflow import det_shuffle_plan
+
+    df = spark.range(200).selectExpr("cast(id as string) as doc_id")
+    shuffled = [r["doc_id"] for r in
+                det_shuffle(df, seed=3, interval=2, num_partitions=4,
+                            engine="md5").collect()]
+    assert sorted(shuffled) == sorted(r["doc_id"] for r in df.collect())
+
+    plan = det_shuffle_plan(df, seed=3, interval=2, num_stripes=4,
+                            engine="md5").collect()
+    by_stripe: dict[int, list] = {}
+    for r in plan:
+        by_stripe.setdefault(r["stripe"], []).append(r)
+    assert set(by_stripe) <= set(range(4))
+    for rows in by_stripe.values():
+        rows.sort(key=lambda r: r["pos_in_stripe"])
+        # dense 0..n-1 ranks, ordered by the shuffle draw
+        assert [r["pos_in_stripe"] for r in rows] == list(range(len(rows)))
+        keys = [r["shuffle_key"] for r in rows]
+        assert keys == sorted(keys)
+        assert all(r["shuffle_key"] % 4 == r["stripe"] for r in rows)
 
 
 def test_json_source_same_plan_fragment(spark, tmp_path):
