@@ -122,7 +122,11 @@ def main() -> int:
         flat, _ = extract_docread_flat(spark, span_docs, pt_cfg)
         return flat.count()
 
-    n_spans = timed("docread_all_valid", run_flagship)
+    # headline metric: min-of-3 — this VM's hypervisor-noise bursts span
+    # multiple seconds, long enough to cover both of a min-of-2's runs
+    # (r4: the driver measured the flagship 2.4x slower than every
+    # steady-state local run in the same round)
+    n_spans = timed("docread_all_valid", run_flagship, runs=3)
     extra["flagship_docs_per_sec"] = round(n_docs_flat / timings["docread_all_valid"], 1)
 
     # q2: payload decode — synthetic corpus with media rendering in the UDF
@@ -143,7 +147,7 @@ def main() -> int:
         spans_out, _ = extract_docread(spark, synth, cfg)
         return spans_out.count()
 
-    n_decoded = timed("extract_payload_decode", run_decode)
+    n_decoded = timed("extract_payload_decode", run_decode, runs=3)
     extra["decode_docs_per_sec"] = round(n_decoded / timings["extract_payload_decode"], 1)
 
     # q3-q7: curation ops
