@@ -38,6 +38,21 @@ def build_spark():
 
 
 def main() -> int:
+    import atexit
+    import shutil
+    import tempfile
+
+    # every corpus staged for the run is deleted on exit — repeated rounds
+    # were leaking a full synthetic parquet corpus per invocation into /tmp
+    _tmpdirs: list = []
+
+    def _mktmp(prefix: str) -> str:
+        d = tempfile.mkdtemp(prefix=prefix)
+        _tmpdirs.append(d)
+        return d
+
+    atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True) for d in _tmpdirs])
+
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -58,8 +73,6 @@ def main() -> int:
     # untimed warmup at sf0.001: identical expression shapes → Janino codegen
     # cache + Python workers are hot before the timed section (long-lived
     # executors have these warm in production)
-    import tempfile
-
     from chug_spark.synth import spans_from_documents
 
     warm_sf = "/root/testdata/sf0.001"
@@ -68,7 +81,7 @@ def main() -> int:
         # derive+write shape too (parquet writer init + codegen for the
         # anno-JSON construction; r2 measured 3-4 s of one-time cost here)
         spans_from_documents(spark, warm_sf).write.mode("overwrite").parquet(
-            tempfile.mkdtemp(prefix="bench_warm_") + "/documents"
+            _mktmp("bench_warm_") + "/documents"
         )
     warm_cfg = ExtractJobCfg(page_sampling="all_valid", render_dpi=12)
     warm_docs = generate_docs(spark, n_docs=40, seed=98)
@@ -101,7 +114,7 @@ def main() -> int:
     # The sf0.1 input is ONE parquet file → one scan partition; repartition so
     # the anno-JSON construction runs on all cores and the flagship's read of
     # the result gets CPUS files instead of one.
-    span_tbl = tempfile.mkdtemp(prefix="bench_spans_") + "/documents"
+    span_tbl = _mktmp("bench_spans_") + "/documents"
 
     timed(
         "spans_derive_write",
@@ -136,7 +149,7 @@ def main() -> int:
     # whereas production input is always a columnar table scan.
     # branch='mixed' — the corpus is known half-payload/half-passthrough, so
     # skip the auto LIMIT-1 probes; the documented known-shape production mode.
-    synth_tbl = tempfile.mkdtemp(prefix="bench_synth_") + "/documents"
+    synth_tbl = _mktmp("bench_synth_") + "/documents"
     generate_docs(spark, n_docs=SYNTH_DOCS, seed=99).repartition(
         int(CPUS) * 2
     ).write.mode("overwrite").parquet(synth_tbl)

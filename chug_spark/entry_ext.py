@@ -540,11 +540,14 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.manifest import shard_manifest, shuffled_shards
 
     manifest = shard_manifest(spark, _SHARD_SPEC, _SHARD_WEIGHTS)
-    epoch = shuffled_shards(manifest, seed=1, interval=3, num_sub_intervals=4)
-    order = F.md5(F.concat_ws("|", F.col("shard_url"), F.lit(str(1 + 3 // 4))))
+    # keep_order_col: rank by the op's OWN sort key rather than re-deriving
+    # the eff-seed rule here (a drifting re-encoding was silent before)
+    epoch = shuffled_shards(manifest, seed=1, interval=3, num_sub_intervals=4,
+                            keep_order_col=True)
     return epoch.select(
         "shard_url", "weight",
-        (F.row_number().over(Window.orderBy(order)) - 1).cast("int").alias("epoch_pos"),
+        (F.row_number().over(Window.orderBy("shard_order")) - 1)
+        .cast("int").alias("epoch_pos"),
     )
 
 

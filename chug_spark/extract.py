@@ -288,7 +288,10 @@ def _policy_sql(page_sampling: str, seed: int):
             .when(n == 0, F.lit("empty_annotation"))
             .when(perr == "key", F.lit("missing_text_key"))
             .when(perr.isNotNull(), perr)
-            .when(F.coalesce(F.size(ind), F.lit(0)) == 0, F.lit("no_valid_pages"))
+            # ind.isNull() first: size(NULL) is NULL under ANSI but -1 with
+            # spark.sql.ansi.enabled=false, so relying on size alone would
+            # silently pass retry-exhausted docs on non-ANSI sessions
+            .when(ind.isNull() | (F.size(ind) == 0), F.lit("no_valid_pages"))
             .when(~has_media, F.lit("no_page_images"))
         )
         sel = F.struct(
@@ -788,7 +791,9 @@ def extract_docread_flat(
             "_bad",
             F.max(F.when(F.col("kind") == "__error__", 1).otherwise(0)).over(w_doc),
         )
-        .filter((F.col("_bad") == 0) & (F.col("kind") != "__error__"))
+        # _bad == 0 alone is the whole-sample skip: a doc containing any
+        # __error__ marker has _bad = 1 on EVERY row, markers included
+        .filter(F.col("_bad") == 0)
         .select(
             "doc_id",
             (F.row_number().over(w) - 1).cast("int").alias("offset"),

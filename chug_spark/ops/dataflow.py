@@ -36,25 +36,33 @@ def det_shuffle(df: DataFrame, seed: int = 0, interval: int = 0,
     seed = seed+interval).  Rows land in a pseudo-random but reproducible
     order keyed on (key, seed+interval) — same order at any parallelism,
     unlike the reference's worker-buffer shuffle.
-    """
+
+    The exchange is a RANGE partitioning on the draw (the
+    TotalOrderPartitioner pattern): partition p holds a contiguous draw
+    range and each partition sorts independently, so the concatenated
+    output IS the global (draw, key) order regardless of partition count —
+    a murmur-hash repartition would interleave the draws differently at
+    every parallelism.  No single-partition sort anywhere; scales."""
     h = shuffle_hash(seed, interval, key, engine)
     out = df.withColumn("_h", h)
     out = (
-        out.repartition(num_partitions, "_h") if num_partitions
-        else out.repartition("_h")
+        out.repartitionByRange(num_partitions, "_h", key) if num_partitions
+        else out.repartitionByRange("_h", key)
     )
-    return out.sortWithinPartitions("_h").drop("_h")
+    return out.sortWithinPartitions("_h", key).drop("_h")
 
 
 def det_shuffle_plan(df: DataFrame, seed: int = 0, interval: int = 0,
                      key: str = "doc_id", num_stripes: int = 8,
                      engine: str = "xxhash64") -> DataFrame:
-    """The *observable* shuffle schedule: for each row, the stripe it lands
-    in (``pmod(draw, num_stripes)`` — exactly the hash-partitioning target
-    of :func:`det_shuffle`) and its rank within that stripe (the
-    ``sortWithinPartitions`` order).  Per-stripe windows only — no global
-    sort, so the plan scales (each stripe sorts independently, the same
-    work ``det_shuffle`` itself does)."""
+    """The *striped* consumption schedule: for each row, a logical lane
+    (``stripe = pmod(draw, num_stripes)`` — the analogue of the reference's
+    per-worker sub-interval striding, ShuffledShardList) and its
+    deterministic rank within that lane (ordered by the draw).  The stripe
+    is a LOGICAL lane assignment, not Spark's physical partition id (an
+    execution detail); :func:`det_shuffle` itself realizes the
+    parallelism-independent global order via a range exchange.  Per-stripe
+    windows only — no global sort, so the plan scales."""
     from pyspark.sql import Window
 
     h = shuffle_hash(seed, interval, key, engine)

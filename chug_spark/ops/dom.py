@@ -74,6 +74,7 @@ class _TreeParser(HTMLParser):
         self.title_parts: list[str] = []
         self._n = 0
         self._drop = 0  # depth inside a dropped subtree
+        self._drop_open: list[str] = []  # non-void tags opened INSIDE the drop
         self._title = 0
 
     def handle_starttag(self, tag, attrs):
@@ -83,7 +84,15 @@ class _TreeParser(HTMLParser):
         if tag in DROP_TAGS:
             self._drop += 1
             return
-        if self._drop or tag in _VOID:
+        if self._drop:
+            # track opens inside the dropped subtree so a later end tag can
+            # be told apart: closing one of THESE is ordinary well-formed
+            # content inside the drop; closing an ancestor outside means the
+            # DROP_TAGS element was never closed (recovery below)
+            if tag not in _VOID:
+                self._drop_open.append(tag)
+            return
+        if tag in _VOID:
             return
         self._n += 1
         node = _Node(tag, dict(attrs).get("id"), self.stack[-1], self._n)
@@ -96,17 +105,27 @@ class _TreeParser(HTMLParser):
             return
         if tag in DROP_TAGS:
             self._drop = max(0, self._drop - 1)
+            if not self._drop:
+                self._drop_open.clear()
             return
         if tag in _VOID:
             return
         if self._drop:
-            # An end tag matching an element open OUTSIDE the dropped subtree
-            # means the DROP_TAGS element was never closed (common malformed
-            # HTML, e.g. an unclosed <form>).  The ancestor's close implicitly
-            # terminates the dropped subtree — without this, _drop stays >0
-            # forever and the rest of the document is silently discarded.
+            # Well-formed close of an element opened inside the drop: pop it
+            # (and its implicitly-closed children) and stay dropped.
+            for i in range(len(self._drop_open) - 1, -1, -1):
+                if self._drop_open[i] == tag:
+                    del self._drop_open[i:]
+                    return
+            # Otherwise: an end tag matching an element open OUTSIDE the
+            # dropped subtree means the DROP_TAGS element was never closed
+            # (common malformed HTML, e.g. an unclosed <form>).  The
+            # ancestor's close implicitly terminates the dropped subtree —
+            # without this, _drop stays >0 forever and the rest of the
+            # document is silently discarded.
             if any(n.tag == tag for n in self.stack[1:]):
                 self._drop = 0
+                self._drop_open.clear()
             else:
                 return
         # close the innermost matching open tag (implicitly closing children)
@@ -262,21 +281,28 @@ def extract_one(html: str | None, min_block_chars: int = 25):
     return title, _path(best), round(best_final, 4), len(blocks), main_text
 
 
-def dom_extract(docs: DataFrame, html_col: str = "html") -> DataFrame:
+def dom_extract(
+    docs: DataFrame, html_col: str = "html", repartition: int | None = None
+) -> DataFrame:
     """(doc_id, title, best_path, score, n_blocks, main_text) per page via
-    the readability-style DOM scorer — one Arrow-batched mapInPandas map."""
+    the readability-style DOM scorer — one Arrow-batched mapInPandas map.
+
+    Pure map by default: no shuffle, pipelines behind the scan (a
+    well-partitioned production corpus needs nothing else).  Pass
+    ``repartition=N`` only when the INPUT's split fan-out is degenerate —
+    e.g. a single-row-group parquet file or an AQE-coalesced tiny relation,
+    which would serialize the whole tree-parse loop on one core (measured
+    3x on media_dhash, and the entire dom_extract wall at 5000 docs).
+    That is a property of the fixture/source, so the knob lives with the
+    caller, not baked into the operator."""
     import pandas as pd
 
-    # explicit-count repartition before the parse UDF: a single-file scan
-    # (or AQE-coalesced tiny input) would otherwise serialize the whole
-    # tree-parse loop on one core — the same trap measured at 3x on
-    # media_dhash (ops/audio.py:127-133); at 5000 docs this was the entire
-    # dom_extract wall (parse itself is ~0.2 ms/doc)
-    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     src = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col(html_col).alias("html"),
-    ).repartition(n_parts, "doc_id")
+    )
+    if repartition:
+        src = src.repartition(repartition, "doc_id")
 
     def run(batches):
         for pdf in batches:

@@ -1224,7 +1224,13 @@ def q_dom_extract(spark, sf_dir):
         F.col("source"),
         F.lit("</footer></body></html>"),
     )
-    return dom_extract(docs.select("doc_id", html.alias("html")))
+    # fixture plumbing: the sf parquet is a single row group, so without an
+    # explicit fan-out the parse loop would serialize on one core (same
+    # treatment as q_html_spans; the operator itself stays a pure map)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return dom_extract(
+        docs.select("doc_id", html.alias("html")), repartition=n_parts
+    )
 
 
 _SQL_DOM_EXTRACT = r"""

@@ -116,11 +116,15 @@ def shard_manifest(
 
 
 def shuffled_shards(manifest: DataFrame, seed: int = 0, interval: int = 0,
-                    num_sub_intervals: Optional[int] = None) -> DataFrame:
+                    num_sub_intervals: Optional[int] = None,
+                    keep_order_col: bool = False) -> DataFrame:
     """Deterministic per-epoch shard order: sort by md5(url | seed+interval)
     (replaces ShuffledShardList's seeded Fisher-Yates, shardlists.py:44-51 —
     uniform order, schedule-independent).  ``num_sub_intervals`` stripes the
-    list across sub-epochs (shardlists.py:53-55)."""
+    list across sub-epochs (shardlists.py:53-55).  ``keep_order_col=True``
+    retains the ``shard_order`` sort key so consumers (and oracles) can
+    rank by the op's OWN ordering instead of re-deriving the eff-seed
+    rule."""
     if num_sub_intervals is None:
         eff_seed = seed + interval
         out = manifest
@@ -135,7 +139,8 @@ def shuffled_shards(manifest: DataFrame, seed: int = 0, interval: int = 0,
             ),
         ).filter(F.col("_stripe") == interval % num_sub_intervals).drop("_stripe")
     order = F.md5(F.concat_ws("|", F.col("shard_url"), F.lit(str(eff_seed))))
-    return out.withColumn("shard_order", order).orderBy("shard_order").drop("shard_order")
+    out = out.withColumn("shard_order", order).orderBy("shard_order")
+    return out if keep_order_col else out.drop("shard_order")
 
 
 def resampled_shards(manifest: DataFrame, nshards: int, seed: int = 0,

@@ -115,18 +115,22 @@ def test_dom_extract_spark_parity(spark):
 
 
 def test_dom_extract_plan_shape(spark):
-    """Exactly ONE exchange — the deliberate explicit-count repartition that
-    distributes the parse UDF (a single-file scan would otherwise serialize
-    the whole tree-parse loop on one core, r5); nothing else shuffles, and
-    the parse stays a single MapInPandas."""
+    """Pure map by default: ZERO exchanges, the parse pipelines behind the
+    scan.  The explicit fan-out for degenerate inputs (single-row-group
+    fixtures) is opt-in via repartition=N and adds exactly one exchange."""
     docs = spark.createDataFrame(
         [(i, f"<div><p>page {i} body text, with commas, long enough to "
              f"score</p></div>") for i in range(10)],
         "doc_id long, html string",
     )
     plan = dom_extract(docs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange") == 0
     assert plan.count("MapInPandas") == 1
+
+    plan_r = dom_extract(docs, repartition=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan_r.count("Exchange") == 1
+    assert plan_r.count("MapInPandas") == 1
 
 
 def test_dom_unclosed_drop_tag_does_not_eat_document():
@@ -155,3 +159,34 @@ def test_dom_unclosed_drop_tag_does_not_eat_document():
     _, _, _, _, text2 = extract_one(closed)
     assert "drop me" not in text2
     assert "real article text" in text2
+
+
+def test_dom_wellformed_drop_subtree_with_ancestor_tag_inside():
+    """A WELL-FORMED dropped subtree containing an element whose tag also
+    matches an open ancestor (div inside form inside div — ubiquitous in
+    real pages) must not trigger the unclosed-drop recovery: the inner
+    </div> closes the form's own div, the drop stays scoped to the form,
+    and content after the chrome block is kept (regression: the r5
+    recovery reset _drop on ANY ancestor-matching end tag, truncating
+    well-formed pages)."""
+    page = (
+        "<div id='page'><article id='main'>"
+        "<p>A first paragraph long enough to count as a real block, with "
+        "a comma, and plenty of words.</p>"
+        "<div id='chrome'><form><div><input></div>form text</form></div>"
+        "<p>A second paragraph also easily long enough to be kept, with "
+        "another comma in it.</p>"
+        "</article></div>"
+    )
+    _, path, _, n_blocks, text = extract_one(page)
+    assert "second paragraph" in text
+    assert "form text" not in text
+    assert n_blocks >= 2
+    assert path.endswith("article#main")
+
+    # same page but the form ALSO unclosed: recovery must still fire when
+    # </div> arrives with no matching open inside the drop
+    unclosed = page.replace("form text</form>", "form text")
+    _, _, _, _, text3 = extract_one(unclosed)
+    assert "second paragraph" in text3
+    assert "form text" not in text3

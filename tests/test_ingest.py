@@ -89,6 +89,13 @@ def test_det_shuffle_deterministic(spark):
     assert a == b                      # schedule-independent order
     assert sorted(a) == sorted(c) and a != c  # different seed → different order
 
+    # parallelism-independence (the contract the docstring claims): the
+    # realized global order must not change with the partition count —
+    # the range exchange guarantees it, a murmur-hash repartition wouldn't
+    d = [r["doc_id"] for r in det_shuffle(df, seed=5, num_partitions=9).collect()]
+    e = [r["doc_id"] for r in det_shuffle(df, seed=5, num_partitions=1).collect()]
+    assert a == d == e
+
 
 def test_det_shuffle_md5_engine_matches_plan(spark):
     """The md5 hash engine (the portable-oracle path) is a valid permutation

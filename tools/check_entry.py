@@ -88,6 +88,7 @@ def main():
         if ONLY and name not in ONLY:
             continue
         try:
+            pdf = None
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
@@ -110,6 +111,11 @@ def main():
             rel = con.sql(oracles[name])
             drows = rel.fetchall()
             dcols = rel.columns
+            # Deliberate second DuckDB execution: fetchall's Python-native
+            # row reprs are the proven value-hash source (Decimal/list/None
+            # fidelity), while the dtype gate needs the PANDAS view of the
+            # same result — the one the driver hashes.  Oracle queries are
+            # milliseconds at sf0.01; the expensive side was Spark (below).
             ddf = con.sql(oracles[name]).df()
         except Exception as exn:
             print(f"FAIL {name}: duckdb error {type(exn).__name__}: {exn}")
@@ -124,7 +130,11 @@ def main():
         # the pandas dtype of each shared column; any mismatch is a failure
         # here so it can be CAST away in the oracle before the driver sees it.
         try:
-            spdf = sdf.limit(1000).toPandas()
+            # Reuse the paranoid canonicalizer's full toPandas — a second
+            # Spark execution here would re-run the whole pipeline (for
+            # UDF-heavy rows like media_train_nougat that roughly doubled
+            # the sweep's wall).  Non-paranoid mode pays a LIMITed run.
+            spdf = pdf if pdf is not None else sdf.limit(1000).toPandas()
             for c in sorted(set(scols) & set(dcols)):
                 st, dt = spdf[c].dtype, ddf[c].dtype
                 # Width differences (int32 vs int64) hash identically in the
