@@ -45,15 +45,12 @@ def bucket_col(seed: int, n_buckets: int, engine: str = "xxhash64"):
     ``engine='xxhash64'`` (default) is the JVM fast path; ``engine='md5'``
     computes the same kind of draw portably (md5 exists in every engine, so
     a DuckDB oracle can replay the exact bucket assignment and check the
-    per-bucket lineage metrics value-for-value)."""
-    if engine == "xxhash64":
-        h = F.xxhash64(F.col("doc_id"), F.lit(seed))
-    elif engine == "md5":
-        m = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{seed}")))
-        h = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-    else:
-        raise ValueError(f"unknown bucket hash engine {engine!r}")
-    return F.pmod(h, F.lit(n_buckets)).cast("int")
+    per-bucket lineage metrics value-for-value).  The draw is the single
+    shared portable hash (ops/dataflow.shuffle_hash) — one definition to
+    keep byte-identical with the DuckDB _HEX15 replay."""
+    from .ops.dataflow import shuffle_hash
+
+    return F.pmod(shuffle_hash(seed, 0, "doc_id", engine), F.lit(n_buckets)).cast("int")
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

@@ -18,6 +18,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _scratch(prefix: str) -> str:
+    """mkdtemp whose tree is removed at interpreter exit — the returned
+    DataFrames read these dirs lazily, so cleanup can't happen in the query
+    function itself; without this every sweep leaked a full extraction
+    output into /tmp (same leak class bench.py fixed in r5)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # P1/P4: coalesce-rename with ';'-fallback keys (pipeline_image_text.py:63-70)
 # ---------------------------------------------------------------------------
@@ -469,13 +483,11 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     (remaining 4 buckets only — checkpoint rows prove it), and the stitched
     output must hash-equal the BATCH extraction oracle — resumed ≡ clean
     run, verified by the driver."""
-    import tempfile
-
     from chug_spark.checkpoint import read_checkpoint, read_output, write_with_checkpoint
     from chug_spark.config import ExtractJobCfg
     from chug_spark.synth import spans_from_documents
 
-    out_dir = tempfile.mkdtemp(prefix="q_ckpt_") + "/out"
+    out_dir = _scratch("q_ckpt_") + "/out"
     docs = spans_from_documents(spark, sf_dir)
     cfg = ExtractJobCfg(page_sampling="all_valid", branch="passthrough",
                         run_id="driver_ckpt")
@@ -501,13 +513,11 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_id-partitioned writes), and the combined streaming output must
     hash-equal the BATCH extraction oracle — streaming ≡ batch on the same
     corpus, verified by the driver."""
-    import tempfile
-
     from chug_spark.config import ExtractJobCfg
     from chug_spark.streaming.stream import read_stream_output, run_stream_extract
     from chug_spark.synth import spans_from_documents
 
-    base = tempfile.mkdtemp(prefix="q_stream_")
+    base = _scratch("q_stream_")
     in_dir, out_dir = base + "/in", base + "/out"
     spans_from_documents(spark, sf_dir).repartition(4).write.mode(
         "overwrite"
@@ -755,7 +765,7 @@ _SQL_IMAGE_TEXT_TASK = """
 SELECT 'img://' || CAST(doc_id AS VARCHAR) AS image_input,
        lower(coalesce(CASE WHEN lang = 'en' THEN text END, text)) AS text
 FROM documents
-WHERE n_chars >= 100
+WHERE n_chars >= 100 AND text IS NOT NULL
 """
 
 
@@ -837,13 +847,11 @@ _LIN_BUCKETS = 6
 
 
 def q_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from .checkpoint import read_checkpoint, write_with_checkpoint
     from .config import ExtractJobCfg
     from .synth import spans_from_documents
 
-    out_dir = tempfile.mkdtemp(prefix="q_lineage_") + "/out"
+    out_dir = _scratch("q_lineage_") + "/out"
     docs = spans_from_documents(spark, sf_dir)
     cfg = ExtractJobCfg(page_sampling="all_valid", branch="passthrough",
                         run_id="driver_lineage")

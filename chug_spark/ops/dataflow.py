@@ -42,7 +42,13 @@ def det_shuffle(df: DataFrame, seed: int = 0, interval: int = 0,
     range and each partition sorts independently, so the concatenated
     output IS the global (draw, key) order regardless of partition count —
     a murmur-hash repartition would interleave the draws differently at
-    every parallelism.  No single-partition sort anywhere; scales."""
+    every parallelism.  No single-partition sort anywhere; scales.
+
+    Cost note: RangePartitioner runs a boundary-sampling job over the
+    child plan before the exchange, so the input is evaluated ~twice.
+    Fine after a scan (the typical det_shuffle position: shuffling a
+    materialized corpus before export); persist() the input first if it
+    ends a UDF-heavy pipeline."""
     h = shuffle_hash(seed, interval, key, engine)
     out = df.withColumn("_h", h)
     out = (

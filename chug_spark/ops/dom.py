@@ -73,24 +73,22 @@ class _TreeParser(HTMLParser):
         self.stack = [self.root]
         self.title_parts: list[str] = []
         self._n = 0
-        self._drop = 0  # depth inside a dropped subtree
-        self._drop_open: list[str] = []  # non-void tags opened INSIDE the drop
+        # open elements inside the dropped region, bottom entry = the
+        # outermost DROP_TAGS element itself (nested drop tags and ordinary
+        # tags are plain entries); non-empty ⇔ currently dropping
+        self._drop_stack: list[str] = []
         self._title = 0
 
     def handle_starttag(self, tag, attrs):
         if tag == "title":
             self._title += 1
             return
-        if tag in DROP_TAGS:
-            self._drop += 1
-            return
-        if self._drop:
-            # track opens inside the dropped subtree so a later end tag can
-            # be told apart: closing one of THESE is ordinary well-formed
-            # content inside the drop; closing an ancestor outside means the
-            # DROP_TAGS element was never closed (recovery below)
+        if self._drop_stack:
             if tag not in _VOID:
-                self._drop_open.append(tag)
+                self._drop_stack.append(tag)
+            return
+        if tag in DROP_TAGS:
+            self._drop_stack.append(tag)
             return
         if tag in _VOID:
             return
@@ -103,31 +101,28 @@ class _TreeParser(HTMLParser):
         if tag == "title":
             self._title = max(0, self._title - 1)
             return
-        if tag in DROP_TAGS:
-            self._drop = max(0, self._drop - 1)
-            if not self._drop:
-                self._drop_open.clear()
-            return
         if tag in _VOID:
             return
-        if self._drop:
-            # Well-formed close of an element opened inside the drop: pop it
-            # (and its implicitly-closed children) and stay dropped.
-            for i in range(len(self._drop_open) - 1, -1, -1):
-                if self._drop_open[i] == tag:
-                    del self._drop_open[i:]
+        if self._drop_stack:
+            # Well-formed close of an element opened inside the dropped
+            # region: pop it and its implicitly-closed children.  Popping
+            # the bottom entry (the DROP_TAGS element itself) ends the drop.
+            for i in range(len(self._drop_stack) - 1, -1, -1):
+                if self._drop_stack[i] == tag:
+                    del self._drop_stack[i:]
                     return
             # Otherwise: an end tag matching an element open OUTSIDE the
-            # dropped subtree means the DROP_TAGS element was never closed
+            # dropped region means the DROP_TAGS element was never closed
             # (common malformed HTML, e.g. an unclosed <form>).  The
             # ancestor's close implicitly terminates the dropped subtree —
-            # without this, _drop stays >0 forever and the rest of the
+            # without this, the drop persists forever and the rest of the
             # document is silently discarded.
             if any(n.tag == tag for n in self.stack[1:]):
-                self._drop = 0
-                self._drop_open.clear()
+                self._drop_stack.clear()
             else:
                 return
+        if tag in DROP_TAGS:
+            return  # stray close of a drop tag that was never open
         # close the innermost matching open tag (implicitly closing children)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
@@ -139,7 +134,7 @@ class _TreeParser(HTMLParser):
         if self._title:
             self.title_parts.append(data)
             return
-        if self._drop or not data:
+        if self._drop_stack or not data:
             return
         self.stack[-1].seq.append(("t", data))
 

@@ -190,3 +190,39 @@ def test_dom_wellformed_drop_subtree_with_ancestor_tag_inside():
     _, _, _, _, text3 = extract_one(unclosed)
     assert "second paragraph" in text3
     assert "form text" not in text3
+
+
+def test_dom_nested_drop_tags_stale_open_entry():
+    """DROP_TAGS nested inside DROP_TAGS (nav inside form) with an unclosed
+    element inside the inner one: closing the inner drop tag must discard
+    the opens recorded under it, or a stale entry later swallows the
+    ancestor's end tag and the rest of the document (review finding, r5)."""
+    page = (
+        "<div id='page'><article id='main'><div id='wrap'>"
+        "<p>A first paragraph long enough to count as a real block, with "
+        "a comma, and plenty of words in it.</p>"
+        "<form><nav><div>menu entry</nav>form text"  # div AND form unclosed
+        "</div>"  # closes #wrap → must trigger unclosed-drop recovery
+        "<p>A second paragraph also easily long enough to be kept, with "
+        "another comma in it.</p>"
+        "</div></article>"
+    )
+    _, _, _, _, text = extract_one(page)
+    assert "second paragraph" in text
+    assert "form text" not in text
+    assert "menu entry" not in text
+
+    # fully well-formed nested drop: everything inside <form> dies with it,
+    # content after </form> is kept
+    ok = (
+        "<article id='main'>"
+        "<p>A first paragraph long enough to count as a real block, with "
+        "a comma, and plenty of words in it.</p>"
+        "<form><nav><div>menu entry</div></nav>form tail</form>"
+        "<p>A second paragraph also easily long enough to be kept, with "
+        "another comma in it.</p></article>"
+    )
+    _, _, _, _, text2 = extract_one(ok)
+    assert "second paragraph" in text2
+    assert "form tail" not in text2
+    assert "menu entry" not in text2
