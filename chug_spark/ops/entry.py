@@ -1193,7 +1193,12 @@ def q_dom_extract(spark, sf_dir):
 
     from .dom import dom_extract
 
-    docs = _docs(spark, sf_dir)
+    # fixture plumbing, same treatment as q_html_spans: the sf parquet is a
+    # single row group, so fan out BEFORE the html synthesis projection —
+    # repartitioning after it would leave the string construction (and the
+    # parse, without the exchange) serialized on one core
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    docs = _docs(spark, sf_dir).repartition(n_parts, "doc_id")
     words = F.split(F.col("text"), " ")
     n_paras = F.ceil(F.size(words) / 12).cast("int")
     did = F.col("doc_id").cast("string")
@@ -1224,13 +1229,7 @@ def q_dom_extract(spark, sf_dir):
         F.col("source"),
         F.lit("</footer></body></html>"),
     )
-    # fixture plumbing: the sf parquet is a single row group, so without an
-    # explicit fan-out the parse loop would serialize on one core (same
-    # treatment as q_html_spans; the operator itself stays a pure map)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return dom_extract(
-        docs.select("doc_id", html.alias("html")), repartition=n_parts
-    )
+    return dom_extract(docs.select("doc_id", html.alias("html")))
 
 
 _SQL_DOM_EXTRACT = r"""
