@@ -28,22 +28,33 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 # chug_spark/synth.py spans_from_documents)
 # ---------------------------------------------------------------------------
 
+# NULL-text docs produce no spans (Spark: NULL spans array explodes to
+# nothing); an empty page (all line slices '') is INVALID — the valid CTE
+# carries rank/count so the mode selections below replay the engine's
+# valid-page policy exactly (identity on the clean fixture, where every
+# page is valid).  r5 adversarial-fixture hardening.
 _PAGES_CTE = """
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          string_split(text, ' ') AS words,
          CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_pages
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 pages AS (
   SELECT doc_id, n_pages, u.p AS p,
-         array_to_string(
+         coalesce(array_to_string(
            list_filter(
              [array_to_string(list_slice(words, u.p*8 + 1, u.p*8 + 4), ' '),
               array_to_string(list_slice(words, u.p*8 + 5, u.p*8 + 8), ' ')],
              x -> x <> ''),
-           chr(10)) AS page_text
+           chr(10)), '') AS page_text
   FROM d, unnest(generate_series(0, n_pages - 1)) AS u(p)
+),
+valid AS (
+  SELECT doc_id, n_pages, p, page_text,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS INT) AS rk,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_valid
+  FROM pages WHERE page_text <> ''
 )
 """
 
@@ -57,56 +68,113 @@ _RAND_PICK = (
 )
 
 
-def _docread_sql(which: str, seed: int = 0) -> str:
-    if which == "all_valid" or which == "all":
-        sel = "pages"  # clean corpus: every page valid → identity selection
-        k = "p"
-    elif which == "first":
-        sel = "(SELECT * FROM pages WHERE p = 0)"
-        k = "0"
-    elif which == "last":
-        # literal last page (ref wds/decode.py:228-231 page_indices=[-1])
-        sel = "(SELECT * FROM pages WHERE p = n_pages - 1)"
-        k = "0"
-    elif which == "random":
+def _page_sel_cte(which: str, seed: int = 0) -> str:
+    """``selp(doc_id, k, p, page_text)`` — the engine's page-policy selection
+    (extract.py ``_policy_udf``) over the valid CTE.  k = selection order
+    (offsets are dense over it), p = the physical page index (media refs key
+    on it).  On the clean fixture every page is valid, so k == p and these
+    reduce to the r1-era identity selections."""
+    if which == "all_valid":
+        # cyclic next-valid repeated n_pages times → the reference's
+        # wraparound *duplicates* when invalid pages exist
+        # (doc_read_processor.py:52-68)
+        return """
+sel AS (
+  SELECT dv.doc_id, CAST(u.i AS INT) AS k, CAST(u.i % dv.n_valid AS INT) AS rk
+  FROM (SELECT DISTINCT doc_id, n_pages, n_valid FROM valid) dv,
+       unnest(generate_series(0, dv.n_pages - 1)) AS u(i)
+),
+selp AS (
+  SELECT s.doc_id, s.k, v.p, v.page_text
+  FROM sel s JOIN valid v ON v.doc_id = s.doc_id AND v.rk = s.rk
+)"""
+    if which == "all":
+        # text assembly raises on the FIRST invalid page → whole-doc skip
+        return """
+selp AS (
+  SELECT doc_id, p AS k, p, page_text FROM pages pg
+  WHERE NOT EXISTS (SELECT 1 FROM pages p2
+                    WHERE p2.doc_id = pg.doc_id AND p2.page_text = '')
+)"""
+    if which == "first":
+        # next_valid(-1) probes pages 0..9 only (VALID_PAGE_RETRIES)
+        return """
+selp AS (
+  SELECT doc_id, 0 AS k, p, page_text FROM valid WHERE rk = 0 AND p <= 9
+)"""
+    if which == "last":
+        # literal last page even if empty (ref wds/decode.py:228-231
+        # page_indices=[-1]; an empty page yields an empty text span)
+        return """
+selp AS (
+  SELECT doc_id, 0 AS k, p, page_text FROM pages WHERE p = n_pages - 1
+)"""
+    if which == "random":
+        # start = rand_below(n_pages); nearest valid at cyclic distance <= 9
         pick = _RAND_PICK.format(seed=seed)
-        sel = f"(SELECT * FROM pages WHERE p = {pick})"
-        k = "0"
-    else:  # pragma: no cover
-        raise ValueError(which)
+        return f"""
+pk AS (
+  SELECT doc_id, n_pages, {pick} AS pick
+  FROM (SELECT DISTINCT doc_id, n_pages FROM pages)
+),
+dist AS (
+  SELECT v.doc_id, v.p, v.page_text,
+         (v.p - pk.pick + v.n_pages) % v.n_pages AS dd
+  FROM valid v JOIN pk ON pk.doc_id = v.doc_id
+),
+selp AS (
+  SELECT doc_id, 0 AS k, p, page_text
+  FROM (SELECT *, min(dd) OVER (PARTITION BY doc_id) AS mind FROM dist)
+  WHERE dd = mind AND dd <= 9
+)"""
+    raise ValueError(which)  # pragma: no cover
+
+
+def _docread_sql(which: str, seed: int = 0) -> str:
     return f"""
-{_PAGES_CTE}
-SELECT doc_id, CAST(2*{k} AS INT) AS "offset", 'text' AS kind,
+{_PAGES_CTE},
+{_page_sel_cte(which, seed)}
+SELECT doc_id, CAST(2*k AS INT) AS "offset", 'text' AS kind,
        page_text AS text, CAST(NULL AS VARCHAR) AS media_ref
-FROM {sel} s
+FROM selp s
 UNION ALL
-SELECT doc_id, CAST(2*{k} + 1 AS INT) AS "offset", 'media' AS kind,
+SELECT doc_id, CAST(2*k + 1 AS INT) AS "offset", 'media' AS kind,
        CAST(NULL AS VARCHAR) AS text,
        md5(doc_id || ':' || CAST(p AS VARCHAR)) AS media_ref
-FROM {sel} s
+FROM selp s
 """
 
 
-_SPANS_DERIVE_SQL = """
+def _sql_json_esc(expr: str) -> str:
+    """DuckDB replica of chug_spark.synth.json_escape (backslash, quote,
+    tab, LF, CR) — identity on the clean fixture's plain words."""
+    e = f"replace({expr}, chr(92), chr(92)||chr(92))"
+    e = f"replace({e}, chr(34), chr(92)||chr(34))"
+    e = f"replace({e}, chr(9), chr(92)||'t')"
+    e = f"replace({e}, chr(10), chr(92)||'n')"
+    return f"replace({e}, chr(13), chr(92)||'r')"
+
+
+_SPANS_DERIVE_SQL = f"""
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          string_split(text, ' ') AS words,
          CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_pages
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 anno AS (
   SELECT doc_id,
-         '{"pages": [' || array_to_string(
+         '{{"pages": [' || coalesce(array_to_string(
             list_transform(generate_series(0, n_pages - 1), p ->
-              '{"text": [' || array_to_string(
+              '{{"text": [' || coalesce(array_to_string(
                  list_transform(
                    list_filter(
                      [array_to_string(list_slice(words, p*8 + 1, p*8 + 4), ' '),
                       array_to_string(list_slice(words, p*8 + 5, p*8 + 8), ' ')],
                      x -> x <> ''),
-                   s -> '"' || s || '"'),
-                 ', ') || ']}'),
-            ', ') || ']}' AS anno_json,
+                   s -> '"' || {_sql_json_esc('s')} || '"'),
+                 ', '), '') || ']}}'),
+            ', '), '') || ']}}' AS anno_json,
          n_pages
   FROM d
 )
@@ -193,53 +261,102 @@ def _extract_synth_struct(which: str = "all_valid"):
 
 
 def _extract_synth_struct_sql(which: str = "all_valid") -> str:
+    # page selection over the VALID pages — same engine policy shapes as
+    # _page_sel_cte (wraparound duplicates for all_valid, probe-distance <= 9
+    # for random); identity on the clean fixture where every page is valid
     if which == "all_valid":
-        sel = "pages"          # every page valid → identity selection
-        k = "p"
+        sel_cte = """
+sel AS (
+  SELECT dv.doc_id, dv.did, dv.n_pages, CAST(u.i AS INT) AS k,
+         CAST(u.i % dv.n_valid AS INT) AS rk
+  FROM (SELECT DISTINCT doc_id, did, n_pages, n_valid FROM valid) dv,
+       unnest(generate_series(0, dv.n_pages - 1)) AS u(i)
+),
+selp AS (
+  SELECT s.doc_id, s.did, s.n_pages, s.k, v.page_text
+  FROM sel s JOIN valid v ON v.doc_id = s.doc_id AND v.rk = s.rk
+)"""
+        n_sel = "n_pages"
     elif which == "random":
         pick = _RAND_PICK.format(seed=0)
-        sel = f"(SELECT * FROM pages WHERE p = {pick})"
-        k = "0"
+        sel_cte = f"""
+pk AS (
+  SELECT doc_id, {pick} AS pick
+  FROM (SELECT DISTINCT doc_id, n_pages FROM pages)
+),
+dist AS (
+  SELECT v.doc_id, v.did, v.n_pages, v.p, v.page_text,
+         (v.p - pk.pick + v.n_pages) % v.n_pages AS dd
+  FROM valid v JOIN pk ON pk.doc_id = v.doc_id
+),
+selp AS (
+  SELECT doc_id, did, n_pages, 0 AS k, page_text
+  FROM (SELECT *, min(dd) OVER (PARTITION BY doc_id) AS mind FROM dist)
+  WHERE dd = mind AND dd <= 9
+)"""
+        n_sel = "1"
     else:  # pragma: no cover
         raise ValueError(which)
-    # n_sel per doc (for per-chunk error rows and the tail offset)
-    n_sel = "n_pages" if which == "all_valid" else "1"
+    # Error precedence (engine _policy_udf + decode stage): NULL anno text →
+    # no_annotation; truncated anno (every 31st) → anno_parse; zero valid
+    # pages → no_valid_pages; only then the corrupt-payload decode errors
+    # (every 23rd; one per page chunk of 4 selected pages).
     return f"""
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
          string_split(text, ' ') AS words,
          CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_pages
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 pages AS (
   SELECT doc_id, did, n_pages, u.p AS p,
-         array_to_string(
+         coalesce(array_to_string(
            list_filter(
              [array_to_string(list_slice(words, u.p*8 + 1, u.p*8 + 4), ' '),
               array_to_string(list_slice(words, u.p*8 + 5, u.p*8 + 8), ' ')],
              x -> x <> ''),
-           chr(10)) AS page_text
+           chr(10)), '') AS page_text
   FROM d, unnest(generate_series(0, n_pages - 1)) AS u(p)
-)
+),
+valid AS (
+  SELECT doc_id, did, n_pages, p, page_text,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS INT) AS rk,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_valid
+  FROM pages WHERE page_text <> ''
+),
+okd AS (
+  SELECT DISTINCT doc_id, did, n_pages FROM valid
+  WHERE did % 23 <> 0 AND did % 31 <> 0
+),
+{sel_cte}
 SELECT doc_id, CAST(0 AS INT) AS "offset", 'text' AS kind,
        'hdr ' || doc_id AS text, false AS has_media
-FROM d WHERE did % 23 <> 0 AND did % 31 <> 0
+FROM okd
 UNION ALL
-SELECT doc_id, CAST(1 + 2*{k} AS INT), 'text', page_text, false
-FROM {sel} s WHERE did % 23 <> 0 AND did % 31 <> 0
+SELECT doc_id, CAST(1 + 2*k AS INT), 'text', page_text, false
+FROM selp s WHERE did % 23 <> 0 AND did % 31 <> 0
 UNION ALL
-SELECT doc_id, CAST(2 + 2*{k} AS INT), 'media', CAST(NULL AS VARCHAR), true
-FROM {sel} s WHERE did % 23 <> 0 AND did % 31 <> 0
+SELECT doc_id, CAST(2 + 2*k AS INT), 'media', CAST(NULL AS VARCHAR), true
+FROM selp s WHERE did % 23 <> 0 AND did % 31 <> 0
 UNION ALL
 SELECT doc_id, CAST(1 + 2*{n_sel} AS INT), 'text', 'tail ' || doc_id, false
-FROM d WHERE did % 23 <> 0 AND did % 31 <> 0 AND did % 2 = 0
+FROM okd WHERE did % 2 = 0
 UNION ALL
 SELECT doc_id, CAST(-1 AS INT), 'error', 'media:media_decode:ValueError', false
-FROM d, unnest(generate_series(1, CAST(ceil({n_sel} / 4.0) AS INT))) AS u(c)
-WHERE did % 23 = 0 AND did % 31 <> 0
+FROM (SELECT DISTINCT doc_id, did, n_pages FROM valid
+      WHERE did % 23 = 0 AND did % 31 <> 0) cd,
+     unnest(generate_series(1, CAST(ceil({n_sel} / 4.0) AS INT))) AS u(c)
 UNION ALL
 SELECT doc_id, CAST(-1 AS INT), 'error', 'anno:anno_parse', false
 FROM d WHERE did % 31 = 0
+UNION ALL
+SELECT doc_id, CAST(-1 AS INT), 'error', 'anno:no_valid_pages', false
+FROM d WHERE did % 31 <> 0
+  AND NOT EXISTS (SELECT 1 FROM valid v WHERE v.doc_id = d.doc_id)
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(-1 AS INT), 'error',
+       'anno:no_annotation', false
+FROM documents WHERE text IS NULL
 """
 
 

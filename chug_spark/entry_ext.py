@@ -128,8 +128,12 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, fname,
-       coalesce(regexp_extract(fname, '^((?:.*/|)[^.]+)[.]([^/]*)$', 1), '') AS base,
-       lower(coalesce(regexp_extract(fname, '^((?:.*/|)[^.]+)[.]([^/]*)$', 2), '')) AS suffix,
+       CASE WHEN fname IS NULL THEN NULL
+            ELSE coalesce(regexp_extract(fname, '^((?:.*/|)[^.]+)[.]([^/]*)$', 1), '')
+       END AS base,
+       CASE WHEN fname IS NULL THEN NULL
+            ELSE lower(coalesce(regexp_extract(fname, '^((?:.*/|)[^.]+)[.]([^/]*)$', 2), ''))
+       END AS suffix,
        lower(regexp_replace(fname, '.*[.]', '')) AS last_ext
 FROM d
 """
@@ -151,8 +155,11 @@ _SQL_VQA_PROMPT = """
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS question,
-         [array_to_string(list_slice(string_split(text, ' '), 6, 7), ' '),
-          array_to_string(list_slice(string_split(text, ' '), 8, 9), ' ')] AS answers
+         CASE WHEN text IS NULL
+              THEN [CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)]
+              ELSE [coalesce(array_to_string(list_slice(string_split(text, ' '), 6, 7), ' '), ''),
+                    coalesce(array_to_string(list_slice(string_split(text, ' '), 8, 9), ' '), '')]
+         END AS answers
   FROM documents
 ),
 p AS (
@@ -337,7 +344,7 @@ p AS (
          fname,
          lower(regexp_extract(fname, '^((?:.*/|)[^.]+)[.]([^/]*)$', 2)) AS ext,
          payload_ref
-  FROM m
+  FROM m WHERE fname IS NOT NULL
 ),
 k AS (
   SELECT doc_id, fname,
@@ -377,16 +384,25 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_WEIGHTED_MIX = """
-SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
-FROM documents
-WHERE list_reduce(
+WITH s AS (
+  -- only src0..src19 participate (the Spark query unions exactly those
+  -- named sources); TRY_CAST so foreign source names can't crash the probe
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         TRY_CAST(substr(source, 4) AS INT) AS si
+  FROM documents
+  WHERE source IS NOT NULL AND regexp_full_match(source, 'src[0-9]+')
+)
+SELECT doc_id, source
+FROM s
+WHERE si < 20
+  AND list_reduce(
         list_prepend(CAST(0 AS BIGINT),
           list_transform(generate_series(1, 16),
             i -> CAST(strpos('0123456789abcdef',
-                   substr(md5(CAST(doc_id AS VARCHAR) || '|0|mix:' || source), i, 1)) - 1
+                   substr(md5(doc_id || '|0|mix:' || source), i, 1)) - 1
                  AS BIGINT))),
         (a, b) -> (a * 16 + b) % 1000000)
-      < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 250000
+      < ((si % 4) + 1) * 250000
 """
 
 
@@ -469,9 +485,10 @@ def q_safe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SAFE_MAP = """
-SELECT doc_id, upper(lang) AS shout,
-       CAST(len(string_split(text, ' ')) AS INT) AS n_words
+_SQL_SAFE_MAP = r"""
+SELECT doc_id, upper(coalesce(lang, '')) AS shout,
+       CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                x -> x <> '')) AS INT) AS n_words
 FROM documents
 WHERE doc_id % 13 <> 0 AND doc_id % 7 <> 0
 """
@@ -647,7 +664,7 @@ def q_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate-suffix split sample [text2]; sample_no = running per-shard index.
 _SQL_TAR_INGEST = """
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS words,
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words,
          row_number() OVER (ORDER BY doc_id) - 1 AS rn
   FROM documents
 ),
@@ -863,27 +880,42 @@ def q_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lineage_sql() -> str:
-    from __spark_entry__ import _docread_sql  # shared extraction oracle
+    # shared extraction oracle; _PAGES_CTE re-derives the valid-page CTE at
+    # this scope so error docs (text present but zero valid pages → one
+    # no_valid_pages policy-error row each) are bucket-counted like the
+    # engine's errors side-output
+    from __spark_entry__ import _PAGES_CTE, _docread_sql
 
     bucket = _HEX15.format(m="md5(doc_id || '|0')") + f" % {_LIN_BUCKETS}"
     return f"""
-WITH spans AS ({_docread_sql("all_valid")}),
+{_PAGES_CTE},
+errdocs AS (
+  SELECT d.doc_id FROM d
+  WHERE NOT EXISTS (SELECT 1 FROM valid v WHERE v.doc_id = d.doc_id)
+),
+spans AS ({_docread_sql("all_valid")}),
 per_bucket AS (
   SELECT CAST({bucket} AS INT) AS bucket,
          count(DISTINCT doc_id) AS doc_count,
          count(*) AS span_count
   FROM spans
   GROUP BY 1
+),
+err_bucket AS (
+  SELECT CAST({bucket} AS INT) AS bucket, count(*) AS error_count
+  FROM errdocs
+  GROUP BY 1
 )
 SELECT b.bucket,
        CAST(coalesce(p.doc_count, 0) AS BIGINT) AS doc_count,
        CAST(coalesce(p.span_count, 0) AS BIGINT) AS span_count,
-       CAST(0 AS BIGINT) AS error_count,
+       CAST(coalesce(e.error_count, 0) AS BIGINT) AS error_count,
        'done' AS status,
        1 AS attempt
 FROM (SELECT u.b AS bucket
       FROM unnest(generate_series(0, {_LIN_BUCKETS - 1})) AS u(b)) b
 LEFT JOIN per_bucket p ON b.bucket = p.bucket
+LEFT JOIN err_bucket e ON b.bucket = e.bucket
 """
 
 

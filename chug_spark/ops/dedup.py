@@ -832,15 +832,13 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     content strings never move, only 16-byte fingerprints; at 10^12 docs the
     shuffle is two narrow columns per side and AQE handles any hot partition.
 
-    Returns (doc_id, status, fp_old, fp_new)."""
-    o = old.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5(normalize_text(F.col("text"))).alias("fp_old"),
-    )
-    n = new.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5(normalize_text(F.col("text"))).alias("fp_new"),
-    )
+    Returns (doc_id, status, fp_old, fp_new).  NULL text fingerprints as
+    the empty string — the fp columns are the presence signal after the
+    join, so they must never be NULL for a present doc (a NULL-text doc in
+    both snapshots is 'unchanged', not 'added')."""
+    fp = F.md5(F.coalesce(normalize_text(F.col("text")), F.lit("")))
+    o = old.select(F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fp_old"))
+    n = new.select(F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fp_new"))
     j = o.join(n, "doc_id", "full_outer")
     status = (
         F.when(F.col("fp_old").isNull(), F.lit("added"))

@@ -164,7 +164,7 @@ WITH w AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '), x -> md5(x)) AS mw,
          len(string_split(text, ' ')) AS n
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 sig AS (
   SELECT doc_id,
@@ -763,9 +763,10 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(len(toks) AS INT) AS n_regex_tokens,
-       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))),
-              (a, b) -> a + b) AS INT) AS n_pieces
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))),
+                   (a, b) -> a + b) AS INT) END AS n_pieces
 FROM t
 """
 
@@ -927,12 +928,17 @@ g AS (
          || '<footer>copyright ' || source || '</footer></body></html>' AS html
   FROM w
 ),
+gn AS (
+  -- NULL text/source makes the whole synthesis concat NULL; the engine's
+  -- Column chain then yields ('', '', 0, 0) — identical to extracting ''
+  SELECT doc_id, coalesce(html, '') AS html FROM g
+),
 s AS (
   SELECT doc_id,
          trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
                              '\\s+', ' ', 'g')) AS title,
          {body} AS body
-  FROM g
+  FROM gn
 ),
 sc AS (
   SELECT doc_id, title,
@@ -948,8 +954,9 @@ k AS (
          len(list_filter(scored, s -> length(s.text) > 0)) AS n_total
   FROM sc
 )
-SELECT doc_id, title,
-       array_to_string(list_transform(kept, s -> s.text), chr(10)) AS main_text,
+SELECT doc_id, coalesce(title, '') AS title,
+       coalesce(array_to_string(list_transform(kept, s -> s.text), chr(10)), '')
+         AS main_text,
        CAST(len(kept) AS INT) AS n_kept,
        CAST(n_total - len(kept) AS INT) AS n_dropped
 FROM k
@@ -1234,7 +1241,7 @@ def q_dom_extract(spark, sf_dir):
 
 _SQL_DOM_EXTRACT = r"""
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS words,
+  SELECT doc_id, text, source, string_split(text, ' ') AS words,
          CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS n_paras
   FROM documents
 ),
@@ -1259,12 +1266,26 @@ agg AS (
            AS main_text
   FROM pb GROUP BY doc_id
 )
-SELECT d.doc_id, 'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
-       'html/body/div#page/article#main' AS best_path,
-       round(CAST(agg.score AS DOUBLE), 4) AS score,
-       CAST(agg.n_blocks AS INT) AS n_blocks,
-       agg.main_text AS main_text
-FROM d JOIN agg USING (doc_id)
+SELECT d.doc_id,
+       -- NULL text/source → NULL html fed to the parser → empty-tree
+       -- constants; no qualifying article paragraph → the fixed comments
+       -- block wins (its one >=25-char paragraph scores 0.7778 after
+       -- link-density damping, doc-independent; verified vs the engine)
+       CASE WHEN d.text IS NULL OR d.source IS NULL THEN ''
+            ELSE 'Doc ' || CAST(d.doc_id AS VARCHAR) END AS title,
+       CASE WHEN d.text IS NULL OR d.source IS NULL THEN CAST(NULL AS VARCHAR)
+            WHEN coalesce(agg.n_blocks, 0) = 0 THEN 'html/body/div#page/div#comments'
+            ELSE 'html/body/div#page/article#main' END AS best_path,
+       CASE WHEN d.text IS NULL OR d.source IS NULL THEN 0.0
+            WHEN coalesce(agg.n_blocks, 0) = 0 THEN 0.7778
+            ELSE round(CAST(agg.score AS DOUBLE), 4) END AS score,
+       CAST(CASE WHEN d.text IS NULL OR d.source IS NULL THEN 0
+                 WHEN coalesce(agg.n_blocks, 0) = 0 THEN 1
+                 ELSE agg.n_blocks END AS INT) AS n_blocks,
+       CASE WHEN d.text IS NULL OR d.source IS NULL THEN ''
+            WHEN coalesce(agg.n_blocks, 0) = 0 THEN 'user1 says: first comment!'
+            ELSE agg.main_text END AS main_text
+FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -2318,7 +2339,7 @@ def q_substring_spans(spark, sf_dir):
     return exact_substring_spans(_docs(spark, sf_dir), window_words=10)
 
 
-_SQL_SUBSTRING_SPANS = """
+_SQL_SUBSTRING_SPANS = r"""
 WITH w AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
   FROM documents
@@ -2360,7 +2381,7 @@ def q_substring_cut(spark, sf_dir):
     return exact_substring_dedup_cut(_docs(spark, sf_dir), window_words=10)
 
 
-_SQL_SUBSTRING_CUT = """
+_SQL_SUBSTRING_CUT = r"""
 WITH w AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
   FROM documents
@@ -2399,14 +2420,14 @@ spans AS (
   GROUP BY doc_id
 )
 SELECT w.doc_id,
-       coalesce(array_to_string(
+       CASE WHEN w.w IS NULL THEN NULL ELSE coalesce(array_to_string(
          list_transform(
            list_filter(
              list_zip(w.w, generate_series(0, len(w.w) - 1)),
              p -> len(list_filter(coalesce(spans.spans, []),
                                   sp -> p[2] >= sp.s AND p[2] <= sp.e)) = 0),
            p -> p[1]),
-         ' '), '') AS clean_text,
+         ' '), '') END AS clean_text,
        CAST(len(w.w) - len(list_filter(
              list_zip(w.w, generate_series(0, len(w.w) - 1)),
              p -> len(list_filter(coalesce(spans.spans, []),
@@ -2422,7 +2443,7 @@ def q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
-_SQL_TFIDF_TERMS = """
+_SQL_TFIDF_TERMS = r"""
 WITH t AS (
   SELECT doc_id,
          unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
@@ -2450,7 +2471,7 @@ def q_lm_score(spark, sf_dir):
     return bigram_logprob_score(_docs(spark, sf_dir))
 
 
-_SQL_LM_SCORE = """
+_SQL_LM_SCORE = r"""
 WITH w AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
   FROM documents
@@ -2556,7 +2577,7 @@ def q_chunking(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_words=24, stride=16)
 
 
-_SQL_CHUNKING = """
+_SQL_CHUNKING = r"""
 WITH w AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
   FROM documents
@@ -3221,14 +3242,15 @@ def q_snapshot_diff(spark, sf_dir):
 _SQL_SNAPSHOT_DIFF = r"""
 WITH o AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_old
+         md5(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''))
+           AS fp_old
   FROM documents WHERE doc_id % 10 <> 0
 ),
 n AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(
+         md5(coalesce(trim(regexp_replace(lower(
            CASE WHEN doc_id % 5 = 0 THEN text || ' xmod' ELSE text END
-         ), '\s+', ' ', 'g'))) AS fp_new
+         ), '\s+', ' ', 'g')), '')) AS fp_new
   FROM documents WHERE doc_id % 7 <> 0
 )
 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,

@@ -227,7 +227,9 @@ def build_fixture_corpus(
     samples = []
     for r in docs:
         did = str(r.doc_id)
-        words = r.text.split(" ")
+        # NULL text → empty member (same as Spark's split semantics on '');
+        # r5 adversarial fixture: a None here crashed the fixture build
+        words = (r.text or "").split(" ")
         if anno == "pages":
             # extraction-grade annotation: the spans_from_documents page
             # layout (8 words/page, 2 lines of 4) so the full doc-read

@@ -168,38 +168,11 @@ def payload_corpus_from_documents(
     - span 3 (even doc_id): raw trailing text ``tail <doc_id>``
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    wpp, wpl = WORDS_PER_PAGE, WORDS_PER_LINE
 
     words = F.split(F.col("text"), " ")
-    n_pages = F.ceil(F.size(words) / wpp).cast("int")
-    page_lines = F.transform(
-        F.sequence(F.lit(0), n_pages - 1),
-        lambda p: F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(WORDS_PER_PAGE // WORDS_PER_LINE - 1)),
-                lambda l: F.array_join(F.slice(words, p * wpp + l * wpl + 1, wpl), " "),
-            ),
-            lambda s: s != F.lit(""),
-        ),
-    )
-    anno_json = F.concat(
-        F.lit('{"pages": ['),
-        F.array_join(
-            F.transform(
-                page_lines,
-                lambda lines: F.concat(
-                    F.lit('{"text": ['),
-                    F.array_join(
-                        F.transform(lines, lambda s: F.concat(F.lit('"'), s, F.lit('"'))),
-                        ", ",
-                    ),
-                    F.lit("]}"),
-                ),
-            ),
-            ", ",
-        ),
-        F.lit("]}"),
-    )
+    n_pages = F.ceil(F.size(words) / F.lit(WORDS_PER_PAGE)).cast("int")
+    page_lines = _page_lines_expr(words, n_pages)
+    anno_json = _anno_json_expr(page_lines)
 
     did = F.col("doc_id").cast("long")
     sid = F.col("doc_id").cast("string")
@@ -245,6 +218,62 @@ def payload_corpus_from_documents(
     return docs.select(sid.alias("doc_id"), spans.alias("spans"))
 
 
+def json_escape(col):
+    """JSON string-escape a column (backslash, quote, tab, LF, CR) so the
+    hand-built anno JSON stays valid for ANY input text — identity on the
+    driver fixture's plain words.  (r5 adversarial-fixture lesson: a word
+    containing a double quote or an embedded newline silently corrupted the
+    anno JSON, and the doc was dropped as an anno_parse error.)  Mirrored
+    1:1 by the chr()-based replace chain in __spark_entry__._SQL_JSON_ESC.
+    Control characters other than tab/LF/CR stay out of contract."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    return F.replace(out, F.lit("\r"), F.lit("\\r"))
+
+
+def _page_lines_expr(words, n_pages):
+    """pages as array<array<line-string>>: 8 words/page, 2 lines of 4; empty
+    line slices are dropped (shared by both corpus builders)."""
+    wpp, wpl = WORDS_PER_PAGE, WORDS_PER_LINE
+    return F.transform(
+        F.sequence(F.lit(0), n_pages - 1),
+        lambda p: F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(wpp // wpl - 1)),
+                lambda l: F.array_join(F.slice(words, p * wpp + l * wpl + 1, wpl), " "),
+            ),
+            lambda s: s != F.lit(""),
+        ),
+    )
+
+
+def _anno_json_expr(page_lines):
+    """{"pages": [{"text": [...]}, ...]} with JSON-escaped line strings."""
+    return F.concat(
+        F.lit('{"pages": ['),
+        F.array_join(
+            F.transform(
+                page_lines,
+                lambda lines: F.concat(
+                    F.lit('{"text": ['),
+                    F.array_join(
+                        F.transform(
+                            lines,
+                            lambda s: F.concat(F.lit('"'), json_escape(s), F.lit('"')),
+                        ),
+                        ", ",
+                    ),
+                    F.lit("]}"),
+                ),
+            ),
+            ", ",
+        ),
+        F.lit("]}"),
+    )
+
+
 def spans_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the span-schema documents table from the driver's flat documents
     table, deterministically and with Catalyst expressions only.
@@ -257,43 +286,11 @@ def spans_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     - span i (1..n_pages) = media span, media_ref = md5(doc_id||':'||page_idx)
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    wpp, wpl = WORDS_PER_PAGE, WORDS_PER_LINE
 
     words = F.split(F.col("text"), " ")
-    n_pages = F.ceil(F.size(words) / wpp).cast("int")
-
-    # pages: array of arrays of line-strings
-    page_lines = F.transform(
-        F.sequence(F.lit(0), n_pages - 1),
-        lambda p: F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(WORDS_PER_PAGE // WORDS_PER_LINE - 1)),
-                lambda l: F.array_join(
-                    F.slice(words, p * wpp + l * wpl + 1, wpl), " "
-                ),
-            ),
-            lambda s: s != F.lit(""),
-        ),
-    )
-
-    anno_json = F.concat(
-        F.lit('{"pages": ['),
-        F.array_join(
-            F.transform(
-                page_lines,
-                lambda lines: F.concat(
-                    F.lit('{"text": ['),
-                    F.array_join(
-                        F.transform(lines, lambda s: F.concat(F.lit('"'), s, F.lit('"'))),
-                        ", ",
-                    ),
-                    F.lit("]}"),
-                ),
-            ),
-            ", ",
-        ),
-        F.lit("]}"),
-    )
+    n_pages = F.ceil(F.size(words) / F.lit(WORDS_PER_PAGE)).cast("int")
+    page_lines = _page_lines_expr(words, n_pages)
+    anno_json = _anno_json_expr(page_lines)
 
     anno_span = F.struct(
         F.lit("anno").alias("kind"),
