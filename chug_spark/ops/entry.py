@@ -265,6 +265,10 @@ _SQL_COSINE_THRESHOLD = """
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
+  -- valid-embedding gate (similarity.valid_embeddings): NULL or zero-norm
+  -- vectors have no direction; the engine drops them before any cosine
+  WHERE embedding IS NOT NULL
+    AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0
 ),
 q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 5),
 pairs AS (
@@ -297,6 +301,10 @@ _SQL_ANN_TOPK = """
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
+  -- valid-embedding gate (similarity.valid_embeddings): NULL or zero-norm
+  -- vectors have no direction; the engine drops them before any cosine
+  WHERE embedding IS NOT NULL
+    AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0
 ),
 bk AS (
   SELECT vec_id, emb,
@@ -352,6 +360,10 @@ _SQL_IVF_TOPK = f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
+  -- valid-embedding gate (similarity.valid_embeddings): NULL or zero-norm
+  -- vectors have no direction; the engine drops them before any cosine
+  WHERE embedding IS NOT NULL
+    AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0
 ),
 cents AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM base
           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
@@ -387,6 +399,10 @@ _BUCKETS_CTE = """
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
+  -- valid-embedding gate (similarity.valid_embeddings): NULL or zero-norm
+  -- vectors have no direction; the engine drops them before any cosine
+  WHERE embedding IS NOT NULL
+    AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0
 ),
 bk AS (
   SELECT vec_id, emb,
@@ -484,7 +500,7 @@ SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w
        event_type,
        CAST(count(*) AS INT) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -499,6 +515,10 @@ _SQL_KNN_EXACT = f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
+  -- valid-embedding gate (similarity.valid_embeddings): NULL or zero-norm
+  -- vectors have no direction; the engine drops them before any cosine
+  WHERE embedding IS NOT NULL
+    AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0
 ),
 q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 5),
 pairs AS (
@@ -526,6 +546,10 @@ _SQL_ANN_RECALL = f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
+  -- valid-embedding gate (similarity.valid_embeddings): NULL or zero-norm
+  -- vectors have no direction; the engine drops them before any cosine
+  WHERE embedding IS NOT NULL
+    AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0
 ),
 bk AS (
   SELECT vec_id, emb,
@@ -1983,7 +2007,7 @@ _SQL_SESSIONIZE = """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus,
          CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), flagged AS (
   SELECT *, CASE WHEN lag(tus) OVER w IS NULL
                    OR tus - lag(tus) OVER w >= 30 * 60 * 1000000
@@ -2024,7 +2048,7 @@ _SQL_EVENTS_SLIDING = """
 WITH e AS (
   SELECT time_bucket(INTERVAL '5 minutes', ts) AS hb, event_type,
          CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 x AS (
   SELECT hb - u.k * INTERVAL '5 minutes' AS win_start, event_type, cents
@@ -2153,7 +2177,8 @@ def q_asof_join(spark, sf_dir):
 
 _SQL_ASOF_JOIN = """
 WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
+  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+  FROM events WHERE ts IS NOT NULL
 ), marks AS (
   SELECT user_id, tus, max(event_id) AS mark_id
   FROM e WHERE event_type = 'error' GROUP BY user_id, tus
@@ -2713,6 +2738,8 @@ def q_semantic_decontam(spark, sf_dir):
 _SQL_SEMANTIC_DECONTAM = """
 WITH base AS (
   SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0
 ),
 ev AS (SELECT vec_id AS eval_id, embedding AS e FROM base WHERE vec_id % 10 = 7),
 tr AS (SELECT vec_id, embedding FROM base WHERE vec_id % 10 <> 7),

@@ -46,7 +46,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     deterministic across engines (ties broken by event_id)."""
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    e = events.select(
+    # An event without a timestamp cannot be placed in any session; exclude
+    # it explicitly (Spark would otherwise sort NULLs first while other
+    # engines sort them last — cross-engine session numbering would differ).
+    e = events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         epoch_us("ts").alias("tus"),
@@ -72,7 +75,9 @@ def asof_attach_last_mark(events: DataFrame, mark_type: str = "error") -> DataFr
     before its timestamp (inclusive: a mark event matches itself).  NULLs for
     events before the user's first mark.  Marks sharing a (user, timestamp)
     are deduplicated to the max event_id so tie semantics are explicit."""
-    e = events.select(
+    # NULL-timestamp events have no position on the as-of axis: exclude them
+    # (same rationale as sessionize — engines disagree on NULL sort order).
+    e = events.filter(F.col("ts").isNotNull()).select(
         "user_id", "event_id", epoch_us("ts").alias("tus"), "event_type"
     )
     marks = (
@@ -138,7 +143,8 @@ def sessionize_presplit(
     """
     gap_us = gap_minutes * 60 * 1_000_000
     chunk_us = split_hours * 3600 * 1_000_000
-    e = events.select(
+    # same NULL-timestamp exclusion as plain sessionize (shared oracle)
+    e = events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         epoch_us("ts").alias("tus"),

@@ -21,16 +21,31 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-        )
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
     )
 
 
+def norm(a: Column) -> Column:
+    return F.sqrt(sq_norm(a))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector must yield NULL cosine, not kill the
+    # job — Spark 4 runs ANSI mode by default, where a plain `/` raises
+    # DIVIDE_BY_ZERO, so ONE degenerate embedding in a 10^12-row corpus
+    # would fail the whole stage.  Ops additionally gate their inputs with
+    # valid_embeddings(); this is the defense-in-depth for ad-hoc callers.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def valid_embeddings(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Drop NULL and zero-norm vectors before any similarity math: a zero
+    vector has no direction, so cosine against it is undefined (0/0).
+    Every similarity op applies this gate to its input; the DuckDB oracles
+    mirror it with the same squared-norm predicate (entry._SQL_VALID_EMB)."""
+    return emb.filter(F.col(col).isNotNull() & (sq_norm(F.col(col)) > 0))
 
 
 def cosine_pairs_threshold(
@@ -40,7 +55,7 @@ def cosine_pairs_threshold(
     table (query side broadcast — the right plan for small Q × huge N).
     Threshold + rounding keeps the result set order-insensitive and
     fp-stable across engines."""
-    base = emb.select(
+    base = valid_embeddings(emb).select(
         F.col("vec_id").cast("long").alias("vec_id"), F.col("embedding")
     )
     queries = base.filter(F.col("vec_id") < n_queries).select(
@@ -63,7 +78,9 @@ def knn_topk_exact(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     full scan: linear in corpus size, no shuffle of the big side."""
     from pyspark.sql import Window
 
-    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    base = valid_embeddings(emb).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -182,7 +199,9 @@ def kmeans_centroids(
     """
     from pyspark.sql import Window
 
-    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    base = valid_embeddings(emb).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
     cents = ivf_centroids(base, n_centroids).select(
         "centroid_id",
         F.transform(F.col("c_emb"), lambda v: v.cast("double")).alias("c_emb"),
@@ -250,7 +269,9 @@ def ivf_topk(
     oracle-checkable end to end."""
     from pyspark.sql import Window
 
-    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    base = valid_embeddings(emb).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
     cents = centroids if centroids is not None else ivf_centroids(base, n_centroids)
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -301,7 +322,9 @@ def semantic_pairs(
     the same way: cost is buckets × cap², never corpus²."""
     from .dedup import bucket_pairs
 
-    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    base = valid_embeddings(emb).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
     with_b = base.join(lsh_buckets(base, n_planes), "vec_id").select(
         F.col("vec_id").alias("doc_id"), "bucket", "embedding"
     )
@@ -346,7 +369,9 @@ def ann_topk_lsh(
     full cross product; here k-NN quality is approximate by construction."""
     from pyspark.sql import Window
 
-    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    base = valid_embeddings(emb).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
     b = lsh_buckets(base, n_planes)
     with_b = base.join(b, "vec_id")
     queries = with_b.filter(F.col("vec_id") < n_queries).select(
@@ -416,7 +441,9 @@ def semantic_decontaminate(
     Scale shape: the eval benchmark side is small by nature → broadcast; the
     train side streams through one scan, no shuffle of the big side; the
     final per-vector reduction is a partial-aggregating groupBy on vec_id."""
-    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    base = valid_embeddings(emb).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
     evals = base.filter(F.pmod("vec_id", F.lit(eval_mod)) == eval_rem).select(
         F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
     )

@@ -33,8 +33,12 @@ def tumbling_counts(events: DataFrame, minutes: int = WINDOW_MINUTES) -> DataFra
     carry one row per (window, type) per task at any scale."""
     win = F.window(F.col("ts"), f"{minutes} minutes")
     cents = F.round(F.col("value") * 100).cast("long")
+    # F.window silently drops NULL event-times; filter explicitly so the
+    # contract (and the DuckDB oracle, which would otherwise keep a NULL
+    # bucket) states the semantics rather than inheriting them.
     return (
-        events.select(win.alias("w"), F.col("event_type"), cents.alias("cents"))
+        events.filter(F.col("ts").isNotNull())
+        .select(win.alias("w"), F.col("event_type"), cents.alias("cents"))
         .groupBy("w", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -97,8 +101,10 @@ def sliding_counts(
     assert width_minutes % hop_minutes == 0, "width must be a multiple of hop"
     win = F.window(F.col("ts"), f"{width_minutes} minutes", f"{hop_minutes} minutes")
     cents = F.round(F.col("value") * 100).cast("long")
+    # explicit NULL event-time exclusion (see tumbling_counts)
     return (
-        events.select(win.alias("w"), F.col("event_type"), cents.alias("cents"))
+        events.filter(F.col("ts").isNotNull())
+        .select(win.alias("w"), F.col("event_type"), cents.alias("cents"))
         .groupBy("w", "event_type")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_events"),
@@ -125,8 +131,10 @@ def session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     EVENT time — compare on start + n_events + cents."""
     win = F.session_window(F.col("ts"), f"{gap_minutes} minutes")
     cents = F.round(F.col("value") * 100).cast("long")
+    # explicit NULL event-time exclusion (see tumbling_counts)
     return (
-        events.select("user_id", win.alias("w"), F.col("ts"), cents.alias("cents"))
+        events.filter(F.col("ts").isNotNull())
+        .select("user_id", win.alias("w"), F.col("ts"), cents.alias("cents"))
         .groupBy("user_id", "w")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_events"),

@@ -39,6 +39,18 @@ SUBSET = [
     "snapshot_diff",
     "token_count",
     "lineage_report",
+    # hostile events rows (NULL ts/user/value/type, duplicate (user, ts)):
+    # NULL event-times are excluded by the operators — Spark sorts NULLs
+    # first where DuckDB sorts them last, and F.window drops them silently
+    "sessionize",
+    "events_window",
+    "asof_join",
+    # hostile embeddings rows (zero-norm vector, NULL embedding): the
+    # valid_embeddings gate — without it ANSI Spark raises DIVIDE_BY_ZERO
+    # on the zero vector and kills the job
+    "cosine_threshold",
+    "knn_exact",
+    "semantic_decontam",
 ]
 
 

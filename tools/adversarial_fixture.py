@@ -35,24 +35,75 @@ ADVERSARIAL_DOCS = [
     (9008, "tab\tseparated\twords\tand\nnewline embedded here", "en", "srcD", 45),
 ]
 
+# Hostile events rows: NULL value / event_type / user_id / props / ts, plus a
+# duplicate (user_id, ts) pair — window ORDER BY with NULLs is where Spark
+# (NULLS FIRST asc) and DuckDB (NULLS LAST asc) silently disagree.
+ADVERSARIAL_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (99001, "2024-03-01 00:00:00", 1, "click", None, "{}"),
+    (99002, "2024-03-01 00:00:01", 1, None, 1.5, None),
+    (99003, "2024-03-01 00:00:02", None, "view", 2.5, "{}"),
+    (99004, None, 2, "click", 3.5, "{}"),
+    (99005, "2024-03-01 00:00:03", 2, "view", 4.5, "{}"),
+    (99006, "2024-03-01 00:00:03", 2, "click", 5.5, "{}"),  # dup (user, ts)
+]
+
+# Hostile embeddings rows: the all-zero vector (cosine 0/0), a NULL embedding,
+# a NULL label, and an exact duplicate of another hostile vector.
+_DIM = 64
+ADVERSARIAL_EMBEDDINGS = [
+    # (vec_id, embedding, label)
+    (99001, [0.0] * _DIM, 1),
+    (99002, None, 2),
+    (99003, [1.0] + [0.0] * (_DIM - 1), None),
+    (99004, [1.0] + [0.0] * (_DIM - 1), 3),
+]
+
 
 def build(src: str = "/root/testdata/sf0.001", dst: str = "/tmp/sfadv") -> str:
     import duckdb
 
+    rewritten = {"documents.parquet", "events.parquet", "embeddings.parquet"}
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     for f in os.listdir(src):
-        if f != "documents.parquet":
+        if f not in rewritten:
             os.symlink(os.path.join(src, f), os.path.join(dst, f))
     con = duckdb.connect()
+
     con.sql(
-        "CREATE TABLE adv (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "CREATE TABLE adv_docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
         "source VARCHAR, n_chars BIGINT)"
     )
-    con.executemany("INSERT INTO adv VALUES (?, ?, ?, ?, ?)", ADVERSARIAL_DOCS)
+    con.executemany("INSERT INTO adv_docs VALUES (?, ?, ?, ?, ?)", ADVERSARIAL_DOCS)
     con.sql(
         f"COPY (SELECT * FROM '{src}/documents.parquet' UNION ALL "
-        f"SELECT * FROM adv ORDER BY doc_id) TO '{dst}/documents.parquet' "
+        f"SELECT * FROM adv_docs ORDER BY doc_id) TO '{dst}/documents.parquet' "
+        "(FORMAT PARQUET)"
+    )
+
+    # ts must stay timestamp[us] isAdjustedToUTC=false to match the driver
+    # tables (the engine pins the read with TIMESTAMP_NTZ).
+    con.sql(
+        "CREATE TABLE adv_events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO adv_events VALUES (?, ?, ?, ?, ?, ?)", ADVERSARIAL_EVENTS
+    )
+    con.sql(
+        f"COPY (SELECT * FROM '{src}/events.parquet' UNION ALL "
+        f"SELECT * FROM adv_events ORDER BY event_id) TO '{dst}/events.parquet' "
+        "(FORMAT PARQUET)"
+    )
+
+    con.sql(
+        "CREATE TABLE adv_emb (vec_id BIGINT, embedding FLOAT[], label INTEGER)"
+    )
+    con.executemany("INSERT INTO adv_emb VALUES (?, ?, ?)", ADVERSARIAL_EMBEDDINGS)
+    con.sql(
+        f"COPY (SELECT * FROM '{src}/embeddings.parquet' UNION ALL "
+        f"SELECT * FROM adv_emb ORDER BY vec_id) TO '{dst}/embeddings.parquet' "
         "(FORMAT PARQUET)"
     )
     return dst
