@@ -264,8 +264,18 @@ reassembly.
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # preserve hand-maintained trailing sections (negative controls,
+    # round-over-round table) across regenerations
+    keep = ""
+    marker = "## Parallel-fraction sensitivity"
+    if os.path.exists(path):
+        prev = open(path).read()
+        if marker in prev:
+            keep = prev[prev.index(marker):]
     with open(path, "w") as f:
         f.write(md)
+        if keep:
+            f.write("\n" + keep)
     print(f"wrote {path}")
 
 
