@@ -2516,7 +2516,11 @@ lp AS (
   FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1), v
 )
 SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
-       round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1000000.0), 4) AS avg_logprob
+       -- exact integer micro-nat mean, ties away from zero (mirrors
+       -- textstats.bigram_logprob_score: positive-magnitude half-up via
+       -- integer floor division — no double-rounding boundary)
+       CAST(-((2 * -sum(lp_micro) + count(*)) // (2 * count(*))) AS BIGINT)
+         AS avg_lp_micro
 FROM lp GROUP BY doc_id
 """
 

@@ -386,8 +386,11 @@ def bigram_logprob_score(docs: DataFrame, round_to: int = 4) -> DataFrame:
     score(doc) = mean over bigrams (w1 w2) of
                  ln( (c(w1 w2) + 1) / (c(w1) + V) )
     with V = distinct unigram count.  Returns (doc_id, n_bigrams,
-    avg_logprob) with the average computed over exact integer counts and
-    rounded — engine-portable.
+    avg_lp_micro): the mean in integer micro-nats, computed with EXACT
+    integer arithmetic (ties away from zero) — a rounded-double mean can
+    land on a .00005 boundary where Spark's HALF_UP BigDecimal rounding
+    and another engine's double rounding disagree in the last digit
+    (observed on the adversarial giant-doc corpus).
 
     Scale shape: two keyed aggregations (bigram counts, unigram counts —
     map-side combine, shuffle volume = vocab), joins back on the bigram
@@ -429,11 +432,20 @@ def bigram_logprob_score(docs: DataFrame, round_to: int = 4) -> DataFrame:
             ).cast("long").alias("lp_micro"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
-        F.round(F.sum("lp_micro") / (F.count(F.lit(1)) * 1_000_000.0), round_to).alias(
-            "avg_logprob"
-        ),
+    # exact integer mean: lp_micro <= 0 always (smoothed prob <= 1), so the
+    # magnitude is non-negative and round-half-up over positives — where
+    # floor == truncate in every engine — implements ties-away-from-zero
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            (-F.sum("lp_micro")).alias("mag"),
+        )
+        .select(
+            "doc_id",
+            F.col("cnt").cast("int").alias("n_bigrams"),
+            (-F.expr("(2 * mag + cnt) div (2 * cnt)")).alias("avg_lp_micro"),
+        )
     )
 
 

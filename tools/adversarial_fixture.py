@@ -33,6 +33,10 @@ ADVERSARIAL_DOCS = [
     (9006, "normal words but null source and lang present here okay fine", "fr", None, 500),
     (9007, "UPPER Case MiXeD Punct!!! ??? ,,, ;;; :: () [] {} quoted \"text\" and 'more'", "en", "srcC", 90),
     (9008, "tab\tseparated\twords\tand\nnewline embedded here", "en", "srcD", 45),
+    # giant doc: 2000 words -> 250 pages; exercises the per-doc fan-out,
+    # the decode chunk cap (ceil(pages/4) sub-rows), and oracle
+    # generate_series at two orders of magnitude above the clean corpus
+    (9009, " ".join(f"w{i}" for i in range(2000)), "en", "srcD", 12000),
 ]
 
 # Hostile events rows: NULL value / event_type / user_id / props / ts, plus a
