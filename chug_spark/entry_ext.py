@@ -698,12 +698,17 @@ FROM numbered WHERE sub = 0
 UNION ALL
 SELECT printf('shard-%05d.tar', shard_i), CAST(sample_no AS BIGINT),
        key, CAST(2 AS INT), 'text',
-       array_to_string(list_slice(words, 1, 4), ' '), CAST(NULL AS VARCHAR)
+       coalesce(array_to_string(list_slice(words, 1, 4), ' '), ''),
+       CAST(NULL AS VARCHAR)
 FROM numbered WHERE sub = 0
 UNION ALL
 SELECT printf('shard-%05d.tar', shard_i), CAST(sample_no AS BIGINT),
        key, CAST(0 AS INT), 'text',
-       array_to_string(list_slice(words, 5, 8), ' '), CAST(NULL AS VARCHAR)
+       -- a <=4-word doc leaves this tar member EMPTY; reading an empty
+       -- member is '', but DuckDB's array_to_string of an empty slice is
+       -- NULL — coalesce to match the bytes actually in the tar
+       coalesce(array_to_string(list_slice(words, 5, 8), ' '), ''),
+       CAST(NULL AS VARCHAR)
 FROM numbered WHERE sub = 1
 """
 

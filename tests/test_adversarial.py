@@ -55,6 +55,9 @@ SUBSET = [
     # .00005 boundary where Spark and DuckDB round differently — the mean
     # is now an exact integer micro-nat
     "lm_score",
+    # <=4-word doc makes the dup-sample tar member EMPTY: reading it is '',
+    # DuckDB's array_to_string of the empty slice was NULL
+    "tar_ingest",
 ]
 
 

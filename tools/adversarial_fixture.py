@@ -37,6 +37,13 @@ ADVERSARIAL_DOCS = [
     # the decode chunk cap (ceil(pages/4) sub-rows), and oracle
     # generate_series at two orders of magnitude above the clean corpus
     (9009, " ".join(f"w{i}" for i in range(2000)), "en", "srcD", 12000),
+    # one enormous unbroken token: shingle/chunk/regex paths must not
+    # assume words are short
+    (9010, "x" * 5000 + " tail words here", "en", "srcA", 5016),
+    # html/regex metacharacters in source + an uncommon lang tag: the
+    # synthesis-based oracles (html/dom/corpus_report) must escape or
+    # tolerate them identically to the Column chains
+    (9011, "plain words with spicy origin marker", "zz-Latn", 'ev<il>&"q"\\', 36),
 ]
 
 # Hostile events rows: NULL value / event_type / user_id / props / ts, plus a
