@@ -385,17 +385,24 @@ _SWEEP_FRONT = [
     # nougat train leg; bpe queries switched to the driver-side fast trainer
     "dom_extract", "image_eval_struct", "image_train_struct",
     "aug_schedule_nougat", "media_train_nougat", "bpe_vocab", "bpe_apply",
+    # late-r5: the last two untwinned rows-only pipelines gained hard
+    # structural-twin oracles (plumbing/fan-out/geometry value-checked;
+    # pixel bits stay md5-pinned).  They take the front slots of
+    # minhash_recall (derived metric of the in-window minhash_pairs /
+    # minhash_verified machinery) and curation_sampled (curation_keep +
+    # stratified_sample stay in-window), both of which rotate to r6.
+    "media_dhash_struct", "media_features_struct",
     # r1-r3-green rows never swept in r4 (stale evidence rotation — the
     # oracle-bearing 32 of the 36; the 4 rows-only ones rotate to r6 since
     # the driver can only count their rows): see OPERATORS.md
     "group_members", "urldir", "coalesce_rename", "filter_incomplete",
     "base_plus_ext", "vqa_prompt", "line_join", "target_mask", "weighted_mix",
     "aug_schedule", "dedup_exact", "url_dedup", "substring_spans",
-    "substring_cut", "minhash_pairs", "minhash_verified", "minhash_recall",
+    "substring_cut", "minhash_pairs", "minhash_verified",
     "simhash_pairs", "ngram_jaccard", "cosine_threshold",
     "ann_topk", "ivf_topk", "knn_exact", "semantic_pairs",
     "semantic_dedup", "stratified_sample", "dedup_clusters",
-    "curation_keep", "curation_sampled",
+    "curation_keep",
     # new r5: S1-S4 shard machinery + streaming≡batch get driver surfaces
     "shard_plan", "shard_resample", "stream_extract",
 ]

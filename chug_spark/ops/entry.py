@@ -1567,6 +1567,48 @@ WHERE u.p % 3 = 0
 """
 
 
+def q_media_features_struct(spark, sf_dir):
+    """Structural twin of media_features with a HARD oracle: the same
+    pipeline (render -> every-frame sampling -> resize-keep-ratio(128) ->
+    bitmap -> crop-margin -> features) over a deterministic doc_id<200
+    fixture with the media_features page-count law (doc_id%4+1 pages),
+    projecting fan-out and output geometry.  Everything upstream of the
+    pixel kernels — ref parsing, frame expansion, the keep-ratio resize
+    (128x99 from the 264x204 dpi-24 page), error-row absence — is
+    value-checked; crop box / ink stats stay md5-pinned via
+    media_features."""
+    from pyspark.sql import functions as F
+
+    from .media_features import extract_media_features
+
+    fixture = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("synth://v1/L/"),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("media_ref"),
+    )
+    out = extract_media_features(fixture, render_dpi=24, frame_every=1,
+                                 resize_longest=128)
+    return out.select("doc_id", "media_ref", "page", "height", "width", "error")
+
+
+_SQL_MEDIA_FEATURES_STRUCT = """
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS ds, (doc_id % 4) + 1 AS n_pages
+  FROM documents WHERE doc_id < 200
+)
+SELECT ds AS doc_id,
+       'synth://v1/L/' || CAST(n_pages AS VARCHAR) || '/' || ds AS media_ref,
+       CAST(u.p AS INT) AS page,
+       CAST(128 AS INT) AS height, CAST(99 AS INT) AS width,
+       CAST(NULL AS VARCHAR) AS error
+FROM f, unnest(generate_series(0, n_pages - 1)) AS u(p)
+"""
+
+
 def q_media_train(spark, sf_dir):
     """Train-path augmentation pipeline over synthetic payloads: render →
     doc_train_transform (hash-keyed stochastic stages) → tensor stats +
@@ -3313,6 +3355,41 @@ def q_media_dhash(spark, sf_dir):
     return media_dhash(refs, render_dpi=32)
 
 
+def q_media_dhash_struct(spark, sf_dir):
+    """Structural twin of media_dhash with a HARD oracle: the identical
+    fixture and pipeline (payload-ref parse -> per-page render loop ->
+    dHash), projecting everything except the pixel-derived bit VALUES —
+    per-ref page fan-out, the 64-bit signature length, and error-row
+    absence.  The banded-Hamming pair machinery downstream of the
+    signature (hamming_pairs_from_bits) is oracle-green separately via
+    simhash_pairs; the bit values themselves stay md5-pinned via
+    media_dhash."""
+    from pyspark.sql import functions as F
+
+    out = q_media_dhash(spark, sf_dir)
+    return out.select(
+        "doc_id", "media_ref", "page",
+        F.length("dhash").cast("int").alias("n_bits"),
+        "error",
+    )
+
+
+_SQL_MEDIA_DHASH_STRUCT = """
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS ds, (doc_id % 3) + 1 AS n_pages,
+         doc_id % 50 AS seed
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT ds AS doc_id,
+       'synth://v1/L/' || CAST(n_pages AS VARCHAR) || '/'
+         || CAST(seed AS VARCHAR) AS media_ref,
+       CAST(u.p AS INT) AS page,
+       CAST(64 AS INT) AS n_bits,
+       CAST(NULL AS VARCHAR) AS error
+FROM f, unnest(generate_series(0, n_pages - 1)) AS u(p)
+"""
+
+
 def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "media_features": q_media_features,
@@ -3392,6 +3469,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_k": q_sample_exact_k,
         "snapshot_diff": q_snapshot_diff,
         "media_dhash": q_media_dhash,
+        "media_dhash_struct": q_media_dhash_struct,
+        "media_features_struct": q_media_features_struct,
     }
 
 
@@ -3479,5 +3558,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "budget_select": _SQL_BUDGET_SELECT,
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
-        # media_dhash: rows-only (pixel UDF; md5-pinned)
+        # media_dhash: rows-only (pixel UDF; md5-pinned); its struct twin
+        # below carries the hard oracle for the same plumbing
+        "media_dhash_struct": _SQL_MEDIA_DHASH_STRUCT,
+        "media_features_struct": _SQL_MEDIA_FEATURES_STRUCT,
     }
