@@ -398,8 +398,10 @@ _SWEEP_FRONT = [
     "group_members", "urldir", "coalesce_rename", "filter_incomplete",
     "base_plus_ext", "vqa_prompt", "line_join", "target_mask", "weighted_mix",
     "aug_schedule", "dedup_exact", "url_dedup", "substring_spans",
-    "substring_cut", "minhash_pairs", "minhash_verified",
+    "substring_cut", "minhash_pairs",
     "simhash_pairs", "ngram_jaccard", "cosine_threshold",
+    # new r5 (continuation): lexical retrieval joins the curation suite
+    "bm25_topk",
     "ann_topk", "ivf_topk", "knn_exact", "semantic_pairs",
     "semantic_dedup", "stratified_sample", "dedup_clusters",
     "curation_keep",

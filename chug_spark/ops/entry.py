@@ -2530,6 +2530,71 @@ QUALIFY rk <= 3
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 per query over the documents table, with the
+    query set derived deterministically from the corpus itself (the first
+    three words of docs 0-4) so the whole retrieval surface — inverted
+    index, idf, length normalization, integer-quantized scores, tie-broken
+    ranking — is SQL-reproducible."""
+    from pyspark.sql import functions as F
+
+    from .retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    qfix = docs.filter(
+        (F.col("doc_id") < 5) & F.col("text").isNotNull()
+    ).select(
+        F.col("doc_id").cast("long").alias("query_id"),
+        F.array_join(F.slice(F.split(norm, " "), 1, 3), " ").alias("query_text"),
+    )
+    return bm25_topk(docs, qfix, k=5)
+
+
+_SQL_BM25_TOPK = r"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE text IS NOT NULL
+),
+q AS (
+  SELECT doc_id AS query_id,
+         array_to_string((string_split(norm, ' '))[1:3], ' ') AS query_text
+  FROM d WHERE doc_id < 5
+),
+tt AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM d),
+t2 AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY term),
+st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+qt AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest(string_split(query_text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+c AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(floor(
+           ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                               / (CAST(st.sum_dl AS DOUBLE) / st.n)))
+           * 10000.0 + 0.5) AS BIGINT) AS contrib
+  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id, st
+),
+s AS (
+  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_e4,
+         CAST(count(*) AS INT) AS n_terms_hit
+  FROM c GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_e4, n_terms_hit,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score_e4 DESC, doc_id) AS INT) AS rk
+FROM s QUALIFY rk <= 5
+"""
+
+
 def q_lm_score(spark, sf_dir):
     """Corpus-bigram LM quality score (CCNet perplexity-filter stand-in):
     avg add-one-smoothed bigram log-prob per doc, integer-quantized mean."""
@@ -3451,6 +3516,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
         "tfidf_terms": q_tfidf_terms,
+        "bm25_topk": q_bm25_topk,
         "lm_score": q_lm_score,
         "topk_per_group": q_topk_per_group,
         "length_percentiles": q_length_percentiles,
@@ -3541,6 +3607,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "fingerprint": _SQL_FINGERPRINT,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "tfidf_terms": _SQL_TFIDF_TERMS,
+        "bm25_topk": _SQL_BM25_TOPK,
         "lm_score": _SQL_LM_SCORE,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "length_percentiles": _SQL_LENGTH_PERCENTILES,
