@@ -219,6 +219,12 @@ def main() -> int:
     timed("bpe_vocab_1k",
           lambda: len(bpe_train_fast(docs_pq, num_merges=1000)))
 
+    # q21: BM25 lexical retrieval — inverted-index build + broadcast
+    # query prune + top-k ranking, all in one plan (r5)
+    from chug_spark.ops.entry import q_bm25_topk
+
+    timed("bm25_topk", lambda: q_bm25_topk(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -9,14 +9,15 @@ sampling (no reference counterpart — chug has no retrieval op; the
 tokenization follows the same whitespace normalization as
 ops/textstats.tfidf_top_terms).
 
-Scale shape (100 TB): one explode → two keyed aggregations over the
-corpus (term frequencies on (doc_id, term), document frequencies on
-term — both map-side combined), a 1-row corpus-stats aggregate that
-rides a broadcast cross join (never a driver collect), and a broadcast
-join against the (tiny) query-term table that prunes the inverted index
-to matching terms BEFORE the per-document length join.  No all-pairs
-expansion anywhere; the only corpus-scale shuffles are the two index
-aggregations.
+Scale shape (100 TB): document lengths and corpus stats are map-only
+(token-array size + a 1-row partial aggregate — zero corpus shuffle,
+never a driver collect); the exploded term stream is pruned map-side by
+the broadcast DISTINCT query-term set BEFORE any aggregation, so the
+only shuffle of exploded data carries matching (doc, term) rows; df is
+a window count over that pruned tf relation (single consumption — the
+explode executes exactly once, instead of once per downstream consumer
+of a shared tf lineage).  No all-pairs expansion and no corpus-scale
+shuffle anywhere.
 
 Determinism contract: per-term contributions are quantized to integer
 1e-4 units with ``floor(x + 0.5)`` — floor acts on the IEEE double
@@ -58,22 +59,22 @@ def bm25_topk(
     (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), fully deterministic
     tie-break (score desc, doc_id asc), rk <= k.
     """
-    terms = (
-        docs.filter(F.col("text").isNotNull())
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.explode(F.split(_norm(F.col("text")), " ")).alias("term"),
-        )
-        .filter(F.col("term") != "")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.filter(
+            F.split(_norm(F.col("text")), " "), lambda x: x != ""
+        ).alias("toks"),
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    # tf already holds exactly one row per (doc, term): document frequency
-    # is a re-aggregation of tf, not a second corpus-scale distinct over
-    # the raw explode — the explode is consumed once.
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Document length and corpus stats never touch the explode: dl is the
+    # size of the token array (map-only scan, zero shuffle) and avgdl is a
+    # 1-row partial aggregate over it.  Docs with zero terms are excluded
+    # from N/avgdl, matching the tf-derived definition.
+    dl = base.select(
+        "doc_id", F.size("toks").alias("dl")
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
     )
     qterms = (
         queries.filter(F.col("query_text").isNotNull())
@@ -84,12 +85,25 @@ def bm25_topk(
         .filter(F.col("term") != "")
         .distinct()
     )
-    # broadcast the query terms INTO the inverted index: the index is
-    # pruned to matching terms before it ever sees the per-doc length join
+    # Prune the exploded term stream with the broadcast DISTINCT query-term
+    # set BEFORE any aggregation: non-matching terms die map-side, so the
+    # only shuffle of exploded data carries matching (doc, term) rows.
+    # (Prune on bare terms, not (query_id, term) — a per-query join here
+    # would multiply tf rows and double-count frequencies.)
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # Document frequency over the pruned index equals the global df for
+    # these terms (the prune is on term, not doc).  A window count keeps
+    # tf single-consumption — the explode executes exactly once.
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     j = (
-        F.broadcast(qterms)
-        .join(tf, "term")
-        .join(df_, "term")
+        tf.join(F.broadcast(qterms), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
