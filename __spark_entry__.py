@@ -399,11 +399,12 @@ _SWEEP_FRONT = [
     "base_plus_ext", "vqa_prompt", "line_join", "target_mask", "weighted_mix",
     "aug_schedule", "dedup_exact", "url_dedup", "substring_spans",
     "substring_cut", "minhash_pairs",
-    "simhash_pairs", "ngram_jaccard", "cosine_threshold",
-    # new r5 (continuation): lexical retrieval joins the curation suite
-    "bm25_topk",
+    "simhash_pairs", "ngram_jaccard",
+    # new r5 (continuation): lexical retrieval + trained quality
+    # classifier join the curation suite
+    "bm25_topk", "quality_gram", "quality_score_fixed",
     "ann_topk", "ivf_topk", "knn_exact", "semantic_pairs",
-    "semantic_dedup", "stratified_sample", "dedup_clusters",
+    "stratified_sample", "dedup_clusters",
     "curation_keep",
     # new r5: S1-S4 shard machinery + streaming≡batch get driver surfaces
     "shard_plan", "shard_resample", "stream_extract",

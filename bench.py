@@ -225,6 +225,16 @@ def main() -> int:
 
     timed("bm25_topk", lambda: q_bm25_topk(spark, SF_DIR).count())
 
+    # q22: quality-classifier training — one scan accumulating the exact
+    # integer moment matrix map-side + the bounded driver solve (r5)
+    from pyspark.sql import functions as F_
+
+    from chug_spark.ops.classifier import train_quality_classifier
+
+    timed("quality_train",
+          lambda: len(train_quality_classifier(
+              docs_pq, F_.when(F_.col("lang") == "en", 1).otherwise(0))))
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

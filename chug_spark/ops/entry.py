@@ -2595,6 +2595,130 @@ FROM s QUALIFY rk <= 5
 """
 
 
+def q_quality_gram(spark, sf_dir):
+    """Exact integer moment matrix for the trained quality classifier
+    (CCNet-style target-distribution model): sparse upper triangle of
+    G = sum_doc z z^T over z = [per-mille hashed-unigram freqs, 1, y],
+    y = (lang = 'en').  This is the distributed HALF of the trainer — the
+    driver-side 65x65 solve consumes exactly these integers, so a green
+    row here certifies the training input end-to-end."""
+    from pyspark.sql import functions as F
+
+    from .classifier import moment_matrix
+
+    docs = _docs(spark, sf_dir)
+    y = F.when(F.col("lang") == F.lit("en"), F.lit(1)).otherwise(F.lit(0))
+    return moment_matrix(docs, y)
+
+
+_SQL_QUALITY_GRAM = r"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE text IS NOT NULL
+),
+tt AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM d),
+dims AS (
+  SELECT doc_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 8),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(term), i, 1)) - 1 AS BIGINT))),
+           (a, b) -> a * 16 + b) % 64 AS INT) AS dim
+  FROM tt WHERE term <> ''
+),
+cnt AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS c FROM dims GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM cnt GROUP BY 1),
+xc AS (
+  SELECT cnt.doc_id, dim,
+         CAST(floor(1000.0 * c / dl + 0.5) AS BIGINT) AS val
+  FROM cnt JOIN dl USING (doc_id)
+),
+z AS (
+  SELECT doc_id, dim, val FROM xc WHERE val <> 0
+  UNION ALL SELECT doc_id, 64, CAST(1 AS BIGINT) FROM d
+  UNION ALL SELECT doc_id, 65, CAST(1 AS BIGINT) FROM d WHERE y = 1
+)
+SELECT a.dim AS i, b.dim AS j, CAST(sum(a.val * b.val) AS BIGINT) AS g
+FROM z a JOIN z b ON a.doc_id = b.doc_id AND a.dim <= b.dim
+GROUP BY 1, 2
+"""
+
+
+def q_quality_score_fixed(spark, sf_dir):
+    """Map-only classifier scoring path with md5-derived integer weights
+    (w_j = fold8(md5('w'||j)) % 2001 - 1000): score = sum over tokens of
+    w[bucket(token)], exact integer arithmetic — verifies the hashed
+    featurize + per-token lookup-sum kernel the trained model reuses."""
+    from pyspark.sql import functions as F
+
+    from .classifier import hashed_dims
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    warr = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w"), j.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(2001)
+        )
+        - F.lit(1000),
+    )
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        hashed_dims(F.col("text")).alias("dims"),
+    )
+    score = F.aggregate(
+        F.col("dims"),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + F.element_at(warr, d + F.lit(1)),
+    )
+    return staged.select(
+        "doc_id",
+        score.alias("score_w"),
+        F.size("dims").cast("int").alias("n_toks"),
+    )
+
+
+_SQL_QUALITY_SCORE_FIXED = r"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE text IS NOT NULL
+),
+tt AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM d),
+t2 AS (
+  SELECT doc_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 8),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(term), i, 1)) - 1 AS BIGINT))),
+           (a, b) -> a * 16 + b) % 64 AS INT) AS dim
+  FROM tt WHERE term <> ''
+),
+w AS (
+  SELECT j,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 8),
+             i -> CAST(strpos('0123456789abcdef',
+                              substr(md5('w' || CAST(j AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+           (a, b) -> a * 16 + b) % 2001 - 1000 AS w
+  FROM generate_series(0, 63) AS g(j)
+),
+s AS (
+  SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS score_w,
+         CAST(count(*) AS INT) AS n_toks
+  FROM t2 JOIN w ON t2.dim = w.j GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.score_w, CAST(0 AS BIGINT)) AS score_w,
+       coalesce(s.n_toks, 0) AS n_toks
+FROM d LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_lm_score(spark, sf_dir):
     """Corpus-bigram LM quality score (CCNet perplexity-filter stand-in):
     avg add-one-smoothed bigram log-prob per doc, integer-quantized mean."""
@@ -3517,6 +3641,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "tfidf_terms": q_tfidf_terms,
         "bm25_topk": q_bm25_topk,
+        "quality_gram": q_quality_gram,
+        "quality_score_fixed": q_quality_score_fixed,
         "lm_score": q_lm_score,
         "topk_per_group": q_topk_per_group,
         "length_percentiles": q_length_percentiles,
@@ -3608,6 +3734,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "tfidf_terms": _SQL_TFIDF_TERMS,
         "bm25_topk": _SQL_BM25_TOPK,
+        "quality_gram": _SQL_QUALITY_GRAM,
+        "quality_score_fixed": _SQL_QUALITY_SCORE_FIXED,
         "lm_score": _SQL_LM_SCORE,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "length_percentiles": _SQL_LENGTH_PERCENTILES,
