@@ -397,13 +397,14 @@ _SWEEP_FRONT = [
     # the driver can only count their rows): see OPERATORS.md
     "group_members", "urldir", "coalesce_rename", "filter_incomplete",
     "base_plus_ext", "vqa_prompt", "line_join", "target_mask", "weighted_mix",
-    "aug_schedule", "dedup_exact", "url_dedup", "substring_spans",
+    "aug_schedule", "dedup_exact", "url_dedup",
     "substring_cut", "minhash_pairs",
     "simhash_pairs", "ngram_jaccard",
     # new r5 (continuation): lexical retrieval + trained quality
     # classifier join the curation suite
     "bm25_topk", "quality_gram", "quality_score_fixed",
-    "ann_topk", "ivf_topk", "knn_exact", "semantic_pairs",
+    "dsir_select", "dsir_sample",
+    "ann_topk", "ivf_topk", "semantic_pairs",
     "stratified_sample", "dedup_clusters",
     "curation_keep",
     # new r5: S1-S4 shard machinery + streaming≡batch get driver surfaces

@@ -235,6 +235,15 @@ def main() -> int:
           lambda: len(train_quality_classifier(
               docs_pq, F_.when(F_.col("lang") == "en", 1).otherwise(0))))
 
+    # q23: DSIR selection — hashed-ngram distribution ratio + integer
+    # Gumbel resampling top-k (r5)
+    from chug_spark.ops.dsir import dsir_topk
+
+    timed("dsir_sample",
+          lambda: dsir_topk(
+              docs_pq, F_.when(F_.col("lang") == "en", 1).otherwise(0),
+              k=100, sampled=True).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -2719,6 +2719,100 @@ FROM d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR (Xie et al. 2023) deterministic top-100: importance log-ratio
+    of hashed unigram+bigram distributions, target = lang='en' docs, raw =
+    whole corpus; integer micro-nat scores (lm_score quantization)."""
+    from pyspark.sql import functions as F
+
+    from .dsir import dsir_topk
+
+    docs = _docs(spark, sf_dir)
+    y = F.when(F.col("lang") == F.lit("en"), F.lit(1)).otherwise(F.lit(0))
+    return dsir_topk(docs, y, k=100)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance *resampling*: same weights, Gumbel top-100 with the
+    md5-derived integer-quantized Gumbel key (exact integer sort key)."""
+    from pyspark.sql import functions as F
+
+    from .dsir import dsir_topk
+
+    docs = _docs(spark, sf_dir)
+    y = F.when(F.col("lang") == F.lit("en"), F.lit(1)).otherwise(F.lit(0))
+    return dsir_topk(docs, y, k=100, sampled=True)
+
+
+_DSIR_CORE = r"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+  FROM documents WHERE text IS NOT NULL
+),
+tk AS (
+  SELECT doc_id, is_t,
+         list_filter(string_split(norm, ' '), t -> t <> '') AS toks
+  FROM d
+),
+g AS (
+  SELECT doc_id, is_t,
+         unnest(list_concat(toks,
+           list_transform(generate_series(2, len(toks)),
+                          i -> toks[i-1] || ' ' || toks[i]))) AS gram
+  FROM tk
+),
+gc AS (
+  SELECT doc_id, is_t,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 8),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1 AS BIGINT))),
+           (a, b) -> a * 16 + b) % 64 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM g GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS r_c,
+         CAST(sum(CASE WHEN is_t = 1 THEN c ELSE 0 END) AS BIGINT) AS t_c
+  FROM gc GROUP BY 1
+),
+ratio AS (
+  SELECT bucket,
+         CAST(floor((ln((t_c + 1) / CAST(sum(t_c) OVER () + 64 AS DOUBLE))
+                   - ln((r_c + 1) / CAST(sum(r_c) OVER () + 64 AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS ratio_e6
+  FROM dist
+),
+s AS (
+  SELECT doc_id, CAST(sum(c * ratio_e6) AS BIGINT) AS score_e6
+  FROM gc JOIN ratio USING (bucket) GROUP BY 1
+)
+"""
+
+_SQL_DSIR_SELECT = _DSIR_CORE + r"""
+SELECT doc_id, score_e6, score_e6 AS key_e6,
+       CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS INT) AS rk
+FROM s QUALIFY rk <= 100
+"""
+
+_SQL_DSIR_SAMPLE = _DSIR_CORE + r""",
+keyed AS (
+  SELECT doc_id, score_e6,
+         score_e6 + CAST(floor(-ln(-ln(
+           (list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, 8),
+                i -> CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+              (a, b) -> a * 16 + b) + 0.5) / 4294967296.0))
+           * 1000000.0 + 0.5) AS BIGINT) AS key_e6
+  FROM s
+)
+SELECT doc_id, score_e6, key_e6,
+       CAST(row_number() OVER (ORDER BY key_e6 DESC, doc_id) AS INT) AS rk
+FROM keyed QUALIFY rk <= 100
+"""
+
+
 def q_lm_score(spark, sf_dir):
     """Corpus-bigram LM quality score (CCNet perplexity-filter stand-in):
     avg add-one-smoothed bigram log-prob per doc, integer-quantized mean."""
@@ -3643,6 +3737,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "quality_gram": q_quality_gram,
         "quality_score_fixed": q_quality_score_fixed,
+        "dsir_select": q_dsir_select,
+        "dsir_sample": q_dsir_sample,
         "lm_score": q_lm_score,
         "topk_per_group": q_topk_per_group,
         "length_percentiles": q_length_percentiles,
@@ -3736,6 +3832,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25_TOPK,
         "quality_gram": _SQL_QUALITY_GRAM,
         "quality_score_fixed": _SQL_QUALITY_SCORE_FIXED,
+        "dsir_select": _SQL_DSIR_SELECT,
+        "dsir_sample": _SQL_DSIR_SAMPLE,
         "lm_score": _SQL_LM_SCORE,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "length_percentiles": _SQL_LENGTH_PERCENTILES,
