@@ -396,10 +396,17 @@ _SWEEP_FRONT = [
     # oracle-bearing 32 of the 36; the 4 rows-only ones rotate to r6 since
     # the driver can only count their rows): see OPERATORS.md
     "group_members", "urldir", "coalesce_rename", "filter_incomplete",
-    "base_plus_ext", "vqa_prompt", "line_join", "target_mask", "weighted_mix",
-    "aug_schedule", "dedup_exact", "url_dedup",
+    "base_plus_ext", "vqa_prompt", "target_mask", "weighted_mix",
+    "dedup_exact", "url_dedup",
     "substring_cut", "minhash_pairs",
     "simhash_pairs", "ngram_jaccard",
+    # new late-r5 curation machinery (no prior driver evidence, so they
+    # outrank two more stale re-verifications): corpus-wide keep-first
+    # line dedup + per-domain token budgets.  Displaced: line_join (its
+    # join_lines machinery runs inside every in-window docread_* oracle
+    # row) and aug_schedule (aug_schedule_nougat in-window probes a
+    # superset of the same md5-draw schedule machinery); both rotate to r6
+    "line_dedup", "domain_budget",
     # new r5 (continuation): lexical retrieval + trained quality
     # classifier join the curation suite
     "bm25_topk", "quality_gram", "quality_score_fixed",

@@ -244,6 +244,18 @@ def main() -> int:
               docs_pq, F_.when(F_.col("lang") == "en", 1).otherwise(0),
               k=100, sampled=True).count())
 
+    # q24: corpus-wide keep-first line dedup (RefinedWeb exact-line) (r5)
+    from chug_spark.ops.dedup import line_dedup_keep_first
+
+    timed("line_dedup",
+          lambda: line_dedup_keep_first(docs_pq, line_words=8).count())
+
+    # q25: per-domain token-budget selection (r5)
+    from chug_spark.ops.packing import domain_budget_select
+
+    timed("domain_budget",
+          lambda: domain_budget_select(docs_pq, 500).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -1380,6 +1380,42 @@ FROM tot LEFT JOIN re ON re.doc_id = tot.doc_id
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb-style corpus-wide exact line dedup, keep-first: 8-word
+    line segmentation, globally first occurrence survives (min(struct) agg,
+    never a corpus window), survivors reassembled in order."""
+    from .dedup import line_dedup_keep_first
+
+    return line_dedup_keep_first(_docs(spark, sf_dir), line_words=8)
+
+
+_SQL_LINE_DEDUP = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n WHERE norm <> ''),
+l AS (
+  SELECT doc_id, u.i AS line_idx,
+         array_to_string(list_slice(words, u.i * 8 + 1, u.i * 8 + 8), ' ') AS line_text
+  FROM w, unnest(generate_series(0, CAST(ceil(len(words) / 8.0) AS INT) - 1)) AS u(i)
+),
+r AS (
+  SELECT doc_id, line_idx, line_text,
+         row_number() OVER (PARTITION BY md5(line_text)
+                            ORDER BY doc_id, line_idx) AS rn
+  FROM l
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list(line_text ORDER BY line_idx) FILTER (WHERE rn = 1), ' '), '')
+         AS clean_text,
+       CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
+       CAST(count(*) - count(*) FILTER (WHERE rn = 1) AS INT) AS n_dropped
+FROM r GROUP BY doc_id
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     from .textstats import repetition_stats
 
@@ -3560,6 +3596,51 @@ FROM c WHERE cum_tok <= 12000
 """
 
 
+def q_domain_budget(spark, sf_dir):
+    """Per-domain token-budget selection: each source keeps its
+    quality-ranked prefix that fits 500 tokens — the diversity-capped
+    budget_select (two-level distributed prefix sum, one level deeper)."""
+    from .packing import domain_budget_select
+
+    return domain_budget_select(_docs(spark, sf_dir),
+                                token_budget_per_domain=500)
+
+
+_SQL_DOMAIN_BUDGET = r"""
+WITH w AS (
+  SELECT doc_id, coalesce(source, '') AS src,
+         string_split(text, ' ') AS words, length(text) AS nc,
+         CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
+              ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+         END AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id, src, n_tok,
+         CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
+         CAST(len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+           / len(words) AS stop_ratio,
+         CAST(nc - (len(words) - 1) AS DOUBLE) / len(words) AS mean_wlen
+  FROM w
+),
+s AS (
+  SELECT doc_id, src, n_tok,
+         CAST(floor((distinct_ratio * 0.5 + least(stop_ratio * 2, 1.0) * 0.3
+               + least(mean_wlen / 8, 1.0) * 0.2) * 10000) AS INT) AS quality_bp
+  FROM r
+),
+c AS (
+  SELECT src, doc_id, quality_bp, n_tok,
+         SUM(n_tok) OVER (PARTITION BY src ORDER BY quality_bp DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM s
+)
+SELECT src AS source, doc_id, quality_bp, CAST(n_tok AS INT) AS n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= 500
+"""
+
+
 def q_sample_exact_k(spark, sf_dir):
     """Deterministic exact-k uniform sample (md5 rank, TakeOrdered heap —
     no global sort)."""
@@ -3743,6 +3824,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "length_percentiles": q_length_percentiles,
         "block_dedup": q_block_dedup,
+        "line_dedup": q_line_dedup,
         "html_extract": q_html_extract,
         "html_spans": q_html_spans,
         "dom_extract": q_dom_extract,
@@ -3754,6 +3836,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_struct": q_media_frames_struct,
         "media_train_nougat": q_media_train_nougat,
         "budget_select": q_budget_select,
+        "domain_budget": q_domain_budget,
         "sample_exact_k": q_sample_exact_k,
         "snapshot_diff": q_snapshot_diff,
         "media_dhash": q_media_dhash,
@@ -3838,6 +3921,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "length_percentiles": _SQL_LENGTH_PERCENTILES,
         "block_dedup": _SQL_BLOCK_DEDUP,
+        "line_dedup": _SQL_LINE_DEDUP,
         "html_extract": _html_extract_sql(),
         "html_spans": _html_spans_sql(),
         "dom_extract": _SQL_DOM_EXTRACT,
@@ -3849,6 +3933,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_vocab_oracle(),
         "bpe_apply": _bpe_apply_oracle(),
         "budget_select": _SQL_BUDGET_SELECT,
+        "domain_budget": _SQL_DOMAIN_BUDGET,
         "sample_exact_k": _SQL_SAMPLE_EXACT_K,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         # media_dhash: rows-only (pixel UDF; md5-pinned); its struct twin

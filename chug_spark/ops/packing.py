@@ -140,3 +140,72 @@ def budget_select(docs: DataFrame, token_budget: int) -> DataFrame:
         (F.col("offset") + F.col("cum_in_bucket")).alias("cum_tok"),
     )
     return placed.filter(F.col("cum_tok") <= token_budget)
+
+
+def domain_budget_select(
+    docs: DataFrame, token_budget_per_domain: int, group_col: str = "source"
+) -> DataFrame:
+    """Per-domain token-budget selection: within EACH domain (``group_col``),
+    keep the quality-ranked prefix of docs whose cumulative token count fits
+    ``token_budget_per_domain`` — the diversity-capped variant of
+    :func:`budget_select` (a global budget lets one huge high-quality domain
+    crowd out everything else; per-domain caps are how web-corpus mixes
+    bound any single host's share).
+
+    Prefix semantics per group match :func:`budget_select`: a doc is kept
+    iff the cumulative count including it fits; the straddling doc drops.
+    NULL domains coalesce to '' so they form one deterministic group
+    (a NULL equi-join key would silently drop those rows instead).
+    NULL-text docs are unscoreable and excluded UP FRONT: their NULL
+    quality_bp would otherwise vanish at the offsets equi-join while a
+    SQL window keeps them (they sort last but a small domain's budget can
+    still admit them) — the divergence the adversarial corpus caught.
+
+    Scale shape: the same two-level distributed prefix sum as
+    :func:`budget_select`, one level deeper — in-bucket window partitions
+    are (domain, quality_bp) so a billion-doc domain still fans out across
+    its <=10001 quality buckets, and the bucket-offset window runs per
+    domain over those <=10001 bucket rows.  The offsets join is NOT
+    broadcast-hinted: at web scale (10^8 domains) the offsets relation is
+    itself large, and AQE picks the strategy.
+
+    Returns (source, doc_id, quality_bp, n_tok, cum_tok) for kept docs.
+    """
+    from .textstats import quality_score
+
+    docs = docs.filter(F.col("text").isNotNull())
+    scored = quality_score(docs).select("doc_id", "quality_bp")
+    norm = normalize_text(F.col("text"))
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col(group_col), F.lit("")).alias("grp"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    base = scored.join(toks, "doc_id")
+
+    in_bucket = Window.partitionBy("grp", "quality_bp").orderBy(
+        "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_cum = base.withColumn("cum_in_bucket", F.sum("n_tok").over(in_bucket))
+    bucket_tot = base.groupBy("grp", "quality_bp").agg(
+        F.sum("n_tok").alias("btot")
+    )
+    off_w = Window.partitionBy("grp").orderBy(F.desc("quality_bp")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tot.select(
+        "grp",
+        "quality_bp",
+        F.coalesce(F.sum("btot").over(off_w), F.lit(0)).alias("offset"),
+    )
+    placed = with_cum.join(offsets, ["grp", "quality_bp"]).select(
+        F.col("grp").alias("source"),
+        "doc_id",
+        "quality_bp",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        (F.col("offset") + F.col("cum_in_bucket")).alias("cum_tok"),
+    )
+    return placed.filter(F.col("cum_tok") <= token_budget_per_domain)
