@@ -395,7 +395,7 @@ _SWEEP_FRONT = [
     # r1-r3-green rows never swept in r4 (stale evidence rotation — the
     # oracle-bearing 32 of the 36; the 4 rows-only ones rotate to r6 since
     # the driver can only count their rows): see OPERATORS.md
-    "group_members", "urldir", "coalesce_rename", "filter_incomplete",
+    "group_members", "coalesce_rename", "filter_incomplete",
     "base_plus_ext", "vqa_prompt", "target_mask", "weighted_mix",
     "dedup_exact", "url_dedup",
     "substring_cut", "minhash_pairs",
@@ -416,6 +416,11 @@ _SWEEP_FRONT = [
     "curation_keep",
     # new r5: S1-S4 shard machinery + streaming≡batch get driver surfaces
     "shard_plan", "shard_resample", "stream_extract",
+    # late-r5: stateful streaming keep-first dedup (applyInPandasWithState
+    # — brand-new machinery, no prior driver evidence).  Displaces urldir
+    # (one-regexp projection, r1-r3 green, least machinery in the stale
+    # set); urldir front-loads r6
+    "stream_dedup",
 ]
 
 

@@ -544,6 +544,61 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_stream_output(spark, out_dir)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming keep-first dedup with a HARD oracle: batch 0 is
+    the corpus plus in-batch duplicates (+500000 ids, every 5th doc); after
+    it drains, batch 1 arrives with cross-batch duplicates (+1000000, every
+    2nd doc) and genuinely new texts (+2000000 ids, ' streamnew' suffix,
+    every 3rd doc) and drains against the PERSISTED applyInPandasWithState
+    state.  Every duplicate's first occurrence has the smaller doc_id, so
+    streaming keep-first must equal batch min-doc_id-per-fingerprint over
+    the union — which is the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from chug_spark.streaming.stateful import read_dedup_output, run_stream_dedup
+
+    base = _scratch("q_sdedup_")
+    in_dir, out_dir = base + "/in", base + "/out"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    b0 = d.union(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    b0.coalesce(2).write.mode("overwrite").parquet(in_dir)
+    run_stream_dedup(spark, in_dir, out_dir)
+    b1 = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).union(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" streamnew")).alias("text"),
+        )
+    )
+    b1.coalesce(2).write.mode("append").parquet(in_dir)
+    run_stream_dedup(spark, in_dir, out_dir)
+    return read_dedup_output(spark, out_dir)
+
+
+_SQL_STREAM_DEDUP = r"""
+WITH b AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' streamnew' FROM documents WHERE doc_id % 3 = 0
+),
+f AS (
+  SELECT doc_id,
+         md5(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '')) AS fp
+  FROM b
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp FROM f GROUP BY fp
+"""
+
+
 # ---------------------------------------------------------------------------
 # S1-S4: shard-manifest machinery (expand_urls / shuffled / resampled) as a
 # driver-checked surface (ref src/chug/common/urls.py:48-88,
@@ -939,6 +994,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": q_shard_plan,
         "shard_resample": q_shard_resample,
         "stream_extract": q_stream_extract,
+        "stream_dedup": q_stream_dedup,
         "flatten_nested": q_flatten_nested,
         "safe_map": q_safe_map,
         "checkpoint_resume": q_checkpoint_resume,
@@ -968,6 +1024,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "tar_ingest": _SQL_TAR_INGEST,
         "shard_plan": _SQL_SHARD_PLAN,
         "shard_resample": _SQL_SHARD_RESAMPLE,
+        "stream_dedup": _SQL_STREAM_DEDUP,
         "flatten_nested": _SQL_FLATTEN_NESTED,
         "safe_map": _SQL_SAFE_MAP,
         "det_shuffle": _SQL_DET_SHUFFLE,

@@ -1,108 +1,116 @@
-"""Custom stateful streaming operator: cross-batch exact dedup.
+"""Stateful Structured Streaming: cross-micro-batch keep-first dedup.
 
-The reference pipeline dedups nothing (curation happens upstream); a
-streaming ingest at corpus scale needs exactly this: emit a document only
-the FIRST time its content fingerprint is seen, across micro-batches, with
-the seen-set held in Spark's managed state store (not driver memory).
+The batch engine dedups with one keyed aggregation
+(:func:`chug_spark.ops.dedup.exact_dedup_keep_first`); on an UNBOUNDED
+ingest the "have I seen this fingerprint" set must outlive every
+micro-batch.  That is exactly Spark's keyed state store:
+``groupBy(fp).applyInPandasWithState`` keeps one tiny state row per
+distinct fingerprint, partitioned by key hash across executors (RocksDB
+state backend in production — the state never funnels through the driver
+and never lives in one task).  The streaming checkpoint persists BOTH the
+file-source progress and the state store, so a later run with the same
+checkpoint dedups new files against everything already seen — the
+streaming twin of the snapshot/incremental dedup semi-join
+(``ops/dedup.snapshot_dedup``), without re-reading the old corpus.
 
-Built on ``applyInPandasWithState`` — the Structured Streaming custom-
-stateful-operator API (the brief's designated slot for operators Spark
-lacks).  State is keyed by content fingerprint, so it shards across
-executors with the shuffle and scales with the state store (RocksDB in
-production), not with any single process.
+Keep-first contract: within a micro-batch the minimum doc_id for the
+fingerprint wins; a fingerprint whose state row exists emits nothing ever
+again.  Deliveries compose to effectively-once the same way
+``run_stream_extract`` does — the foreachBatch sink partitions output by
+batch_id with dynamic partition-overwrite, so an at-least-once replay
+overwrites its own partition (state updates replay identically because
+the state commit is part of the batch the checkpoint tracks).
+
+Skew note: a pathologically hot fingerprint (one boilerplate page
+uploaded a billion times) concentrates its *per-batch* occurrences in one
+group — the per-group work is a single ``min`` over that batch's rows,
+linear and spill-free; nothing accumulates across batches because the
+state row is one integer.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Iterable, Tuple
 
 import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-DEDUP_OUT_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.StringType()),
-        T.StructField("fingerprint", T.StringType()),
-        T.StructField("text", T.StringType()),
-    ]
-)
-_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+from ..ops.dedup import normalize_text
+
+DEDUP_INPUT_SCHEMA = "doc_id long, text string"
+DEDUP_OUTPUT_SCHEMA = "doc_id long, fp string"
+_STATE_SCHEMA = "seen int"
 
 
-def _dedup_fn(key, pdf_iter, state: GroupState):
-    """Emit the lexicographically-first doc_id of this fingerprint on first
-    sight; later batches with the same fingerprint emit nothing.  The
-    min-doc_id rule (within the batch that first sees the fingerprint) keeps
-    output schedule-independent."""
-    fingerprint = key[0]
+def _keep_first_fn(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Emit the batch-minimum doc_id for an unseen fingerprint; nothing for
+    a seen one.  State is existence-only (one int) — the smallest possible
+    per-key footprint."""
     if state.exists:
-        return iter(())
-    best: Optional[tuple] = None
-    for pdf in pdf_iter:
-        if len(pdf) == 0:  # pragma: no cover
-            continue
-        # vectorized per-chunk min (no per-row Python loop in the hot path):
-        # idxmin over the string-cast ids, then reduce across chunks
-        ids = pdf["doc_id"].astype(str)
-        i = ids.idxmin()
-        cand = (ids.loc[i], str(pdf["text"].loc[i]))
-        if best is None or cand[0] < best[0]:
-            best = cand
-    state.update((True,))
-    if best is None:  # pragma: no cover
-        return iter(())
-    return iter(
-        [pd.DataFrame({"doc_id": [best[0]], "fingerprint": [fingerprint],
-                       "text": [best[1]]})]
-    )
-
-
-def fingerprint_col(text):
-    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"(?U)\s+", " ")))
+        return
+    best = None
+    for pdf in pdfs:
+        m = int(pdf["doc_id"].min())
+        best = m if best is None else min(best, m)
+    if best is None:
+        return
+    state.update((1,))
+    yield pd.DataFrame({"doc_id": [best], "fp": [key[0]]})
 
 
 def run_stream_dedup(
     spark: SparkSession,
     input_dir: str,
     output_dir: str,
-    max_files_per_trigger: Optional[int] = None,
+    max_files_per_trigger: int | None = None,
 ) -> None:
-    """File-stream → stateful first-seen dedup → append sink.
+    """Drain all currently-available ``(doc_id, text)`` parquet files
+    through the stateful keep-first dedup (Trigger.AvailableNow).  Calling
+    again with the same ``output_dir`` after new files arrive processes
+    only the new files, deduped against the persisted state.
 
-    Input files: parquet with (doc_id string, text string).  Output:
-    (doc_id, fingerprint, text) — one row per distinct normalized text
-    across ALL drains of this checkpoint (Trigger.AvailableNow per call)."""
-    out_path = os.path.join(output_dir, "unique")
+    Layout under ``output_dir``: kept/ _checkpoint/; kept/ is partitioned
+    by batch_id (dropped by :func:`read_dedup_output`).
+    """
+    kept_path = os.path.join(output_dir, "kept")
     ckpt = os.path.join(output_dir, "_checkpoint")
 
-    reader = spark.readStream.schema(
-        "doc_id string, text string"
-    )
+    reader = spark.readStream.schema(DEDUP_INPUT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
+    fp = F.md5(F.coalesce(normalize_text(F.col("text")), F.lit("")))
     deduped = (
-        stream.withColumn("fingerprint", fingerprint_col(F.col("text")))
-        .groupBy("fingerprint")
+        stream.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
         .applyInPandasWithState(
-            _dedup_fn,
-            outputStructType=DEDUP_OUT_SCHEMA,
+            _keep_first_fn,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
-            outputMode="append",
+            outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(kept_path)
+        )
+
     q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_path)
+        deduped.writeStream.foreachBatch(process_batch)
+        .outputMode("update")
         .option("checkpointLocation", ckpt)
-        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
@@ -110,4 +118,4 @@ def run_stream_dedup(
 
 
 def read_dedup_output(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_dir, "unique"))
+    return spark.read.parquet(os.path.join(output_dir, "kept")).drop("batch_id")
