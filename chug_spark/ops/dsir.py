@@ -103,8 +103,17 @@ def dsir_scores(
     with add-one smoothing over the d buckets; score_e6 = sum_j c_j *
     ratio_e6[j] — an exact integer at any parallelism.  Raw counts include
     the target rows (the pool being selected from is the whole corpus).
+
+    The (doc, bucket, c) relation feeds BOTH the ratio estimation and the
+    scoring join; without materialization Spark re-runs the corpus-scale
+    explode+aggregate for each consumer (column pruning makes the two
+    subtrees non-identical, so exchange reuse never fires — measured).  It
+    is localCheckpoint'ed once: ≤``dim`` rows per doc, orders of magnitude
+    smaller than the corpus.  At multi-job production scale you'd write it
+    to a scratch table instead (localCheckpoint trades lineage for the
+    saved pass, so a lost executor fails the job rather than recomputing).
     """
-    gc = doc_gram_counts(docs, target, text_col, dim)
+    gc = doc_gram_counts(docs, target, text_col, dim).localCheckpoint()
     dist = gc.groupBy("bucket").agg(
         F.sum("c").alias("r_c"),
         F.sum(F.when(F.col("is_target") == 1, F.col("c")).otherwise(0)).alias("t_c"),
