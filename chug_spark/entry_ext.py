@@ -979,6 +979,163 @@ LEFT JOIN err_bucket e ON b.bucket = e.bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# WARC shard ingestion (web-scale counterpart of the wds tar shards, ref
+# tariterators.py:28-59 for the per-shard sequential-stream contract) and
+# the end-to-end web pipeline: WARC bytes -> records -> HTML main content.
+# The oracle replays the deterministic fixture synthesis
+# (sources/warc.build_warc_fixture) plus the record-stream arithmetic:
+# per shard, rec 0 is warcinfo, each doc appends a response and — when
+# doc_id % 5 = 0 — a request, so the k-th doc's response lands at
+# rec_no = 1 + k + (# earlier docs in the shard with a request record).
+# ---------------------------------------------------------------------------
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import build_warc_fixture, read_warc_records
+
+    corpus = build_warc_fixture(spark, sf_dir)
+    recs = read_warc_records(spark, corpus + "/*.warc*")
+    return recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("shard", r"([^/]+?)\.warc", 1).alias("shard"),
+        "rec_no",
+        "url",
+        "warc_date",
+        F.col("http_status").alias("status"),
+        "content_type",
+        F.length("body").cast("int").alias("body_chars"),
+        F.regexp_extract("body", r"(?is)<title[^>]*>(.*?)</title>", 1)
+        .alias("title"),
+    )
+
+
+# body synthesis replay (sources/warc._fixture_body + record framing): shared
+# CTE prefix for both WARC oracles
+_WARC_CTE = """
+d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words, source,
+         row_number() OVER (ORDER BY doc_id) - 1 AS rn
+  FROM documents
+),
+a AS (
+  SELECT doc_id, words, source, rn % 4 AS shard_i,
+         row_number() OVER (PARTITION BY rn % 4 ORDER BY rn) - 1 AS k,
+         coalesce(sum(CAST(doc_id % 5 = 0 AS INT)) OVER (
+            PARTITION BY rn % 4 ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_req
+  FROM d
+),
+b AS (
+  SELECT doc_id, source, shard_i, k, prev_req,
+    CASE WHEN doc_id % 13 = 0 THEN 'gone'
+    ELSE '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      || '</title></head><body>'
+      || array_to_string(list_transform(
+           generate_series(0, CAST(ceil(len(words) / 12.0) AS INT) - 1),
+           p -> '<p>' || array_to_string(list_slice(words, p*12 + 1, p*12 + 12), ' ')
+                || '</p>'), '')
+      || '<!--' || CASE WHEN doc_id % 17 = 0
+                        THEN 'WARC/1.0' || chr(13) || chr(10) || 'not a record boundary'
+                        ELSE '' END
+      || '--></body></html>' END AS body
+  FROM a
+)
+"""
+
+_SQL_WARC_INGEST = f"""
+WITH {_WARC_CTE}
+SELECT printf('shard-%05d', shard_i) AS shard,
+       CAST(1 + k + prev_req AS INT) AS rec_no,
+       'https://' || coalesce(source, 'unknown') || '/doc/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       strftime(TIMESTAMP '2020-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS status,
+       CASE WHEN doc_id % 13 = 0 THEN 'text/plain' ELSE 'text/html' END
+         AS content_type,
+       CAST(length(body) AS INT) AS body_chars,
+       CASE WHEN doc_id % 13 = 0 THEN ''
+            ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title
+FROM b
+"""
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web extraction: WARC shards -> Content-Length-framed
+    records -> HTTP 200 text/html responses -> jusText-style main content
+    (ops/html.html_main_content).  One scan stage, no shuffle."""
+    from .ops.html import html_main_content
+    from .sources.warc import build_warc_fixture, read_warc_records
+
+    corpus = build_warc_fixture(spark, sf_dir)
+    recs = read_warc_records(spark, corpus + "/*.warc*")
+    pages = recs.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & (F.col("content_type") == "text/html")
+    ).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    return html_main_content(pages)
+
+
+def _warc_extract_sql() -> str:
+    from .ops.html import BOILERPLATE_TAGS, _BLOCK_TAG_RE
+
+    stripped = "body"
+    for t in BOILERPLATE_TAGS:
+        stripped = (
+            f"regexp_replace({stripped}, '(?is)<{t}[^>]*>.*?</{t}>', ' ', 'g')"
+        )
+    unesc = "regexp_replace(x, '<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        unesc = f"replace({unesc}, '{ent}', '{ch}')"
+    clean_text = f"trim(regexp_replace({unesc}, '\\s+', ' ', 'g'))"
+    link_len = (
+        "coalesce(list_sum(list_transform("
+        "regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a>', 1), "
+        "a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))))), 0)"
+    )
+    return f"""
+WITH {_WARC_CTE},
+pages AS (
+  SELECT doc_id, body FROM b WHERE doc_id % 13 <> 0
+),
+s AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_extract(body, '(?is)<title[^>]*>(.*?)</title>', 1),
+                             '\\s+', ' ', 'g')) AS title,
+         {stripped} AS stripped
+  FROM pages
+),
+sc AS (
+  SELECT doc_id, title,
+         list_transform(
+           string_split_regex(stripped, '{_BLOCK_TAG_RE}'),
+           x -> struct_pack(text := {clean_text}, link_len := {link_len})) AS scored
+  FROM s
+),
+k AS (
+  SELECT doc_id, title,
+         list_filter(scored, s -> length(s.text) >= 20
+                     AND s.link_len <= greatest(length(s.text), 1) * 0.5) AS kept,
+         len(list_filter(scored, s -> length(s.text) > 0)) AS n_total
+  FROM sc
+)
+SELECT doc_id, title,
+       coalesce(array_to_string(list_transform(kept, s -> s.text), chr(10)), '')
+         AS main_text,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(n_total - len(kept) AS INT) AS n_dropped
+FROM k
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "group_members": q_group_members,
@@ -1003,6 +1160,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_prep": q_text_prep,
         "dataset_size": q_dataset_size,
         "lineage_report": q_lineage_report,
+        "warc_ingest": q_warc_ingest,
+        "warc_extract": q_warc_extract,
     }
     from .ops.entry import ops_queries
 
@@ -1032,6 +1191,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_prep": _SQL_TEXT_PREP,
         "dataset_size": _SQL_DATASET_SIZE,
         "lineage_report": _lineage_sql(),
+        "warc_ingest": _SQL_WARC_INGEST,
+        "warc_extract": _warc_extract_sql(),
     }
     from .ops.entry import ops_oracle_sql
 

@@ -1,0 +1,241 @@
+"""WARC (Web ARChive) shard ingestion: the web-scale counterpart of the
+reference's wds tar shards (ref src/chug/wds/tariterators.py:28-59 reads tar
+member streams; Common-Crawl-style corpora ship the same "one shard file =
+one sequential record stream" contract as WARC/1.0).
+
+The reader mirrors the tar path's architecture exactly (sources/tar.py):
+Spark ``binaryFile`` gives one row per ``.warc``/``.warc.gz`` shard, and a
+``mapInPandas`` generator walks the record stream — **Content-Length-framed**
+(ISO 28500 §4): record boundaries come from the declared payload length,
+never from scanning for the ``WARC/1.0`` magic, so payloads containing the
+literal magic parse correctly.
+
+Semantics:
+
+- every record is surfaced with its per-shard ``rec_no`` (position in the
+  stream, counting warcinfo/request/... records too — framing evidence);
+- ``response`` records additionally get the HTTP status line + headers
+  parsed off the payload (``http_status``, ``content_type``) and the body
+  decoded as UTF-8 text;
+- a record whose declared Content-Length overruns the remaining bytes is
+  emitted as ``warc_type='__truncated__'`` and the shard's stream stops
+  there (the error is data, not an exception — same whole-file-never-dies
+  policy as the decode path's ``__error__`` spans);
+- ``.warc.gz`` shards are decompressed up front (multi-member gzip streams,
+  the per-record-gzip layout Common Crawl uses, decode transparently).
+
+Scale notes (100 TB): parallelism = number of shard files, zero shuffles
+from WARC bytes to record rows; each task holds ONE shard's bytes
+(binaryFile caps at 2 GB — re-shard above that, same note as tar.py).
+Downstream main-content extraction (ops/html.html_to_spans, ops/dom) is
+map-only, so WARC → spans is a single scan-stage pipeline.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from collections.abc import Iterator
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+RECORD_SCHEMA = (
+    "shard string, rec_no int, warc_type string, url string, "
+    "warc_date string, http_status int, content_type string, body string"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def parse_warc_stream(shard: str, blob: bytes) -> pd.DataFrame:
+    """One WARC stream → RECORD_SCHEMA rows.  Content-Length framing; gzip
+    (possibly multi-member) auto-detected."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = gzip.decompress(blob)
+    rows: list[tuple] = []
+    pos, rec_no = 0, 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and blob[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = blob.find(_CRLF2, pos)
+        if hdr_end < 0:
+            rows.append((shard, rec_no, "__truncated__", None, None, None, None, None))
+            break
+        headers: dict[str, str] = {}
+        head = blob[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+        for line in head[1:]:  # line 0 is the WARC/1.0 version line
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            rows.append((shard, rec_no, "__truncated__", None, None, None, None, None))
+            break
+        payload_start = hdr_end + 4
+        if payload_start + clen > n:
+            rows.append((shard, rec_no, "__truncated__",
+                         headers.get("warc-target-uri"),
+                         headers.get("warc-date"), None, None, None))
+            break
+        payload = blob[payload_start : payload_start + clen]
+        wtype = headers.get("warc-type", "")
+        status = ctype = body = None
+        if wtype == "response":
+            status, ctype, body = _parse_http_response(payload)
+        rows.append((shard, rec_no, wtype,
+                     headers.get("warc-target-uri"),
+                     headers.get("warc-date"), status, ctype, body))
+        pos = payload_start + clen
+        rec_no += 1
+    return pd.DataFrame(
+        rows, columns=["shard", "rec_no", "warc_type", "url", "warc_date",
+                       "http_status", "content_type", "body"],
+    )
+
+
+def _parse_http_response(payload: bytes):
+    """HTTP response payload → (status, content_type, body_text)."""
+    hdr_end = payload.find(_CRLF2)
+    if hdr_end < 0:
+        return None, None, payload.decode("utf-8", "replace")
+    head = payload[:hdr_end].decode("utf-8", "replace").split("\r\n")
+    parts = head[0].split(" ")
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    body = payload[hdr_end + 4 :].decode("utf-8", "replace")
+    return status, ctype, body
+
+
+def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC shards at ``path`` (file/glob/dir) into record rows.
+
+    ``rec_no`` counts every record in the shard stream; non-response records
+    carry NULL http fields.  One binaryFile row per shard → one parse task
+    per shard, no shuffle."""
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for shard, blob in zip(pdf["path"], pdf["content"]):
+                yield parse_warc_stream(shard, bytes(blob))
+
+    return raw.mapInPandas(expand, schema=RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture writer (tests / driver oracle only — NOT the ingest
+# path; builds CC-style .warc / .warc.gz shards from the documents table so
+# the reader has real archives to chew on with no external data)
+# ---------------------------------------------------------------------------
+
+_EPOCH = datetime(2020, 1, 1)
+
+
+def _fixture_body(doc_id: int, text: str | None) -> str:
+    """Deterministic HTML body for a doc — replayed verbatim by the oracle
+    SQL (entry_ext._SQL_WARC_INGEST), so keep it a pure concat of slices."""
+    words = (text or "").split(" ")
+    paras = "".join(
+        "<p>" + " ".join(words[p * 12 : p * 12 + 12]) + "</p>"
+        for p in range((len(words) + 11) // 12)
+    )
+    marker = "WARC/1.0\r\nnot a record boundary" if doc_id % 17 == 0 else ""
+    return (
+        f"<html><head><title>Doc {doc_id}</title></head>"
+        f"<body>{paras}<!--{marker}--></body></html>"
+    )
+
+
+def _record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = "WARC/1.0\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers)
+    head += f"Content-Length: {len(payload)}\r\n"
+    return head.encode() + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def build_warc_fixture(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4
+) -> str:
+    """Deterministic WARC fixture derived from ``documents``: docs
+    round-robin over ``n_shards`` shards in doc_id order; each shard opens
+    with a ``warcinfo`` record; per doc one ``response`` record
+    (url ``https://<source>/doc/<id>``, date epoch+doc_id seconds, HTTP 404
+    with a short body when ``doc_id % 13 == 0`` else 200 with the HTML
+    body), plus a ``request`` record when ``doc_id % 5 == 0``.  Every 17th
+    doc's body embeds a literal ``WARC/1.0`` line (framing must use
+    Content-Length, not magic scanning).  Even shards are written gzipped
+    (``.warc.gz``, mtime=0).  Built once per (sf_dir, version) under the
+    system temp dir."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(f"{sf_dir}|warc-v1|{n_shards}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"chug_warc_fixture_{tag}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .orderBy("doc_id")
+        .collect()
+    )
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for i in range(n_shards):
+        shards[i].append(_record(
+            [("WARC-Type", "warcinfo"),
+             ("WARC-Date", "2020-01-01T00:00:00Z")],
+            b"software: chug_spark-fixture\r\n",
+        ))
+    for i, r in enumerate(docs):
+        did = int(r.doc_id)
+        url = f"https://{r.source or 'unknown'}/doc/{did}"
+        date = (_EPOCH + timedelta(seconds=did)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        if did % 13 == 0:
+            http = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone"
+        else:
+            body = _fixture_body(did, r.text).encode()
+            http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+        rec = _record(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", url),
+             ("WARC-Date", date),
+             ("Content-Type", "application/http; msgtype=response")],
+            http,
+        )
+        shard = shards[i % n_shards]
+        shard.append(rec)
+        if did % 5 == 0:
+            shard.append(_record(
+                [("WARC-Type", "request"),
+                 ("WARC-Target-URI", url),
+                 ("WARC-Date", date)],
+                b"GET / HTTP/1.1\r\n",
+            ))
+    os.makedirs(out_dir, exist_ok=True)
+    for i, recs in enumerate(shards):
+        raw = b"".join(recs)
+        if i % 2 == 0:
+            path = os.path.join(out_dir, f"shard-{i:05d}.warc.gz")
+            with open(path, "wb") as f:
+                with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                    gz.write(raw)
+        else:
+            path = os.path.join(out_dir, f"shard-{i:05d}.warc")
+            with open(path, "wb") as f:
+                f.write(raw)
+    with open(marker, "w") as f:
+        f.write(str(len(docs)))
+    return out_dir

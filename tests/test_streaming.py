@@ -62,21 +62,21 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
 
-    batch1 = [("d3", "hello world"), ("d1", "HELLO   world"), ("d2", "other text")]
-    spark.createDataFrame(batch1, "doc_id string, text string") \
+    batch1 = [(3, "hello world"), (1, "HELLO   world"), (2, "other text")]
+    spark.createDataFrame(batch1, "doc_id long, text string") \
         .coalesce(1).write.mode("append").parquet(in_dir)
     run_stream_dedup(spark, in_dir, out_dir)
-    got1 = {r["doc_id"]: r["fingerprint"] for r in read_dedup_output(spark, out_dir).collect()}
-    # d1 < d3 within the batch for the same normalized fingerprint
-    assert set(got1) == {"d1", "d2"}
+    got1 = {r["doc_id"]: r["fp"] for r in read_dedup_output(spark, out_dir).collect()}
+    # 1 < 3 within the batch for the same normalized fingerprint
+    assert set(got1) == {1, 2}
 
     # second drain: duplicate of batch1 content + one genuinely new doc
-    batch2 = [("d9", "hello world"), ("d8", "other text"), ("d7", "brand new")]
-    spark.createDataFrame(batch2, "doc_id string, text string") \
+    batch2 = [(9, "hello world"), (8, "other text"), (7, "brand new")]
+    spark.createDataFrame(batch2, "doc_id long, text string") \
         .coalesce(1).write.mode("append").parquet(in_dir)
     run_stream_dedup(spark, in_dir, out_dir)
     got2 = {r["doc_id"] for r in read_dedup_output(spark, out_dir).collect()}
-    assert got2 == {"d1", "d2", "d7"}  # d9/d8 suppressed by state
+    assert got2 == {1, 2, 7}  # 9/8 suppressed by state
 
 
 def test_stream_window_counts_match_batch(spark, tmp_path):

@@ -1,0 +1,104 @@
+"""WARC shard ingestion (sources/warc.py): Content-Length framing, record
+typing, gzip shards, truncation policy, and the fixture round trip."""
+
+import gzip
+
+import pytest
+
+from chug_spark.sources.warc import (
+    _record,
+    build_warc_fixture,
+    parse_warc_stream,
+    read_warc_records,
+)
+
+
+def _resp(url: str, body: bytes, status: bytes = b"200 OK") -> bytes:
+    http = b"HTTP/1.1 " + status + b"\r\nContent-Type: text/html\r\n\r\n" + body
+    return _record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", url),
+         ("WARC-Date", "2020-01-01T00:00:00Z"),
+         ("Content-Type", "application/http; msgtype=response")],
+        http,
+    )
+
+
+def test_framing_ignores_embedded_magic():
+    # payload contains a line that LOOKS like a record start; Content-Length
+    # framing must carry the parser straight over it
+    body = b"<p>before</p>\r\nWARC/1.0\r\nWARC-Type: fake\r\n<p>after</p>"
+    blob = _resp("https://a/1", body) + _resp("https://a/2", b"<p>x</p>")
+    df = parse_warc_stream("s", blob)
+    assert list(df["rec_no"]) == [0, 1]
+    assert list(df["url"]) == ["https://a/1", "https://a/2"]
+    assert "before" in df["body"][0] and "after" in df["body"][0]
+
+
+def test_non_response_records_carry_null_http_fields():
+    blob = (
+        _record([("WARC-Type", "warcinfo")], b"software: x\r\n")
+        + _resp("https://a/1", b"<p>hi</p>")
+        + _record([("WARC-Type", "request"), ("WARC-Target-URI", "https://a/1")],
+                  b"GET / HTTP/1.1\r\n")
+    )
+    df = parse_warc_stream("s", blob)
+    assert list(df["warc_type"]) == ["warcinfo", "response", "request"]
+    import pandas as pd
+
+    assert pd.isna(df["http_status"][0]) and df["body"][0] is None
+    assert df["http_status"][1] == 200
+    assert df["body"][2] is None  # request payload is not an HTTP response
+
+
+def test_truncated_record_is_data_not_exception():
+    good = _resp("https://a/1", b"<p>ok</p>")
+    trunc = _record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "https://a/2")],
+        b"HTTP/1.1 200 OK\r\n\r\nfull body",
+    )[:-12]  # cut mid-payload: declared Content-Length overruns the bytes
+    df = parse_warc_stream("s", good + trunc)
+    assert list(df["warc_type"]) == ["response", "__truncated__"]
+    assert df["url"][1] == "https://a/2"  # headers still surfaced
+
+
+def test_gzip_stream_roundtrip():
+    raw = _resp("https://a/1", b"<p>one</p>") + _resp("https://a/2", b"<p>two</p>")
+    df = parse_warc_stream("s", gzip.compress(raw))
+    assert list(df["url"]) == ["https://a/1", "https://a/2"]
+
+
+def test_http_status_and_content_type_parse():
+    blob = _resp("https://a/1", b"gone", status=b"404 Not Found")
+    df = parse_warc_stream("s", blob)
+    assert df["http_status"][0] == 404
+    assert df["body"][0] == "gone"
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_fixture_reader_end_to_end(spark):
+    sf_dir = SF_DIR
+    corpus = build_warc_fixture(spark, sf_dir)
+    recs = read_warc_records(spark, corpus + "/*.warc*").cache()
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        by_type = dict(
+            recs.groupBy("warc_type").count().collect()
+        )
+        assert by_type["warcinfo"] == 4  # one per shard
+        assert by_type["response"] == n_docs
+        assert by_type.get("__truncated__", 0) == 0
+        n_req = docs.filter("doc_id % 5 = 0").count()
+        assert by_type.get("request", 0) == n_req
+        # every response URL round-trips its doc_id
+        from pyspark.sql import functions as F
+
+        ids = (
+            recs.filter("warc_type = 'response'")
+            .select(F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("i"))
+        )
+        assert ids.distinct().count() == n_docs
+    finally:
+        recs.unpersist()
