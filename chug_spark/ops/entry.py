@@ -825,6 +825,53 @@ FROM r
 """
 
 
+def q_quality_bins(spark, sf_dir):
+    """Exact quality-decile binning (ops/quantiles.py): histogram-derived
+    value thresholds (ties never split, no global sort), map-only assign
+    via a broadcast threshold array."""
+    from .quantiles import quality_quantile_bins
+
+    return quality_quantile_bins(_docs(spark, sf_dir), n_bins=10)
+
+
+# thresholds replayed with the same integer-exact rule the engine uses:
+# t_k = min{v : cum(v)*B >= k*N}; bin(v) = 1 + #{k : v > t_k}
+_SQL_QUALITY_BINS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words, length(text) AS nc FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
+         CAST(len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+           / len(words) AS stop_ratio,
+         CAST(nc - (len(words) - 1) AS DOUBLE) / len(words) AS mean_wlen
+  FROM w
+),
+s AS (
+  SELECT doc_id,
+         CAST(floor((distinct_ratio * 0.5 + least(stop_ratio * 2, 1.0) * 0.3
+               + least(mean_wlen / 8, 1.0) * 0.2) * 10000) AS INT) AS q
+  FROM r
+  WHERE distinct_ratio IS NOT NULL
+),
+h AS (SELECT q, count(*) AS c FROM s GROUP BY q),
+cum AS (
+  SELECT q, sum(c) OVER (ORDER BY q) AS cc, sum(c) OVER () AS n FROM h
+),
+th AS (
+  SELECT g.k, min(q) AS t
+  FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) g
+  WHERE cc * 10 >= g.k * n
+  GROUP BY g.k
+),
+ts AS (SELECT list_sort(list(t)) AS ts FROM th)
+SELECT s.doc_id, s.q AS quality_bp,
+       CAST(1 + len(list_filter(ts.ts, t -> s.q > t)) AS INT) AS bin
+FROM s, ts
+"""
+
+
 def q_lang_id(spark, sf_dir):
     from .textstats import lang_id
 
@@ -3810,6 +3857,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
         "quality_score": q_quality_score,
+        "quality_bins": q_quality_bins,
         "corpus_report": q_corpus_report,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -3907,6 +3955,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "gopher_filter": _SQL_GOPHER_FILTER,
         "pii_scrub": _SQL_PII_SCRUB,
         "quality_score": _SQL_QUALITY_SCORE,
+        "quality_bins": _SQL_QUALITY_BINS,
         "corpus_report": _SQL_CORPUS_REPORT,
         "lang_id": _SQL_LANG_ID,
         "fingerprint": _SQL_FINGERPRINT,
