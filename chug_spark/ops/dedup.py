@@ -822,6 +822,72 @@ def snapshot_dedup(
     )
 
 
+def snapshot_minhash_attrib(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int = 64,
+    confirm_bands: int = 2,
+) -> DataFrame:
+    """Incremental near-dup with ATTRIBUTION: for each new-snapshot doc,
+    find the old-corpus doc it most likely duplicates — the step after
+    :func:`snapshot_dedup`'s boolean flag when the pipeline must link a
+    duplicate to its canonical doc (provenance, cluster growth, "which page
+    did this crawl re-fetch").
+
+    Confirmation rule: a match needs ``confirm_bands`` AGREEING bands with
+    the *same* old doc (one colliding band is LSH noise at corpus scale; k
+    agreeing bands estimates Jaccard ≥ (k/bands) against that specific
+    doc).  ``matched_old`` is the old doc with the most agreeing bands
+    (ties → smallest doc_id); ``keep`` is true when no old doc reaches the
+    threshold.
+
+    Scale shape: the old side reduces to the (band, sig, doc_id) signature
+    index — persisted once per snapshot in production — with oversized
+    buckets dropped (``cap_buckets``: boilerplate signatures, not dup
+    signal), so the equi-join fan-out per new row is bounded by
+    ``bands * max_bucket_size``.  Attribution is two keyed partial-agg
+    reductions (count per (new, old); min-struct per new) — never a window
+    over the corpus, never pair expansion outside the capped buckets."""
+    old_sigs = cap_buckets(
+        minhash_signatures(old_docs, bands, shingle_n),
+        ["band", "sig"],
+        max_bucket_size,
+    ).select("band", "sig", F.col("doc_id").alias("old_id"))
+    new_sigs = minhash_signatures(new_docs, bands, shingle_n)
+    per_old = (
+        new_sigs.join(old_sigs, ["band", "sig"])
+        .groupBy("doc_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("bm"))
+    )
+    best = (
+        per_old.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("bm")).alias("neg"), F.col("old_id").alias("old_id"))
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            (-F.col("b.neg")).cast("int").alias("band_matches"),
+            F.col("b.old_id").alias("matched_old"),
+        )
+    )
+    return (
+        new_docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("band_matches", F.lit(0)).cast("int").alias("band_matches"),
+            F.when(
+                F.col("band_matches") >= confirm_bands, F.col("matched_old")
+            ).alias("matched_old"),
+            (F.coalesce("band_matches", F.lit(0)) < confirm_bands).alias("keep"),
+        )
+    )
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Corpus snapshot diff: classify every doc_id across two corpus
     versions as ``added`` / ``removed`` / ``changed`` / ``unchanged`` by

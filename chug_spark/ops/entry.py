@@ -3525,6 +3525,109 @@ LEFT JOIN near nr USING (doc_id)
 """
 
 
+def q_snapshot_minhash(spark, sf_dir):
+    """Incremental near-dup with attribution: a derived 'new snapshot'
+    (odd doc_ids; every 3rd odd doc re-fetches the previous even doc's text
+    verbatim, every 5th appends a tail to it) linked back to the old-corpus
+    doc it duplicates by MinHash band agreement (>= 2 agreeing bands with
+    the SAME old doc confirms; ties -> smallest old doc_id)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import snapshot_minhash_attrib
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    prev = old.select(F.col("doc_id").alias("pid"), F.col("text").alias("ptext"))
+    new = odd.join(prev, odd["doc_id"] - 1 == prev["pid"], "left").select(
+        odd["doc_id"].alias("doc_id"),
+        F.when(odd["doc_id"] % 3 == 0, F.col("ptext"))
+        .when(
+            odd["doc_id"] % 5 == 0,
+            F.concat(
+                F.coalesce(F.col("ptext"), odd["text"]),
+                F.lit(" zz yy xx ww vv"),
+            ),
+        )
+        .otherwise(odd["text"])
+        .alias("text"),
+    )
+    return snapshot_minhash_attrib(
+        old, new, bands=8, shingle_n=3, max_bucket_size=64, confirm_bands=2
+    )
+
+
+def _snapshot_minhash_sql(
+    bands: int = 8, max_bucket_size: int = 64, confirm_bands: int = 2
+) -> str:
+    """Signature CTEs generated from the SAME permutation constants as the
+    Spark plan (dedup.minhash_perm_constants) — no drift possible."""
+    from .dedup import MINHASH_P, minhash_perm_constants
+
+    values = ", ".join(
+        f"({b}, {a}, {c})" for b, (a, c) in enumerate(minhash_perm_constants(bands))
+    )
+    return f"""
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+odd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+new AS (
+  SELECT o.doc_id,
+         CASE WHEN o.doc_id % 3 = 0 THEN p.text
+              WHEN o.doc_id % 5 = 0 THEN coalesce(p.text, o.text) || ' zz yy xx ww vv'
+              ELSE o.text END AS text
+  FROM odd o LEFT JOIN old p ON p.doc_id = o.doc_id - 1
+),
+u AS (
+  SELECT 0 AS is_new, doc_id, text FROM old
+  UNION ALL
+  SELECT 1, doc_id, text FROM new
+),
+s AS (
+  SELECT is_new, doc_id,
+         list_distinct(list_transform(generate_series(0, len(words) - 3),
+                       i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+  FROM (SELECT is_new, doc_id, string_split(text, ' ') AS words FROM u)
+  WHERE len(words) >= 3
+),
+hs AS (
+  SELECT is_new, doc_id,
+         list_transform(sh, x ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1 AS BIGINT))),
+             (a, b) -> a * 16 + b) % {MINHASH_P}) AS hs
+  FROM s WHERE len(sh) > 0
+),
+consts(band, ca, cc) AS (VALUES {values}),
+sig AS (
+  SELECT is_new, doc_id, band,
+         list_min(list_transform(hs, h -> (ca * h + cc) % {MINHASH_P})) AS sig
+  FROM hs, consts
+),
+osig AS (
+  SELECT band, sig, doc_id AS old_id FROM sig WHERE is_new = 0
+  QUALIFY count(*) OVER (PARTITION BY band, sig) <= {max_bucket_size}
+),
+per AS (
+  SELECT n.doc_id, o.old_id, count(*) AS bm
+  FROM (SELECT doc_id, band, sig FROM sig WHERE is_new = 1) n
+  JOIN osig o USING (band, sig)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, bm, old_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm DESC, old_id)
+               AS rn FROM per)
+  WHERE rn = 1
+)
+SELECT n.doc_id,
+       CAST(coalesce(b.bm, 0) AS INT) AS band_matches,
+       CASE WHEN b.bm >= {confirm_bands} THEN b.old_id END AS matched_old,
+       coalesce(b.bm, 0) < {confirm_bands} AS keep
+FROM new n LEFT JOIN best b USING (doc_id)
+"""
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic hash-based train/val/test split (5%/5%/90%)."""
     from .dataflow import split_assign
@@ -3851,6 +3954,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "seq_pack": q_seq_pack,
         "snapshot_dedup": q_snapshot_dedup,
+        "snapshot_minhash": q_snapshot_minhash,
         "split_assign": q_split_assign,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
@@ -3949,6 +4053,9 @@ def ops_oracle_sql() -> dict[str, str]:
         "text_norm": _text_norm_sql(),
         "seq_pack": _SQL_SEQ_PACK,
         "snapshot_dedup": _snapshot_dedup_sql(bands=8),
+        "snapshot_minhash": _snapshot_minhash_sql(
+            bands=8, max_bucket_size=64, confirm_bands=2
+        ),
         "split_assign": _split_assign_sql(),
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,

@@ -689,6 +689,51 @@ def test_snapshot_dedup_flags_new_batch(spark):
     assert (out[13]["exact_dup"], out[13]["near_dup"], out[13]["keep"]) == (0, 0, 1)
 
 
+def test_snapshot_minhash_attribution(spark):
+    from chug_spark.ops.dedup import snapshot_minhash_attrib
+
+    old = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog again today",
+            "unique old corpus content with several distinctive words here",
+        ],
+    )
+    base = "the quick brown fox jumps over the lazy dog again today"
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of old doc 0 -> 8/8 bands, attributed
+            (11, base + " extra tail words appended"),  # near dup of doc 0
+            (12, "entirely novel text with no shared shingles anywhere"),
+            (13, "x y"),  # too short for shingles -> keep
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in snapshot_minhash_attrib(old, new, confirm_bands=2).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}
+    assert (out[10]["band_matches"], out[10]["matched_old"], out[10]["keep"]) \
+        == (8, 0, False)
+    assert out[11]["band_matches"] >= 2 and out[11]["matched_old"] == 0
+    assert not out[11]["keep"]
+    assert out[12]["matched_old"] is None and out[12]["keep"]
+    assert (out[13]["band_matches"], out[13]["keep"]) == (0, True)
+
+
+def test_snapshot_minhash_tie_breaks_to_smallest_old_id(spark):
+    from chug_spark.ops.dedup import snapshot_minhash_attrib
+
+    txt = "the quick brown fox jumps over the lazy dog again today"
+    # two identical old docs: the new dup agrees with BOTH on all bands;
+    # attribution must pick the smaller doc_id deterministically
+    old = _docs(spark, [txt, txt])
+    new = spark.createDataFrame([(10, txt)], "doc_id long, text string")
+    r = snapshot_minhash_attrib(old, new).collect()[0]
+    assert (r["band_matches"], r["matched_old"], r["keep"]) == (8, 0, False)
+
+
 def test_split_assign_deterministic_and_exclusive(spark):
     import hashlib
 
