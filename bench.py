@@ -202,6 +202,12 @@ def main() -> int:
     corpus = build_fixture_corpus(spark, SF_DIR)  # untimed (fixture build)
     timed("tar_ingest",
           lambda: read_tar_samples(spark, corpus + "/*.tar").count())
+    # WARC → records → HTTP 200 html → main-content (one scan stage)
+    from chug_spark.entry_ext import q_warc_extract
+    from chug_spark.sources.warc import build_warc_fixture
+
+    build_warc_fixture(spark, SF_DIR)  # untimed (fixture build)
+    timed("warc_extract", lambda: q_warc_extract(spark, SF_DIR).count())
     from chug_spark.ops.entry import q_media_dhash
 
     timed("media_dhash", lambda: q_media_dhash(spark, SF_DIR).count())

@@ -1067,7 +1067,9 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.html import html_main_content
     from .sources.warc import build_warc_fixture, read_warc_records
 
-    corpus = build_warc_fixture(spark, sf_dir)
+    # 32 shards: parse parallelism = shard files (the oracle is doc-level,
+    # so unlike warc_ingest's rec_no arithmetic it doesn't pin shard count)
+    corpus = build_warc_fixture(spark, sf_dir, n_shards=32)
     recs = read_warc_records(spark, corpus + "/*.warc*")
     pages = recs.filter(
         (F.col("warc_type") == "response")

@@ -176,6 +176,37 @@ def split_assign(
     )
 
 
+def split_assign_grouped(
+    docs: DataFrame,
+    group_col: str = "source",
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Leakage-safe split: the md5 draw hashes the GROUP key (domain /
+    source / site), so every doc of a group lands in the same split —
+    near-duplicate pages from one site can never straddle train and eval,
+    which is how per-doc splits silently leak at web scale.  NULL groups
+    form their own deterministic group (hashed as the literal '\\N').
+    Same integer thresholds and map-only, zero-shuffle shape as
+    :func:`split_assign`."""
+    key = F.coalesce(F.col(group_col).cast("string"), F.lit("\\N"))
+    m = F.md5(F.concat(F.lit(salt + "|"), key))
+    draw = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    val_cut = int(val_frac * 2**32)
+    test_cut = val_cut + int(test_frac * 2**32)
+    split = (
+        F.when(draw < val_cut, F.lit("val"))
+        .when(draw < test_cut, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        split.alias("split"),
+    )
+
+
 def sample_exact_k(docs: DataFrame, k: int, seed: int = 0, key: str = "doc_id") -> DataFrame:
     """Deterministic uniform sample of EXACTLY k rows, without replacement:
     rank every row by md5(key|seed|'sample') and take the k smallest.

@@ -3659,6 +3659,42 @@ FROM u
 """
 
 
+def q_split_grouped(spark, sf_dir):
+    """Leakage-safe domain-grouped split: the draw hashes `source`, so all
+    docs of a site share a split (near-dup pages can't straddle
+    train/eval)."""
+    from .dataflow import split_assign_grouped
+
+    return split_assign_grouped(
+        _docs(spark, sf_dir), group_col="source", val_frac=0.05, test_frac=0.05
+    )
+
+
+def _split_grouped_sql(val_frac: float = 0.05, test_frac: float = 0.05) -> str:
+    val_cut = int(val_frac * 2**32)
+    test_cut = val_cut + int(test_frac * 2**32)
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         md5('gsplit|' || coalesce(source, '\\N')) AS m
+  FROM documents
+),
+u AS (
+  SELECT doc_id, source,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 8),
+             i -> CAST(strpos('0123456789abcdef', substr(m, i, 1)) - 1 AS BIGINT))),
+           (a, b) -> a * 16 + b) AS draw
+  FROM d
+)
+SELECT doc_id, source AS grp,
+       CASE WHEN draw < {val_cut} THEN 'val'
+            WHEN draw < {test_cut} THEN 'test'
+            ELSE 'train' END AS split
+FROM u
+"""
+
+
 def q_minhash_recall(spark, sf_dir):
     """LSH quality gauge for text dedup (the analogue of ann_recall): how
     many of the exact capped-Jaccard pairs at the threshold does the
@@ -3956,6 +3992,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup": q_snapshot_dedup,
         "snapshot_minhash": q_snapshot_minhash,
         "split_assign": q_split_assign,
+        "split_grouped": q_split_grouped,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -4057,6 +4094,7 @@ def ops_oracle_sql() -> dict[str, str]:
             bands=8, max_bucket_size=64, confirm_bands=2
         ),
         "split_assign": _split_assign_sql(),
+        "split_grouped": _split_grouped_sql(),
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "gopher_filter": _SQL_GOPHER_FILTER,

@@ -734,6 +734,24 @@ def test_snapshot_minhash_tie_breaks_to_smallest_old_id(spark):
     assert (r["band_matches"], r["matched_old"], r["keep"]) == (8, 0, False)
 
 
+def test_split_grouped_never_straddles_a_group(spark):
+    from chug_spark.ops.dataflow import split_assign_grouped
+
+    rows = [(i, f"text {i}", "en", f"site{i % 7}", 1) for i in range(140)]
+    rows.append((999, "null site doc", "en", None, 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = split_assign_grouped(docs, val_frac=0.3, test_frac=0.3).collect()
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["split"])
+    # every group (incl. the NULL group) maps to exactly one split
+    assert all(len(s) == 1 for s in by_grp.values())
+    # with 8 groups and 30/30/40 cuts, at least two splits are populated
+    assert len({next(iter(s)) for s in by_grp.values()}) >= 2
+
+
 def test_split_assign_deterministic_and_exclusive(spark):
     import hashlib
 
