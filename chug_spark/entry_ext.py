@@ -1082,6 +1082,47 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_main_content(pages)
 
 
+def q_stream_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl ingestion with a HARD oracle: the 4 fixture WARC
+    shards arrive in two waves (2 shards, drain; 2 more, drain against the
+    streaming checkpoint — the second drain parses ONLY the new files), and
+    the combined record output must hash-equal the BATCH warc_ingest
+    oracle: streaming ≡ batch on the same archive set."""
+    import shutil
+
+    from .sources.warc import build_warc_fixture
+    from .streaming.stream import read_warc_stream_output, run_stream_warc_ingest
+
+    corpus = build_warc_fixture(spark, sf_dir)
+    base = _scratch("q_swarc_")
+    in_dir, out_dir = base + "/in", base + "/out"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    shards = sorted(
+        f for f in os.listdir(corpus) if ".warc" in f
+    )
+    for f in shards[:2]:
+        shutil.copy(os.path.join(corpus, f), in_dir)
+    run_stream_warc_ingest(spark, in_dir, out_dir)
+    for f in shards[2:]:
+        shutil.copy(os.path.join(corpus, f), in_dir)
+    run_stream_warc_ingest(spark, in_dir, out_dir)
+
+    recs = read_warc_stream_output(spark, out_dir)
+    return recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("shard", r"([^/]+?)\.warc", 1).alias("shard"),
+        "rec_no",
+        "url",
+        "warc_date",
+        F.col("http_status").alias("status"),
+        "content_type",
+        F.length("body").cast("int").alias("body_chars"),
+        F.regexp_extract("body", r"(?is)<title[^>]*>(.*?)</title>", 1)
+        .alias("title"),
+    )
+
+
 def _warc_extract_sql() -> str:
     from .ops.html import BOILERPLATE_TAGS, _BLOCK_TAG_RE
 
@@ -1164,6 +1205,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_report": q_lineage_report,
         "warc_ingest": q_warc_ingest,
         "warc_extract": q_warc_extract,
+        "stream_warc": q_stream_warc,
     }
     from .ops.entry import ops_queries
 
@@ -1195,6 +1237,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "lineage_report": _lineage_sql(),
         "warc_ingest": _SQL_WARC_INGEST,
         "warc_extract": _warc_extract_sql(),
+        "stream_warc": _SQL_WARC_INGEST,
     }
     from .ops.entry import ops_oracle_sql
 

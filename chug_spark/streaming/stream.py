@@ -167,6 +167,71 @@ def run_stream_tar_ingest(
     q.awaitTermination()
 
 
+def run_stream_warc_ingest(
+    spark: SparkSession,
+    shard_dir: str,
+    output_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> None:
+    """Incremental web-crawl ingestion: drop new ``.warc``/``.warc.gz``
+    shards into ``shard_dir`` and each drain parses ONLY unseen shards —
+    the streaming twin of :func:`run_stream_tar_ingest` for the WARC
+    source (sources/warc.py; Content-Length framing, record typing, gzip,
+    truncation-as-data all identical to the batch path).
+
+    Records land under ``records/`` partitioned by batch_id with dynamic
+    partition-overwrite (idempotent under foreachBatch's at-least-once
+    replay).  One shard file → one parse task; zero shuffles per
+    micro-batch."""
+    from ..sources.warc import RECORD_SCHEMA, parse_warc_stream
+
+    records_path = os.path.join(output_dir, "records")
+    ckpt = os.path.join(output_dir, "_checkpoint")
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(shard_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from typing import Iterator
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        def expand(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                for shard, blob in zip(pdf["path"], pdf["content"]):
+                    yield parse_warc_stream(shard, bytes(blob))
+
+        records = batch_df.select("path", "content").mapInPandas(
+            expand, schema=RECORD_SCHEMA
+        )
+        (
+            records.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(records_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_warc_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, "records")).drop("batch_id")
+
+
 def run_stream_html_ingest(
     spark: SparkSession,
     pages_dir: str,
