@@ -406,6 +406,52 @@ WHERE si < 20
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (w_d ∝ n_d^0.5): targets derived
+    in-plan from corpus counts via integer micro-sqrt weights +
+    largest-remainder apportionment, map-only Bernoulli keep rule."""
+    from .sources.mixing import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), total=500, tau=0.5, seed=0)
+
+
+_SQL_TEMPERATURE_MIX = """
+WITH b AS (
+  SELECT doc_id, coalesce(CAST(source AS VARCHAR), '\\N') AS grp FROM documents
+),
+c AS (SELECT grp, count(*) AS n_grp FROM b GROUP BY grp),
+q2 AS (
+  -- sw/sw_tot, not s/S: DuckDB identifiers are case-insensitive too
+  SELECT grp, n_grp, CAST(floor(sqrt(n_grp * 10000)) AS BIGINT) AS sw,
+         sum(CAST(floor(sqrt(n_grp * 10000)) AS BIGINT)) OVER () AS sw_tot
+  FROM c
+),
+q3 AS (
+  SELECT grp, n_grp,
+         (500 * sw) // sw_tot AS q,
+         (500 * sw) % sw_tot AS rem
+  FROM q2
+),
+t AS (
+  SELECT grp, n_grp,
+         CAST(q + CASE WHEN row_number() OVER (ORDER BY rem DESC, grp)
+                       <= 500 - sum(q) OVER () THEN 1 ELSE 0 END AS BIGINT)
+           AS target
+  FROM q3
+)
+SELECT b.doc_id, b.grp, t.n_grp, t.target,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 16),
+             i -> CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(b.doc_id AS VARCHAR) || '|0|tmix'), i, 1)) - 1
+                  AS BIGINT))),
+         (a, d) -> (a * 16 + d) % 4294967296)
+       < least((t.target * 4294967296) // t.n_grp, 4294967296) AS keep
+FROM b JOIN t USING (grp)
+"""
+
+
 def q_urldir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import urldir
 
@@ -1206,6 +1252,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "warc_extract": q_warc_extract,
         "stream_warc": q_stream_warc,
+        "temperature_mix": q_temperature_mix,
     }
     from .ops.entry import ops_queries
 
@@ -1238,6 +1285,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "warc_ingest": _SQL_WARC_INGEST,
         "warc_extract": _warc_extract_sql(),
         "stream_warc": _SQL_WARC_INGEST,
+        "temperature_mix": _SQL_TEMPERATURE_MIX,
     }
     from .ops.entry import ops_oracle_sql
 

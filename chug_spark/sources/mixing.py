@@ -103,6 +103,89 @@ def cap_num_samples(
     )
 
 
+def temperature_mix(
+    docs: DataFrame,
+    total: int,
+    tau: float = 0.5,
+    group_col: str = "source",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the LLaMA/PaLM recipe): per-domain
+    sampling targets proportional to ``n_d^tau`` — tau < 1 upweights small
+    domains, tau = 1 is proportional — derived IN-PLAN from the corpus
+    counts, then applied as a map-only deterministic keep rule.
+
+    Integer-exact cross-engine contract (only ``tau`` ∈ {0.5, 1.0}, the
+    two values with engine-exact power functions — sqrt is correctly
+    rounded IEEE in both Spark and DuckDB):
+
+    1. one keyed agg: ``n_d`` per domain (NULL domains form their own
+       group);
+    2. integer micro-weights ``s_d = floor(sqrt(n_d * 10^4))`` (tau=0.5)
+       or ``s_d = n_d`` (tau=1) — exact while ``n_d * 10^4 < 2^53``;
+    3. largest-remainder apportionment of ``total`` over ``s_d`` (floor
+       quotas + the ``total - Σfloor`` remainder seats to the largest
+       ``(total*s_d) mod S``, ties → domain asc) — all int64, order-free;
+    4. keep rule: 32-bit md5 draw < ``floor(target_d * 2^32 / n_d)``
+       (expected kept per domain = target_d; a Bernoulli rate, not
+       exact-k — exact-k would need a per-domain sort whose hottest
+       domain serializes in one task).
+
+    The apportionment windows run over the DOMAIN COUNTS relation (bounded
+    by #domains, not corpus size).  Returns (doc_id, grp, n_grp, target,
+    keep)."""
+    from pyspark.sql.window import Window
+
+    assert tau in (0.5, 1.0), "engine-exact powers only (sqrt / identity)"
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("\\N"))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), grp.alias("grp")
+    )
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grp"))
+    s_d = (
+        F.floor(F.sqrt(F.col("n_grp") * 10000)).cast("long")
+        if tau == 0.5
+        else F.col("n_grp").cast("long")
+    )
+    tot_w = Window.partitionBy()
+    quotas = counts.select(
+        "grp",
+        "n_grp",
+        s_d.alias("sw"),  # ('s'/'S' would collide: Spark names are case-insensitive)
+        F.sum(s_d).over(tot_w).alias("sw_tot"),
+    ).select(
+        "grp",
+        "n_grp",
+        # bigint `div`, never double division — floor quotas must be exact
+        F.expr(f"(CAST({total} AS BIGINT) * sw) div sw_tot").alias("q"),
+        ((F.lit(total) * F.col("sw")) % F.col("sw_tot")).alias("rem"),
+    )
+    seat_w = Window.orderBy(F.desc("rem"), F.asc("grp"))
+    targets = quotas.select(
+        "grp",
+        "n_grp",
+        (
+            F.col("q")
+            + (
+                F.row_number().over(seat_w)
+                <= F.lit(total) - F.sum("q").over(tot_w)
+            ).cast("long")
+        ).alias("target"),
+    )
+    draw = rand_below_col(F.col("doc_id"), seed, 2**32, tag="tmix")
+    # bigint div again (target < 2^31 keeps target*2^32 in int64 range)
+    thresh = F.least(
+        F.expr("(target * 4294967296) div n_grp"), F.lit(2**32).cast("long")
+    )
+    return base.join(F.broadcast(targets), "grp").select(
+        "doc_id",
+        "grp",
+        "n_grp",
+        "target",
+        (draw < thresh).alias("keep"),
+    )
+
+
 def weighted_union(
     sources: Sequence[tuple[str, DataFrame, float]],
     seed: int = 0,

@@ -734,6 +734,31 @@ def test_snapshot_minhash_tie_breaks_to_smallest_old_id(spark):
     assert (r["band_matches"], r["matched_old"], r["keep"]) == (8, 0, False)
 
 
+def test_temperature_mix_targets(spark):
+    from chug_spark.sources.mixing import temperature_mix
+
+    # 900 docs in 'big', 100 in 'small': tau=0.5 gives small sqrt(100)/(
+    # sqrt(900)+sqrt(100)) = 25% of the budget vs 10% proportional
+    rows = [(i, "t", "en", "big" if i < 900 else "small", 1) for i in range(1000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = temperature_mix(docs, total=200, tau=0.5).collect()
+    targets = {r["grp"]: r["target"] for r in out}
+    assert targets["big"] + targets["small"] == 200  # largest-remainder exact
+    assert targets["small"] == 50  # 200 * 0.25
+    # tau=1 is proportional
+    t1 = {r["grp"]: r["target"] for r in temperature_mix(docs, 200, tau=1.0).collect()}
+    assert t1 == {"big": 180, "small": 20}
+    # keep rule is per-doc deterministic and partition-invariant
+    a = sorted(map(tuple, temperature_mix(docs, 200, tau=0.5).collect()))
+    b = sorted(map(tuple, temperature_mix(docs.repartition(7), 200, tau=0.5).collect()))
+    assert a == b
+    # expected kept per domain tracks the target (Bernoulli, not exact-k)
+    kept_small = sum(1 for r in out if r["grp"] == "small" and r["keep"])
+    assert 25 <= kept_small <= 75
+
+
 def test_split_grouped_never_straddles_a_group(spark):
     from chug_spark.ops.dataflow import split_assign_grouped
 
