@@ -74,6 +74,42 @@ def test_http_status_and_content_type_parse():
     assert df["body"][0] == "gone"
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.binary(min_size=0, max_size=120).map(
+                # adversarial payloads: splice record-magic lines into the
+                # middle so only Content-Length framing can survive
+                lambda b: b[: len(b) // 2] + b"\r\nWARC/1.0\r\n" + b[len(b) // 2 :]
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.booleans(),
+    )
+    def test_framing_roundtrip_property(payloads, gz):
+        blob = b"".join(
+            _record(
+                [("WARC-Type", "resource"), ("WARC-Target-URI", f"u://{i}")],
+                p,
+            )
+            for i, p in enumerate(payloads)
+        )
+        if gz:
+            blob = gzip.compress(blob)
+        df = parse_warc_stream("s", blob)
+        assert list(df["rec_no"]) == list(range(len(payloads)))
+        assert list(df["url"]) == [f"u://{i}" for i in range(len(payloads))]
+        assert "__truncated__" not in set(df["warc_type"])
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
