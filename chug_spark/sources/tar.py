@@ -213,7 +213,13 @@ def build_fixture_corpus(
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(f"{sf_dir}|v1|{n_shards}|{anno}".encode()).hexdigest()[:12]
+    from .warc import _corpus_stamp
+
+    # content stamp, not just the path: a regenerated corpus at the SAME
+    # path (e.g. /tmp/sfadv across sessions) must invalidate the cache
+    tag = hashlib.md5(
+        f"{sf_dir}|v1|{n_shards}|{anno}|{_corpus_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join(tempfile.gettempdir(), f"chug_tar_fixture_{tag}")
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):

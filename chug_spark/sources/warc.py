@@ -144,6 +144,27 @@ def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
 _EPOCH = datetime(2020, 1, 1)
 
 
+def _corpus_stamp(sf_dir: str) -> str:
+    """Content stamp of a corpus dir's documents table (file sizes +
+    mtimes): fixture caches keyed only by PATH go stale when the same path
+    is regenerated with different rows (the /tmp adversarial corpus across
+    sessions)."""
+    root = os.path.join(sf_dir, "documents.parquet")
+    paths = (
+        [root]
+        if os.path.isfile(root)
+        else sorted(
+            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".parquet")
+        )
+        if os.path.isdir(root)
+        else []
+    )
+    return ";".join(
+        f"{os.path.basename(p)}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}"
+        for p in paths
+    )
+
+
 def _fixture_body(doc_id: int, text: str | None) -> str:
     """Deterministic HTML body for a doc — replayed verbatim by the oracle
     SQL (entry_ext._SQL_WARC_INGEST), so keep it a pure concat of slices."""
@@ -181,7 +202,9 @@ def build_warc_fixture(
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(f"{sf_dir}|warc-v1|{n_shards}".encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        f"{sf_dir}|warc-v1|{n_shards}|{_corpus_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join(tempfile.gettempdir(), f"chug_warc_fixture_{tag}")
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
