@@ -182,3 +182,18 @@ def test_fixture_reader_end_to_end(spark):
         assert ids.distinct().count() == n_docs
     finally:
         recs.unpersist()
+
+
+def test_write_spans_caps_records_per_file(spark, tmp_path):
+    """maxRecordsPerFile bounds output file size without a count pre-pass
+    (the giant-file half of 100 TB write hygiene; AQE handles small files)."""
+    import glob
+
+    from chug_spark.sources.documents import write_spans
+
+    df = spark.range(100).selectExpr("id AS doc_id", "'x' AS text").coalesce(1)
+    out = str(tmp_path / "capped")
+    write_spans(df, out, max_records_per_file=10)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 10
+    assert spark.read.parquet(out).count() == 100
