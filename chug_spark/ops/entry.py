@@ -3628,6 +3628,102 @@ FROM new n LEFT JOIN best b USING (doc_id)
 """
 
 
+def q_host_rank(spark, sf_dir):
+    """Link-graph centrality over a derived crawl: anchor extraction from
+    synthesized link-only pages (regex leg), host-graph reduction, and
+    3-iteration integer PageRank (ops/linkgraph.py).  Every doc links
+    cross-host to src((id*7+3)%20); every 4th also to src((id*13+1)%20);
+    relative and self-host anchors are injected and must be dropped.
+    Hosts are sanitized to [a-z0-9.-] so hostile source names round-trip
+    the URL parse identically in both engines."""
+    from pyspark.sql import functions as F
+
+    from .linkgraph import extract_links, host_graph, pagerank_hosts
+
+    d = _docs(spark, sf_dir)
+    src = F.regexp_replace(
+        F.lower(F.coalesce(F.col("source"), F.lit("unknown"))),
+        "[^a-z0-9.-]", "-",
+    )
+    did = F.col("doc_id").cast("string")
+    dst1 = (F.col("doc_id") * 7 + 3) % 20
+    dst2 = (F.col("doc_id") * 13 + 1) % 20
+    html = F.concat(
+        F.lit('<a href="https://src'), dst1.cast("string"),
+        F.lit('/p">see '), did, F.lit("</a>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit('<a href="https://src'), dst2.cast("string"),
+                     F.lit('/q">also '), did, F.lit("</a>")),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="/rel">rel '), did, F.lit("</a>"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit('<a href="https://'), src, F.lit('/self">self</a>')),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", src.alias("src_host"), html.alias("html"))
+    links = extract_links(pages).join(
+        pages.select("doc_id", "src_host"), "doc_id"
+    )
+    edges = host_graph(links)
+    return pagerank_hosts(edges, iters=3, damping_pct=85)
+
+
+def _host_rank_sql(iters: int = 3, damping_pct: int = 85) -> str:
+    """Oracle: the link relation rebuilt directly from the synthesis rule
+    (the injected relative/self anchors drop by construction), then the
+    integer PageRank iterations UNROLLED as a CTE chain — all int64 `//`
+    arithmetic, so it replays the engine bit-for-bit."""
+    base = (100 - damping_pct) * 1_000_000 // 100
+    ctes = ["r0 AS (SELECT h AS host, CAST(1000000 AS BIGINT) AS r FROM hosts)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""c{k} AS (
+  SELECT e.dst_host AS host,
+         CAST(sum(e.n_links * (r{k-1}.r // o.outw)) AS BIGINT) AS inflow
+  FROM e JOIN r{k-1} ON e.src_host = r{k-1}.host
+  JOIN outw o ON e.src_host = o.src_host
+  GROUP BY 1
+)""")
+        ctes.append(f"""r{k} AS (
+  SELECT h.h AS host,
+         CAST({base} + (coalesce(c{k}.inflow, 0) * {damping_pct}) // 100
+              AS BIGINT) AS r
+  FROM hosts h LEFT JOIN c{k} ON h.h = c{k}.host
+)""")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(source, 'unknown')),
+                        '[^a-z0-9.-]', '-', 'g') AS src
+  FROM documents
+),
+l AS (
+  SELECT src AS src_host, 'src' || CAST((doc_id*7+3) % 20 AS VARCHAR) AS dst
+  FROM d
+  UNION ALL
+  SELECT src, 'src' || CAST((doc_id*13+1) % 20 AS VARCHAR)
+  FROM d WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT src, src FROM d WHERE doc_id % 5 = 0
+),
+e AS (
+  SELECT src_host, dst AS dst_host, CAST(count(*) AS BIGINT) AS n_links
+  FROM l WHERE dst <> src_host GROUP BY 1, 2
+),
+hosts AS (
+  SELECT DISTINCT h
+  FROM (SELECT src_host AS h FROM e UNION ALL SELECT dst_host FROM e)
+),
+outw AS (
+  SELECT src_host, CAST(sum(n_links) AS BIGINT) AS outw FROM e GROUP BY 1
+),
+{chain}
+SELECT host, r AS rank_micro FROM r{iters}
+"""
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic hash-based train/val/test split (5%/5%/90%)."""
     from .dataflow import split_assign
@@ -3993,6 +4089,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_minhash": q_snapshot_minhash,
         "split_assign": q_split_assign,
         "split_grouped": q_split_grouped,
+        "host_rank": q_host_rank,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -4095,6 +4192,7 @@ def ops_oracle_sql() -> dict[str, str]:
         ),
         "split_assign": _split_assign_sql(),
         "split_grouped": _split_grouped_sql(),
+        "host_rank": _host_rank_sql(iters=3, damping_pct=85),
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "gopher_filter": _SQL_GOPHER_FILTER,
