@@ -206,7 +206,9 @@ def main() -> int:
     from chug_spark.entry_ext import q_warc_extract
     from chug_spark.sources.warc import build_warc_fixture
 
-    build_warc_fixture(spark, SF_DIR)  # untimed (fixture build)
+    # n_shards must match q_warc_extract's (the cache tag includes it) or
+    # the timed lambda pays the fixture build on its first run
+    build_warc_fixture(spark, SF_DIR, n_shards=32)  # untimed (fixture build)
     timed("warc_extract", lambda: q_warc_extract(spark, SF_DIR).count())
     from chug_spark.ops.entry import q_media_dhash
 

@@ -1037,11 +1037,10 @@ LEFT JOIN err_bucket e ON b.bucket = e.bucket
 # ---------------------------------------------------------------------------
 
 
-def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources.warc import build_warc_fixture, read_warc_records
-
-    corpus = build_warc_fixture(spark, sf_dir)
-    recs = read_warc_records(spark, corpus + "/*.warc*")
+def _warc_response_projection(recs: DataFrame) -> DataFrame:
+    """The response-record projection shared by warc_ingest and stream_warc
+    (both validate against _SQL_WARC_INGEST — one projection, two ingestion
+    paths)."""
     return recs.filter(F.col("warc_type") == "response").select(
         F.regexp_extract("shard", r"([^/]+?)\.warc", 1).alias("shard"),
         "rec_no",
@@ -1052,6 +1051,15 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("body").cast("int").alias("body_chars"),
         F.regexp_extract("body", r"(?is)<title[^>]*>(.*?)</title>", 1)
         .alias("title"),
+    )
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import build_warc_fixture, read_warc_records
+
+    corpus = build_warc_fixture(spark, sf_dir)
+    return _warc_response_projection(
+        read_warc_records(spark, corpus + "/*.warc*")
     )
 
 
@@ -1155,18 +1163,7 @@ def q_stream_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(os.path.join(corpus, f), in_dir)
     run_stream_warc_ingest(spark, in_dir, out_dir)
 
-    recs = read_warc_stream_output(spark, out_dir)
-    return recs.filter(F.col("warc_type") == "response").select(
-        F.regexp_extract("shard", r"([^/]+?)\.warc", 1).alias("shard"),
-        "rec_no",
-        "url",
-        "warc_date",
-        F.col("http_status").alias("status"),
-        "content_type",
-        F.length("body").cast("int").alias("body_chars"),
-        F.regexp_extract("body", r"(?is)<title[^>]*>(.*?)</title>", 1)
-        .alias("title"),
-    )
+    return _warc_response_projection(read_warc_stream_output(spark, out_dir))
 
 
 def _warc_extract_sql() -> str:

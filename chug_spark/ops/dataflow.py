@@ -150,6 +150,21 @@ def salted_join(
     return l_salted.join(s_salted, [key, "_salt"], how).drop("_salt")
 
 
+def _split_col(key, val_frac: float, test_frac: float, salt: str):
+    """The one split rule (md5 → 32-bit integer draw → integer thresholds)
+    shared by the per-doc and grouped splits — a change to the draw scheme
+    can never make them diverge."""
+    m = F.md5(F.concat(F.lit(salt + "|"), key))
+    draw = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    val_cut = int(val_frac * 2**32)
+    test_cut = val_cut + int(test_frac * 2**32)
+    return (
+        F.when(draw < val_cut, F.lit("val"))
+        .when(draw < test_cut, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
 def split_assign(
     docs: DataFrame,
     val_frac: float = 0.05,
@@ -162,15 +177,7 @@ def split_assign(
     is exact, stable under reshuffles/re-partitioning, and identical in any
     engine — the property a split MUST have so no doc ever migrates between
     train and eval across pipeline runs.  Map-only, zero shuffle."""
-    m = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
-    draw = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
-    val_cut = int(val_frac * 2**32)
-    test_cut = val_cut + int(test_frac * 2**32)
-    split = (
-        F.when(draw < val_cut, F.lit("val"))
-        .when(draw < test_cut, F.lit("test"))
-        .otherwise(F.lit("train"))
-    )
+    split = _split_col(F.col("doc_id").cast("string"), val_frac, test_frac, salt)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), split.alias("split")
     )
@@ -189,17 +196,9 @@ def split_assign_grouped(
     which is how per-doc splits silently leak at web scale.  NULL groups
     form their own deterministic group (hashed as the literal '\\N').
     Same integer thresholds and map-only, zero-shuffle shape as
-    :func:`split_assign`."""
+    :func:`split_assign` (shared rule: :func:`_split_col`)."""
     key = F.coalesce(F.col(group_col).cast("string"), F.lit("\\N"))
-    m = F.md5(F.concat(F.lit(salt + "|"), key))
-    draw = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
-    val_cut = int(val_frac * 2**32)
-    test_cut = val_cut + int(test_frac * 2**32)
-    split = (
-        F.when(draw < val_cut, F.lit("val"))
-        .when(draw < test_cut, F.lit("test"))
-        .otherwise(F.lit("train"))
-    )
+    split = _split_col(key, val_frac, test_frac, salt)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col(group_col).alias("grp"),

@@ -3663,9 +3663,9 @@ def q_host_rank(spark, sf_dir):
         ).otherwise(F.lit("")),
     )
     pages = d.select("doc_id", src.alias("src_host"), html.alias("html"))
-    links = extract_links(pages).join(
-        pages.select("doc_id", "src_host"), "doc_id"
-    )
+    # src_host rides the explode (carry=) — no join back to pages, so
+    # pages -> edges stays a single scan stage
+    links = extract_links(pages, carry=("src_host",))
     edges = host_graph(links)
     return pagerank_hosts(edges, iters=3, damping_pct=85)
 

@@ -39,10 +39,15 @@ def _norm_anchor(s: Column) -> Column:
 
 
 def extract_links(
-    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, link_no, href, anchor): every <a href> in document order,
-    anchor text tag-stripped and whitespace-normalized.  Map-only."""
+    """(doc_id, link_no, href, anchor[, *carry]): every <a href> in
+    document order, anchor text tag-stripped and whitespace-normalized.
+    Map-only; ``carry`` columns (e.g. the page's own host) ride the explode
+    so downstream graph building never needs a join back to pages."""
     pairs = F.regexp_extract_all(
         F.coalesce(F.col(html_col), F.lit("")), F.lit(_A_TAG_RE), F.lit(1)
     )
@@ -53,6 +58,7 @@ def extract_links(
     return (
         pages.select(
             F.col(id_col).cast("long").alias("doc_id"),
+            *[F.col(c) for c in carry],
             F.posexplode(z).alias("link_no", "l"),
         )
         .select(
@@ -60,6 +66,7 @@ def extract_links(
             F.col("link_no").cast("int").alias("link_no"),
             F.col("l.href").alias("href"),
             _norm_anchor(F.col("l.txt")).alias("anchor"),
+            *[F.col(c) for c in carry],
         )
     )
 

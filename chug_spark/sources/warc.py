@@ -53,7 +53,16 @@ def parse_warc_stream(shard: str, blob: bytes) -> pd.DataFrame:
     """One WARC stream → RECORD_SCHEMA rows.  Content-Length framing; gzip
     (possibly multi-member) auto-detected."""
     if blob[:2] == b"\x1f\x8b":
-        blob = gzip.decompress(blob)
+        try:
+            blob = gzip.decompress(blob)
+        except (EOFError, gzip.BadGzipFile, OSError):
+            # shard truncated mid-transfer / corrupt: error is data, never
+            # an exception (one bad shard must not kill the job)
+            return pd.DataFrame(
+                [(shard, 0, "__truncated__", None, None, None, None, None)],
+                columns=["shard", "rec_no", "warc_type", "url", "warc_date",
+                         "http_status", "content_type", "body"],
+            )
     rows: list[tuple] = []
     pos, rec_no = 0, 0
     n = len(blob)
@@ -75,6 +84,10 @@ def parse_warc_stream(shard: str, blob: bytes) -> pd.DataFrame:
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
+            clen = -1
+        if clen < 0:
+            # missing/garbage/negative length: a negative value could move
+            # the cursor BACKWARDS and loop forever — stop the shard here
             rows.append((shard, rec_no, "__truncated__", None, None, None, None, None))
             break
         payload_start = hdr_end + 4
@@ -119,20 +132,26 @@ def _parse_http_response(payload: bytes):
     return status, ctype, body
 
 
-def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
-    """Read WARC shards at ``path`` (file/glob/dir) into record rows.
-
-    ``rec_no`` counts every record in the shard stream; non-response records
-    carry NULL http fields.  One binaryFile row per shard → one parse task
-    per shard, no shuffle."""
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+def records_from_binary_df(raw: DataFrame) -> DataFrame:
+    """(path, content) binary rows → RECORD_SCHEMA rows.  The ONE parse
+    entry point shared by the batch reader and the streaming drain, so the
+    stream_warc streaming≡batch oracle can never mask a parser fork."""
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for shard, blob in zip(pdf["path"], pdf["content"]):
                 yield parse_warc_stream(shard, bytes(blob))
 
-    return raw.mapInPandas(expand, schema=RECORD_SCHEMA)
+    return raw.select("path", "content").mapInPandas(expand, schema=RECORD_SCHEMA)
+
+
+def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC shards at ``path`` (file/glob/dir) into record rows.
+
+    ``rec_no`` counts every record in the shard stream; non-response records
+    carry NULL http fields.  One binaryFile row per shard → one parse task
+    per shard, no shuffle."""
+    return records_from_binary_df(spark.read.format("binaryFile").load(path))
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +243,10 @@ def build_warc_fixture(
         ))
     for i, r in enumerate(docs):
         did = int(r.doc_id)
-        url = f"https://{r.source or 'unknown'}/doc/{did}"
+        # None-only substitution (NOT `or`): an empty-string source must
+        # round-trip as 'https:///doc/N' exactly like the oracle's coalesce
+        src = "unknown" if r.source is None else r.source
+        url = f"https://{src}/doc/{did}"
         date = (_EPOCH + timedelta(seconds=did)).strftime("%Y-%m-%dT%H:%M:%SZ")
         if did % 13 == 0:
             http = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone"

@@ -183,7 +183,7 @@ def run_stream_warc_ingest(
     partition-overwrite (idempotent under foreachBatch's at-least-once
     replay).  One shard file → one parse task; zero shuffles per
     micro-batch."""
-    from ..sources.warc import RECORD_SCHEMA, parse_warc_stream
+    from ..sources.warc import records_from_binary_df
 
     records_path = os.path.join(output_dir, "records")
     ckpt = os.path.join(output_dir, "_checkpoint")
@@ -198,19 +198,11 @@ def run_stream_warc_ingest(
     stream = reader.load(shard_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from typing import Iterator
-
-        import pandas as pd
         from pyspark.sql import functions as F
 
-        def expand(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-            for pdf in batches:
-                for shard, blob in zip(pdf["path"], pdf["content"]):
-                    yield parse_warc_stream(shard, bytes(blob))
-
-        records = batch_df.select("path", "content").mapInPandas(
-            expand, schema=RECORD_SCHEMA
-        )
+        # the SAME parse entry point as the batch reader — the
+        # streaming≡batch oracle must never mask a parser fork
+        records = records_from_binary_df(batch_df)
         (
             records.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")

@@ -61,6 +61,21 @@ def test_truncated_record_is_data_not_exception():
     assert df["url"][1] == "https://a/2"  # headers still surfaced
 
 
+def test_negative_content_length_terminates():
+    """A negative Content-Length must stop the shard as __truncated__ —
+    never move the cursor backwards (infinite loop / unbounded rows)."""
+    good = _resp("https://a/1", b"<p>ok</p>")
+    evil = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -29\r\n\r\n"
+    df = parse_warc_stream("s", good + evil)
+    assert list(df["warc_type"]) == ["response", "__truncated__"]
+
+
+def test_corrupt_gzip_is_data_not_exception():
+    raw = _resp("https://a/1", b"<p>ok</p>")
+    df = parse_warc_stream("s", gzip.compress(raw)[:-5])  # truncated transfer
+    assert list(df["warc_type"]) == ["__truncated__"]
+
+
 def test_gzip_stream_roundtrip():
     raw = _resp("https://a/1", b"<p>one</p>") + _resp("https://a/2", b"<p>two</p>")
     df = parse_warc_stream("s", gzip.compress(raw))
