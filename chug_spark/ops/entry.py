@@ -3628,19 +3628,15 @@ FROM new n LEFT JOIN best b USING (doc_id)
 """
 
 
-def q_host_rank(spark, sf_dir):
-    """Link-graph centrality over a derived crawl: anchor extraction from
-    synthesized link-only pages (regex leg), host-graph reduction, and
-    3-iteration integer PageRank (ops/linkgraph.py).  Every doc links
-    cross-host to src((id*7+3)%20); every 4th also to src((id*13+1)%20);
-    relative and self-host anchors are injected and must be dropped.
-    Hosts are sanitized to [a-z0-9.-] so hostile source names round-trip
-    the URL parse identically in both engines."""
+def _link_pages(d):
+    """Synthesized link-only crawl pages shared by the link-graph queries:
+    every doc links cross-host to src((id*7+3)%20) with anchor 'see {id}';
+    every 4th also to src((id*13+1)%20) ('also {id}'); a relative anchor
+    ('rel {id}') and — every 5th doc — a self-host anchor ('self') are
+    injected.  Hosts sanitized to [a-z0-9.-] so hostile source names
+    round-trip the URL parse identically in both engines."""
     from pyspark.sql import functions as F
 
-    from .linkgraph import extract_links, host_graph, pagerank_hosts
-
-    d = _docs(spark, sf_dir)
     src = F.regexp_replace(
         F.lower(F.coalesce(F.col("source"), F.lit("unknown"))),
         "[^a-z0-9.-]", "-",
@@ -3662,12 +3658,61 @@ def q_host_rank(spark, sf_dir):
             F.concat(F.lit('<a href="https://'), src, F.lit('/self">self</a>')),
         ).otherwise(F.lit("")),
     )
-    pages = d.select("doc_id", src.alias("src_host"), html.alias("html"))
+    return d.select("doc_id", src.alias("src_host"), html.alias("html"))
+
+
+def q_host_rank(spark, sf_dir):
+    """Link-graph centrality over a derived crawl: anchor extraction from
+    synthesized link-only pages (regex leg), host-graph reduction, and
+    3-iteration integer PageRank (ops/linkgraph.py).  Relative and
+    self-host anchors must be dropped."""
+    from .linkgraph import extract_links, host_graph, pagerank_hosts
+
+    pages = _link_pages(_docs(spark, sf_dir))
     # src_host rides the explode (carry=) — no join back to pages, so
     # pages -> edges stays a single scan stage
     links = extract_links(pages, carry=("src_host",))
     edges = host_graph(links)
     return pagerank_hosts(edges, iters=3, damping_pct=85)
+
+
+def q_anchor_terms(spark, sf_dir):
+    """Off-page relevance signal: top-3 anchor-text terms pointing AT each
+    host (relative hrefs drop at the empty-host gate; self-host anchors
+    legitimately count)."""
+    from .linkgraph import anchor_terms, extract_links
+
+    return anchor_terms(extract_links(_link_pages(_docs(spark, sf_dir))), k=3)
+
+
+_SQL_ANCHOR_TERMS = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(source, 'unknown')),
+                        '[^a-z0-9.-]', '-', 'g') AS src
+  FROM documents
+),
+l AS (
+  SELECT 'src' || CAST((doc_id*7+3) % 20 AS VARCHAR) AS dst_host,
+         t.term
+  FROM d, unnest(['see', CAST(doc_id AS VARCHAR)]) AS t(term)
+  UNION ALL
+  SELECT 'src' || CAST((doc_id*13+1) % 20 AS VARCHAR), t.term
+  FROM d, unnest(['also', CAST(doc_id AS VARCHAR)]) AS t(term)
+  WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT src, 'self' FROM d WHERE doc_id % 5 = 0
+),
+g AS (
+  SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n
+  FROM l GROUP BY 1, 2
+)
+SELECT dst_host, term, n,
+       CAST(row_number() OVER (PARTITION BY dst_host ORDER BY n DESC, term)
+            AS INT) AS rk
+FROM g
+QUALIFY rk <= 3
+"""
 
 
 def _host_rank_sql(iters: int = 3, damping_pct: int = 85) -> str:
@@ -4090,6 +4135,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "split_grouped": q_split_grouped,
         "host_rank": q_host_rank,
+        "anchor_terms": q_anchor_terms,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -4193,6 +4239,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql(),
         "split_grouped": _split_grouped_sql(),
         "host_rank": _host_rank_sql(iters=3, damping_pct=85),
+        "anchor_terms": _SQL_ANCHOR_TERMS,
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "gopher_filter": _SQL_GOPHER_FILTER,

@@ -86,6 +86,39 @@ def host_graph(
     )
 
 
+def anchor_terms(
+    links: DataFrame, href_col: str = "href", k: int = 3
+) -> DataFrame:
+    """(dst_host, term, n, rk): top-k anchor-text terms pointing AT each
+    host — the classic off-page relevance/spam signal (what the web says a
+    site is about, independent of its own content).
+
+    One keyed agg over (dst_host, term) with map-side combine, then a
+    row_number window PARTITIONED BY HOST over the aggregated term counts
+    (bounded by a host's distinct anchor vocabulary, not its in-link
+    count — a host with 10^9 identical 'click here' in-links contributes
+    ONE row to the window).  Ties → term asc."""
+    from pyspark.sql.window import Window
+
+    dst = url_host(F.col(href_col))
+    terms = (
+        links.select(
+            dst.alias("dst_host"),
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col("anchor"), F.lit(""))), " ")
+            ).alias("term"),
+        )
+        .filter((F.col("dst_host") != "") & (F.col("term") != ""))
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        terms.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def pagerank_hosts(
     edges: DataFrame, iters: int = 3, damping_pct: int = 85
 ) -> DataFrame:
