@@ -3769,6 +3769,141 @@ SELECT host, r AS rank_micro FROM r{iters}
 """
 
 
+def q_robots_filter(spark, sf_dir):
+    """RFC 9309 crawl-policy gate (ops/robots.py): per-host robots.txt
+    synthesized with host-length traits (a ``*`` group with a longest-match
+    allow/deny pair plus — on even-length hosts — a ``/*.pdf$`` wildcard
+    rule; a chugbot/altbot group on length%3==0 hosts), then every doc's
+    URL judged for agent 'chugbot'.  Exercises the full parse (comments,
+    case, empty Disallow, consecutive UA lines), exclusive group selection
+    (* never merges into chugbot), longest-match + allow-wins-tie, */$
+    patterns, and the query string in the match target."""
+    from pyspark.sql import functions as F
+
+    from .robots import robots_filter
+
+    d = _docs(spark, sf_dir)
+    src0 = F.regexp_replace(
+        F.lower(F.coalesce(F.col("source"), F.lit("unknown"))), "[^a-z0-9.-]", "-"
+    )
+    src = F.when(src0 == "", F.lit("unknown")).otherwise(src0)
+    m9 = F.pmod(F.col("doc_id"), 9)
+    path = (
+        F.when(m9 == 0, F.lit("/private/ok/r"))
+        .when(m9 == 1, F.lit("/private/leak"))
+        .when(m9 == 2, F.lit("/a/file.pdf"))
+        .when(m9 == 3, F.lit("/a/file.pdfx"))
+        .otherwise(
+            F.concat(
+                F.lit("/p/"), F.pmod(F.col("doc_id"), 25).cast("string"),
+                F.lit("?q="), F.pmod(F.col("doc_id"), 5).cast("string"),
+            )
+        )
+    )
+    urls = d.select(
+        "doc_id", F.concat(F.lit("https://"), src, path).alias("url")
+    )
+    hosts = d.select(src.alias("host")).distinct()
+    t3 = F.pmod(F.length("host"), 3)
+    t2 = F.pmod(F.length("host"), 2)
+    txt = F.concat(
+        F.lit(
+            "# policy\nUser-Agent: *\nDisallow: /private\n"
+            "Allow: /private/ok\nDisallow:\n"
+        ),
+        F.when(t2 == 0, F.lit("Disallow: /*.pdf$\n")).otherwise(F.lit("")),
+        F.when(
+            t3 == 0,
+            F.lit(
+                "\nUser-agent: chugbot\nUser-agent: altbot\n"
+                "Disallow: /p/1*\nAllow: /p/12\n"
+            ),
+        ).otherwise(F.lit("")),
+    )
+    robots = hosts.select("host", txt.alias("robots_txt"))
+    return robots_filter(urls, robots, agent="chugbot")
+
+
+_SQL_ROBOTS_FILTER = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN s = '' THEN 'unknown' ELSE s END AS host,
+         CASE WHEN doc_id % 9 = 0 THEN '/private/ok/r'
+              WHEN doc_id % 9 = 1 THEN '/private/leak'
+              WHEN doc_id % 9 = 2 THEN '/a/file.pdf'
+              WHEN doc_id % 9 = 3 THEN '/a/file.pdfx'
+              ELSE '/p/' || CAST(doc_id % 25 AS VARCHAR)
+                   || '?q=' || CAST(doc_id % 5 AS VARCHAR) END AS path
+  FROM (SELECT doc_id,
+               regexp_replace(lower(coalesce(source, 'unknown')),
+                              '[^a-z0-9.-]', '-', 'g') AS s
+        FROM documents)
+),
+u AS (
+  SELECT doc_id, 'https://' || host || path AS url, host, path FROM d
+),
+t AS (
+  SELECT host, length(host) % 3 AS t3, length(host) % 2 AS t2
+  FROM (SELECT DISTINCT host FROM d)
+),
+-- the rule groups as the parse produces them, rebuilt from the synthesis
+-- traits (the Spark side runs the real line parser over the same text)
+bot AS (
+  SELECT host, FALSE AS allow, '/p/1*' AS prefix FROM t WHERE t3 = 0
+  UNION ALL
+  SELECT host, TRUE, '/p/12' FROM t WHERE t3 = 0
+),
+sel AS (
+  SELECT host, allow, prefix FROM bot
+  UNION ALL
+  SELECT s.host, s.allow, s.prefix
+  FROM (
+    SELECT host, FALSE AS allow, '/private' AS prefix FROM t
+    UNION ALL SELECT host, TRUE, '/private/ok' FROM t
+    UNION ALL SELECT host, FALSE, '/*.pdf$' FROM t WHERE t2 = 0
+  ) s
+  WHERE s.host NOT IN (SELECT host FROM bot)
+),
+r AS (
+  SELECT host, allow, prefix, anchor, body,
+         '^' || regexp_replace(
+                  regexp_replace(body, '([.^$+?(){}\[\]\\|])', '\\\1', 'g'),
+                  '\*', '.*', 'g')
+             || CASE WHEN anchor THEN '$' ELSE '' END AS rx
+  FROM (
+    SELECT *,
+           ends_with(prefix, '$') AS anchor,
+           CASE WHEN ends_with(prefix, '$')
+                THEN substr(prefix, 1, length(prefix) - 1)
+                ELSE prefix END AS body
+    FROM sel
+  )
+),
+m AS (
+  SELECT u.doc_id, r.allow, r.prefix
+  FROM u JOIN r ON u.host = r.host
+  WHERE CASE
+          WHEN NOT contains(r.body, '*') AND NOT r.anchor
+            THEN starts_with(u.path, r.body)
+          WHEN NOT contains(r.body, '*') THEN u.path = r.body
+          ELSE regexp_matches(u.path, r.rx)
+        END
+),
+win AS (
+  SELECT doc_id, allow, prefix
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id
+          ORDER BY length(prefix) DESC, allow DESC, prefix) AS rn
+        FROM m)
+  WHERE rn = 1
+)
+SELECT u.doc_id, u.url, u.host, u.path,
+       coalesce(w.allow, TRUE) AS allow,
+       w.prefix AS rule_prefix
+FROM u LEFT JOIN win w USING (doc_id)
+"""
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic hash-based train/val/test split (5%/5%/90%)."""
     from .dataflow import split_assign
@@ -4136,6 +4271,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_grouped": q_split_grouped,
         "host_rank": q_host_rank,
         "anchor_terms": q_anchor_terms,
+        "robots_filter": q_robots_filter,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -4240,6 +4376,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "split_grouped": _split_grouped_sql(),
         "host_rank": _host_rank_sql(iters=3, damping_pct=85),
         "anchor_terms": _SQL_ANCHOR_TERMS,
+        "robots_filter": _SQL_ROBOTS_FILTER,
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "gopher_filter": _SQL_GOPHER_FILTER,
