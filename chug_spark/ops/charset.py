@@ -1,0 +1,153 @@
+"""Charset sniffing + text decode for fetched web payloads — the step
+between raw WARC/HTTP bytes and every text operator downstream.  Follows
+the WHATWG encoding-sniffing precedence: BOM > HTTP Content-Type charset
+> in-document meta/XML declaration > UTF-8 validity probe > windows-1252
+fallback (the web's legacy default).
+
+Everything is pure Column work — map-only, zero shuffle, zero Python:
+
+- BOM detection is a prefix test on ``hex(payload)`` (UTF-32 variants
+  checked before their UTF-16 prefixes).
+- UTF-8 validity is ONE deterministic regex over the hex string — a
+  fixed-alternation byte-class grammar (RFC 3629 table), no backtracking
+  blowup, linear in payload size.
+- The meta scan decodes a bounded prefix as ISO-8859-1 (total — every
+  byte sequence decodes) and regex-extracts ``charset=``/``encoding=``.
+- Decode uses the JVM charsets Spark exposes; windows-1252 is
+  approximated by ISO-8859-1 (identical except 0x80-0x9F, where 1252
+  maps printables — documented, and the sniff still REPORTS
+  windows-1252).  UTF-32 payloads are detected but decode to NULL
+  (charset reported; Spark's decode() has no UTF-32).
+
+A declared-UTF-8 payload that fails the validity probe decodes as
+ISO-8859-1 instead of raising — at 10^12 docs a single mislabeled page
+must never kill the stage (same policy as the WARC truncation rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (hex prefix, reported charset, BOM length in bytes) — longest first so
+#: UTF-32 BOMs win over their UTF-16 prefixes
+_BOMS = (
+    ("0000FEFF", "utf-32be", 4),
+    ("FFFE0000", "utf-32le", 4),
+    ("EFBBBF", "utf-8", 3),
+    ("FEFF", "utf-16be", 2),
+    ("FFFE", "utf-16le", 2),
+)
+
+_CONT = "[89AB][0-9A-F]"  # one UTF-8 continuation byte, over hex pairs
+
+#: RFC 3629 well-formed byte sequences, as a regex over hex(payload)
+UTF8_HEX_RE = (
+    "^(?:"
+    "[0-7][0-9A-F]"                      # 00-7F
+    f"|C[2-9A-F]{_CONT}|D[0-9A-F]{_CONT}"  # C2-DF
+    f"|E0[AB][0-9A-F]{_CONT}"            # E0 A0-BF
+    f"|E[1-9A-C]{_CONT}{_CONT}"          # E1-EC
+    f"|ED[89][0-9A-F]{_CONT}"            # ED 80-9F (no surrogates)
+    f"|E[EF]{_CONT}{_CONT}"              # EE-EF
+    f"|F0[9AB][0-9A-F]{_CONT}{_CONT}"    # F0 90-BF
+    f"|F[1-3]{_CONT}{_CONT}{_CONT}"      # F1-F3
+    f"|F48[0-9A-F]{_CONT}{_CONT}{_CONT}" # F4 80-8F (<= U+10FFFF)
+    ")*$"
+)
+
+_LABEL_RE = r"""(?i)(?:charset|encoding)\s*=\s*["']?\s*([A-Za-z0-9._:-]+)"""
+
+
+def normalize_label(label: Column) -> Column:
+    """lowercased charset label with the common aliases folded (utf8,
+    latin-1/iso8859-1, ascii, cp1252 families)."""
+    lab = F.lower(F.trim(label))
+    return (
+        F.when(lab.isin("utf8", "utf-8"), "utf-8")
+        .when(lab.isin("latin1", "latin-1", "iso8859-1", "iso-8859-1", "l1"),
+              "iso-8859-1")
+        .when(lab.isin("ascii", "us-ascii"), "us-ascii")
+        .when(lab.isin("cp1252", "windows-1252", "win-1252", "x-cp1252"),
+              "windows-1252")
+        .when(lab.isin("utf-16", "utf16", "unicode"), "utf-16")
+        .otherwise(lab)
+    )
+
+
+def detect_charset(
+    payloads: DataFrame,
+    payload_col: str = "payload",
+    header_ct_col: str | None = None,
+    meta_prefix_bytes: int = 2048,
+) -> DataFrame:
+    """All input columns plus (bom, hdr_charset, meta_charset, utf8_valid,
+    charset, bom_len) — the WHATWG-precedence sniff verdict per payload.
+
+    ``header_ct_col`` optionally names an HTTP Content-Type column whose
+    ``charset=`` parameter outranks the in-document meta (but never a
+    BOM).  NULL payloads report charset NULL."""
+    hx = F.hex(F.col(payload_col))
+    bom = F.lit(None).cast("string")
+    bom_len = F.lit(0)
+    for prefix, name, blen in _BOMS:
+        hit = hx.startswith(prefix)
+        bom = F.when(hit & bom.isNull(), F.lit(name)).otherwise(bom)
+        bom_len = F.when(bom == name, F.lit(blen)).otherwise(bom_len)
+    hdr = (
+        normalize_label(F.regexp_extract(F.col(header_ct_col), _LABEL_RE, 1))
+        if header_ct_col
+        else F.lit("")
+    )
+    prefix_txt = F.decode(
+        F.col(payload_col).substr(F.lit(1), F.lit(meta_prefix_bytes)),
+        "ISO-8859-1",
+    )
+    meta = normalize_label(F.regexp_extract(prefix_txt, _LABEL_RE, 1))
+    utf8_ok = F.regexp_like(hx, F.lit(UTF8_HEX_RE))
+    charset = (
+        F.when(F.col(payload_col).isNull(), F.lit(None).cast("string"))
+        .when(bom.isNotNull(), bom)
+        .when(hdr != "", hdr)
+        .when(meta != "", meta)
+        .when(utf8_ok, F.lit("utf-8"))
+        .otherwise(F.lit("windows-1252"))
+    )
+    return payloads.select(
+        "*",
+        bom.alias("bom"),
+        F.nullif(hdr, F.lit("")).alias("hdr_charset"),
+        F.nullif(meta, F.lit("")).alias("meta_charset"),
+        utf8_ok.alias("utf8_valid"),
+        charset.alias("charset"),
+        bom_len.cast("int").alias("bom_len"),
+    )
+
+
+def decode_payload_text(
+    sniffed: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Adds ``text``: the payload decoded per the sniffed charset, BOM
+    stripped.  Total — a declared-utf-8 body that fails the validity
+    probe decodes as ISO-8859-1 (never raises); charsets Spark cannot
+    decode (utf-32*, exotic labels) yield NULL text, charset retained."""
+    body = F.col(payload_col).substr(
+        F.col("bom_len") + 1, F.length(F.col(payload_col))
+    )
+    cs = F.col("charset")
+    latin1ish = cs.isin("iso-8859-1", "windows-1252", "us-ascii")
+    # even-length guard: under default-ANSI Spark 4 a truncated UTF-16
+    # body (odd byte count) would raise from decode and kill the stage —
+    # mislabeled pages fall back to the total ISO-8859-1 decode instead
+    even = F.length(body) % 2 == 0
+    text = (
+        F.when(cs.isNull(), F.lit(None).cast("string"))
+        .when((cs == "utf-8") & F.col("utf8_valid"), F.decode(body, "UTF-8"))
+        .when(cs == "utf-8", F.decode(body, "ISO-8859-1"))
+        .when((cs == "utf-16le") & even, F.decode(body, "UTF-16LE"))
+        .when((cs == "utf-16be") & even, F.decode(body, "UTF-16BE"))
+        .when(cs.isin("utf-16le", "utf-16be"), F.decode(body, "ISO-8859-1"))
+        .when(latin1ish, F.decode(body, "ISO-8859-1"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return sniffed.select("*", text.alias("text"))

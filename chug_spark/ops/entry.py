@@ -3904,6 +3904,95 @@ FROM u LEFT JOIN win w USING (doc_id)
 """
 
 
+def q_charset_detect(spark, sf_dir):
+    """WHATWG charset sniff + decode (ops/charset.py) over a synthesized
+    byte corpus: 8 payload classes per doc_id%8 — plain ascii, utf-8
+    multibyte, utf-8 BOM, utf-16le BOM, meta windows-1252 with a latin-1
+    byte, invalid utf-8, header-declared iso-8859-1, and an XML
+    declaration with the utf8 alias.  The Spark side runs the real
+    detector on real bytes (hex-domain RFC 3629 regex, BOM prefixes, meta
+    scan, precedence chain, BOM-stripped decode); the oracle states the
+    ground truth per class."""
+    from pyspark.sql import functions as F
+
+    from .charset import decode_payload_text, detect_charset
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    did = F.col("doc_id").cast("string")
+    m8 = F.pmod(F.col("doc_id"), 8)
+    ascii_body = F.encode(F.concat(F.lit("doc "), did), "UTF-8")
+    payload = (
+        F.when(m8 == 0, ascii_body)
+        .when(m8 == 1, F.encode(F.concat(F.lit("é doc "), did), "UTF-8"))
+        .when(m8 == 2, F.concat(F.unhex(F.lit("EFBBBF")), ascii_body))
+        .when(
+            m8 == 3,
+            F.concat(
+                F.unhex(F.lit("FFFE")),
+                F.encode(F.concat(F.lit("hi "), did), "UTF-16LE"),
+            ),
+        )
+        .when(
+            m8 == 4,
+            F.concat(
+                F.encode(F.lit('<meta charset="windows-1252">caf'), "UTF-8"),
+                F.unhex(F.lit("E9")),
+                F.encode(F.concat(F.lit(" "), did), "UTF-8"),
+            ),
+        )
+        .when(m8 == 5, F.concat(F.unhex(F.lit("FF")), ascii_body))
+        .when(m8 == 6, ascii_body)
+        .otherwise(
+            F.encode(
+                F.concat(
+                    F.lit('<?xml version="1.0" encoding="UTF8"?><d>'), did,
+                    F.lit("</d>"),
+                ),
+                "UTF-8",
+            )
+        )
+    )
+    ct = F.when(m8 == 6, F.lit("text/html; charset=ISO-8859-1"))
+    sniffed = detect_charset(
+        d.select("doc_id", payload.alias("payload"), ct.alias("ct")),
+        header_ct_col="ct",
+    )
+    return decode_payload_text(sniffed).select(
+        "doc_id", "bom", "hdr_charset", "meta_charset", "utf8_valid",
+        "charset", "bom_len", "text",
+    )
+
+
+_SQL_CHARSET_DETECT = """
+SELECT doc_id,
+       CASE WHEN m = 2 THEN 'utf-8'
+            WHEN m = 3 THEN 'utf-16le' END AS bom,
+       CASE WHEN m = 6 THEN 'iso-8859-1' END AS hdr_charset,
+       CASE WHEN m = 4 THEN 'windows-1252'
+            WHEN m = 7 THEN 'utf-8' END AS meta_charset,
+       m IN (0, 1, 2, 6, 7) AS utf8_valid,
+       CASE WHEN m IN (0, 1, 7) THEN 'utf-8'
+            WHEN m = 2 THEN 'utf-8'
+            WHEN m = 3 THEN 'utf-16le'
+            WHEN m = 4 THEN 'windows-1252'
+            WHEN m = 5 THEN 'windows-1252'
+            WHEN m = 6 THEN 'iso-8859-1' END AS charset,
+       CAST(CASE WHEN m = 2 THEN 3 WHEN m = 3 THEN 2 ELSE 0 END AS INT)
+         AS bom_len,
+       CASE WHEN m IN (0, 2, 6) THEN 'doc ' || i
+            WHEN m = 1 THEN e_acute || ' doc ' || i
+            WHEN m = 3 THEN 'hi ' || i
+            WHEN m = 4 THEN '<meta charset="windows-1252">caf' || e_acute
+                            || ' ' || i
+            WHEN m = 5 THEN y_uml || 'doc ' || i
+            ELSE '<?xml version="1.0" encoding="UTF8"?><d>' || i || '</d>'
+       END AS text
+FROM (SELECT doc_id, doc_id % 8 AS m, CAST(doc_id AS VARCHAR) AS i,
+             chr(233) AS e_acute, chr(255) AS y_uml
+      FROM documents)
+"""
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic hash-based train/val/test split (5%/5%/90%)."""
     from .dataflow import split_assign
@@ -4272,6 +4361,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "anchor_terms": q_anchor_terms,
         "robots_filter": q_robots_filter,
+        "charset_detect": q_charset_detect,
         "bpe_token_count": q_bpe_token_count,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -4377,6 +4467,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "host_rank": _host_rank_sql(iters=3, damping_pct=85),
         "anchor_terms": _SQL_ANCHOR_TERMS,
         "robots_filter": _SQL_ROBOTS_FILTER,
+        "charset_detect": _SQL_CHARSET_DETECT,
         "bpe_token_count": _SQL_BPE_TOKEN_COUNT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "gopher_filter": _SQL_GOPHER_FILTER,

@@ -1,0 +1,106 @@
+"""Charset sniffing + decode (ops/charset.py): WHATWG precedence, BOMs,
+UTF-8 validity grammar, meta/header labels, never-dies decode."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from chug_spark.ops.charset import (
+    UTF8_HEX_RE,
+    decode_payload_text,
+    detect_charset,
+)
+
+
+def _detect(spark, rows, header=False):
+    schema = "doc_id long, payload binary" + (", ct string" if header else "")
+    df = spark.createDataFrame(rows, schema)
+    out = decode_payload_text(
+        detect_charset(df, header_ct_col="ct" if header else None)
+    )
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_utf8_hex_grammar_is_exact():
+    # pure-Python parity: the hex regex must agree with bytes.decode
+    cases = [
+        b"plain ascii",
+        "héllo wörld €".encode("utf-8"),
+        "\U0001f600 astral".encode("utf-8"),
+        b"\xff\x41",            # lone invalid byte
+        b"\xc3",                # truncated 2-byte seq
+        b"\xc0\xaf",            # overlong encoding
+        b"\xed\xa0\x80",        # surrogate half
+        b"\xf4\x90\x80\x80",    # > U+10FFFF
+        b"\xe0\xa0\x80",        # minimal valid 3-byte
+        b"",
+    ]
+    rx = re.compile(UTF8_HEX_RE)
+    for b in cases:
+        try:
+            b.decode("utf-8")
+            valid = True
+        except UnicodeDecodeError:
+            valid = False
+        assert bool(rx.match(b.hex().upper())) == valid, b
+
+
+def test_bom_precedence_and_decode(spark):
+    got = _detect(
+        spark,
+        [
+            (1, "﻿hi".encode("utf-8")),        # utf-8 BOM
+            (2, "hi".encode("utf-16-le")),           # no BOM -> not utf16
+            (3, b"\xff\xfeh\x00i\x00"),              # utf-16le BOM
+            (4, b"\xfe\xff\x00h\x00i"),              # utf-16be BOM
+            (5, b"\xff\xfe\x00\x00h\x00\x00\x00"),   # utf-32le BOM wins over 16le
+            (6, b"\xff\xfeh\x00i"),                  # utf-16le BOM, odd body
+        ],
+    )
+    assert (got[1].bom, got[1].charset, got[1].text) == ("utf-8", "utf-8", "hi")
+    assert got[2].bom is None
+    assert (got[3].charset, got[3].text) == ("utf-16le", "hi")
+    assert (got[4].charset, got[4].text) == ("utf-16be", "hi")
+    assert (got[5].charset, got[5].bom_len, got[5].text) == ("utf-32le", 4, None)
+    assert got[6].charset == "utf-16le" and got[6].text is not None  # latin1 fallback
+
+
+def test_header_meta_validity_precedence(spark):
+    meta = b'<meta charset="ISO-8859-1"><p>caf\xe9</p>'
+    got = _detect(
+        spark,
+        [
+            (1, meta, None),                                  # meta wins
+            (2, meta, "text/html; charset=UTF8"),             # header beats meta
+            (3, "café".encode("utf-8"), None),           # validity probe
+            (4, b"caf\xe9", None),                            # invalid -> cp1252
+            (5, "﻿x".encode("utf-8"), "text/html; charset=latin1"),  # BOM beats header
+            (6, b'<?xml version="1.0" encoding="utf8"?><a/>', None),      # xml decl + alias
+        ],
+        header=True,
+    )
+    assert (got[1].meta_charset, got[1].charset, got[1].text) == (
+        "iso-8859-1", "iso-8859-1", '<meta charset="ISO-8859-1"><p>café</p>'
+    )
+    assert (got[2].hdr_charset, got[2].charset) == ("utf-8", "utf-8")
+    # declared utf-8 but the é byte is invalid -> total latin1 decode
+    assert got[2].text == '<meta charset="ISO-8859-1"><p>café</p>'
+    assert (got[3].charset, got[3].text) == ("utf-8", "café")
+    assert (got[4].charset, got[4].utf8_valid, got[4].text) == (
+        "windows-1252", False, "café"
+    )
+    assert got[5].charset == "utf-8"
+    assert (got[6].meta_charset, got[6].charset) == ("utf-8", "utf-8")
+
+
+def test_null_and_empty_payloads_never_throw(spark):
+    got = _detect(spark, [(1, None), (2, b"")])
+    assert got[1].charset is None and got[1].text is None
+    # empty payload: vacuously valid utf-8 -> empty text
+    assert (got[2].charset, got[2].text) == ("utf-8", "")
+
+
+def test_map_only_plan(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    plan = decode_payload_text(detect_charset(df))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
