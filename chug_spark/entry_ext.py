@@ -1222,6 +1222,62 @@ FROM k
 """
 
 
+def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-bytes charset pipeline: WARC shards → HTTP response parse
+    (keeping the UNdecoded body bytes) → WHATWG sniff (ops/charset.py,
+    HTTP Content-Type outranking in-document meta) → BOM-stripped decode.
+    One scan stage; the fixture encodes six charset classes by doc_id%6
+    (sources/warc.build_warc_charset_fixture) and the oracle states the
+    ground truth per class, so the full bytes→text chain is hash-checked."""
+    from .ops.charset import decode_payload_text, detect_charset
+    from .sources.warc import build_warc_charset_fixture, read_warc_records
+
+    corpus = build_warc_charset_fixture(spark, sf_dir)
+    recs = read_warc_records(spark, corpus + "/*.warc*", keep_bytes=True)
+    pages = recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "content_type",
+        "body_bytes",
+    )
+    sniffed = detect_charset(
+        pages, payload_col="body_bytes", header_ct_col="content_type"
+    )
+    return decode_payload_text(sniffed, payload_col="body_bytes").select(
+        "doc_id", "content_type", "bom", "hdr_charset", "meta_charset",
+        "utf8_valid", "charset", "bom_len", "text",
+    )
+
+
+_SQL_WARC_CHARSET = """
+SELECT doc_id,
+       CASE WHEN m = 4 THEN 'text/html; charset=ISO-8859-1'
+            ELSE 'text/html' END AS content_type,
+       CASE WHEN m = 2 THEN 'utf-8'
+            WHEN m = 3 THEN 'utf-16le' END AS bom,
+       CASE WHEN m = 4 THEN 'iso-8859-1' END AS hdr_charset,
+       CASE WHEN m = 1 THEN 'windows-1252' END AS meta_charset,
+       m IN (0, 2) AS utf8_valid,
+       CASE WHEN m = 0 THEN 'utf-8'
+            WHEN m = 1 THEN 'windows-1252'
+            WHEN m = 2 THEN 'utf-8'
+            WHEN m = 3 THEN 'utf-16le'
+            WHEN m = 4 THEN 'iso-8859-1'
+            ELSE 'windows-1252' END AS charset,
+       CAST(CASE WHEN m = 2 THEN 3 WHEN m = 3 THEN 2 ELSE 0 END AS INT)
+         AS bom_len,
+       CASE WHEN m IN (0, 2) THEN 'Doc ' || i || ' plain.'
+            WHEN m = 1 THEN '<meta charset="windows-1252">caf' || chr(233)
+                            || ' ' || i
+            WHEN m = 3 THEN 'hi ' || i
+            WHEN m = 4 THEN chr(255) || ' doc ' || i
+            ELSE 'caf' || chr(233) || ' doc ' || i
+       END AS text
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 6 AS m,
+             CAST(doc_id AS VARCHAR) AS i
+      FROM documents)
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "group_members": q_group_members,
@@ -1248,6 +1304,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_report": q_lineage_report,
         "warc_ingest": q_warc_ingest,
         "warc_extract": q_warc_extract,
+        "warc_charset": q_warc_charset,
         "stream_warc": q_stream_warc,
         "temperature_mix": q_temperature_mix,
     }
@@ -1281,6 +1338,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "lineage_report": _lineage_sql(),
         "warc_ingest": _SQL_WARC_INGEST,
         "warc_extract": _warc_extract_sql(),
+        "warc_charset": _SQL_WARC_CHARSET,
         "stream_warc": _SQL_WARC_INGEST,
         "temperature_mix": _SQL_TEMPERATURE_MIX,
     }

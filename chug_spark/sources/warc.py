@@ -46,24 +46,33 @@ RECORD_SCHEMA = (
     "warc_date string, http_status int, content_type string, body string"
 )
 
+#: with ``keep_bytes=True``: the raw HTTP body bytes ride along so the
+#: charset sniffer (ops/charset.py) can run on the UNdecoded payload —
+#: ``body`` stays the legacy UTF-8-replace decode
+RECORD_SCHEMA_BYTES = RECORD_SCHEMA + ", body_bytes binary"
+
+_COLS = ["shard", "rec_no", "warc_type", "url", "warc_date",
+         "http_status", "content_type", "body", "body_bytes"]
+
 _CRLF2 = b"\r\n\r\n"
 
 
-def parse_warc_stream(shard: str, blob: bytes) -> pd.DataFrame:
-    """One WARC stream → RECORD_SCHEMA rows.  Content-Length framing; gzip
-    (possibly multi-member) auto-detected."""
+def parse_warc_stream(
+    shard: str, blob: bytes, keep_bytes: bool = False
+) -> pd.DataFrame:
+    """One WARC stream → RECORD_SCHEMA rows (+ ``body_bytes`` when
+    ``keep_bytes``).  Content-Length framing; gzip (possibly multi-member)
+    auto-detected."""
+    rows: list[tuple] = []
     if blob[:2] == b"\x1f\x8b":
         try:
             blob = gzip.decompress(blob)
         except (EOFError, gzip.BadGzipFile, OSError):
             # shard truncated mid-transfer / corrupt: error is data, never
             # an exception (one bad shard must not kill the job)
-            return pd.DataFrame(
-                [(shard, 0, "__truncated__", None, None, None, None, None)],
-                columns=["shard", "rec_no", "warc_type", "url", "warc_date",
-                         "http_status", "content_type", "body"],
-            )
-    rows: list[tuple] = []
+            blob = b""
+            rows.append((shard, 0, "__truncated__",
+                         None, None, None, None, None, None))
     pos, rec_no = 0, 0
     n = len(blob)
     while pos < n:
@@ -74,7 +83,8 @@ def parse_warc_stream(shard: str, blob: bytes) -> pd.DataFrame:
             break
         hdr_end = blob.find(_CRLF2, pos)
         if hdr_end < 0:
-            rows.append((shard, rec_no, "__truncated__", None, None, None, None, None))
+            rows.append((shard, rec_no, "__truncated__",
+                         None, None, None, None, None, None))
             break
         headers: dict[str, str] = {}
         head = blob[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
@@ -88,35 +98,35 @@ def parse_warc_stream(shard: str, blob: bytes) -> pd.DataFrame:
         if clen < 0:
             # missing/garbage/negative length: a negative value could move
             # the cursor BACKWARDS and loop forever — stop the shard here
-            rows.append((shard, rec_no, "__truncated__", None, None, None, None, None))
+            rows.append((shard, rec_no, "__truncated__",
+                         None, None, None, None, None, None))
             break
         payload_start = hdr_end + 4
         if payload_start + clen > n:
             rows.append((shard, rec_no, "__truncated__",
                          headers.get("warc-target-uri"),
-                         headers.get("warc-date"), None, None, None))
+                         headers.get("warc-date"), None, None, None, None))
             break
         payload = blob[payload_start : payload_start + clen]
         wtype = headers.get("warc-type", "")
-        status = ctype = body = None
+        status = ctype = body = bbytes = None
         if wtype == "response":
-            status, ctype, body = _parse_http_response(payload)
+            status, ctype, body, bbytes = _parse_http_response(payload)
         rows.append((shard, rec_no, wtype,
                      headers.get("warc-target-uri"),
-                     headers.get("warc-date"), status, ctype, body))
+                     headers.get("warc-date"), status, ctype, body,
+                     bbytes if keep_bytes else None))
         pos = payload_start + clen
         rec_no += 1
-    return pd.DataFrame(
-        rows, columns=["shard", "rec_no", "warc_type", "url", "warc_date",
-                       "http_status", "content_type", "body"],
-    )
+    pdf = pd.DataFrame(rows, columns=_COLS)
+    return pdf if keep_bytes else pdf.drop(columns=["body_bytes"])
 
 
 def _parse_http_response(payload: bytes):
-    """HTTP response payload → (status, content_type, body_text)."""
+    """HTTP response payload → (status, content_type, body_text, body_bytes)."""
     hdr_end = payload.find(_CRLF2)
     if hdr_end < 0:
-        return None, None, payload.decode("utf-8", "replace")
+        return None, None, payload.decode("utf-8", "replace"), payload
     head = payload[:hdr_end].decode("utf-8", "replace").split("\r\n")
     parts = head[0].split(" ")
     try:
@@ -128,11 +138,11 @@ def _parse_http_response(payload: bytes):
         k, _, v = line.partition(":")
         if k.strip().lower() == "content-type":
             ctype = v.strip()
-    body = payload[hdr_end + 4 :].decode("utf-8", "replace")
-    return status, ctype, body
+    raw = payload[hdr_end + 4 :]
+    return status, ctype, raw.decode("utf-8", "replace"), raw
 
 
-def records_from_binary_df(raw: DataFrame) -> DataFrame:
+def records_from_binary_df(raw: DataFrame, keep_bytes: bool = False) -> DataFrame:
     """(path, content) binary rows → RECORD_SCHEMA rows.  The ONE parse
     entry point shared by the batch reader and the streaming drain, so the
     stream_warc streaming≡batch oracle can never mask a parser fork."""
@@ -140,18 +150,24 @@ def records_from_binary_df(raw: DataFrame) -> DataFrame:
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for shard, blob in zip(pdf["path"], pdf["content"]):
-                yield parse_warc_stream(shard, bytes(blob))
+                yield parse_warc_stream(shard, bytes(blob), keep_bytes)
 
-    return raw.select("path", "content").mapInPandas(expand, schema=RECORD_SCHEMA)
+    schema = RECORD_SCHEMA_BYTES if keep_bytes else RECORD_SCHEMA
+    return raw.select("path", "content").mapInPandas(expand, schema=schema)
 
 
-def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_records(
+    spark: SparkSession, path: str, keep_bytes: bool = False
+) -> DataFrame:
     """Read WARC shards at ``path`` (file/glob/dir) into record rows.
 
     ``rec_no`` counts every record in the shard stream; non-response records
     carry NULL http fields.  One binaryFile row per shard → one parse task
-    per shard, no shuffle."""
-    return records_from_binary_df(spark.read.format("binaryFile").load(path))
+    per shard, no shuffle.  ``keep_bytes`` adds the raw HTTP body bytes
+    (``body_bytes``) for the charset-sniff path (ops/charset.py)."""
+    return records_from_binary_df(
+        spark.read.format("binaryFile").load(path), keep_bytes
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -283,4 +299,90 @@ def build_warc_fixture(
                 f.write(raw)
     with open(marker, "w") as f:
         f.write(str(len(docs)))
+    return out_dir
+
+
+def build_warc_charset_fixture(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4
+) -> str:
+    """Deterministic WARC fixture for the charset-sniff path: one HTTP 200
+    response per doc_id, body encoded per ``doc_id % 6`` —
+
+    - 0: plain ASCII, no declarations (UTF-8 by validity probe);
+    - 1: windows-1252 bytes carrying their own ``<meta charset>``;
+    - 2: UTF-8 with BOM;
+    - 3: UTF-16LE with BOM;
+    - 4: ISO-8859-1 declared in the HTTP Content-Type header (body byte
+      0xFF, invalid UTF-8 — header must outrank the probe);
+    - 5: undeclared windows-1252 (0xE9 — probe fails, legacy fallback).
+
+    The oracle SQL (entry_ext._SQL_WARC_CHARSET) states the ground truth
+    per class, so the whole WARC bytes → HTTP parse → WHATWG sniff →
+    decode chain is hash-checked end to end."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{sf_dir}|warc-charset-v1|{n_shards}|{_corpus_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"chug_warc_cs_{tag}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    ids = [
+        int(r.doc_id)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").orderBy("doc_id").collect()
+    ]
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for i in range(n_shards):
+        shards[i].append(_record(
+            [("WARC-Type", "warcinfo"),
+             ("WARC-Date", "2020-01-01T00:00:00Z")],
+            b"software: chug_spark-charset-fixture\r\n",
+        ))
+    for i, did in enumerate(ids):
+        m = did % 6
+        ct = "text/html"
+        if m == 0:
+            body = f"Doc {did} plain.".encode("ascii")
+        elif m == 1:
+            body = f'<meta charset="windows-1252">caf\xe9 {did}'.encode(
+                "latin-1"
+            )
+        elif m == 2:
+            body = b"\xef\xbb\xbf" + f"Doc {did} plain.".encode("ascii")
+        elif m == 3:
+            body = b"\xff\xfe" + f"hi {did}".encode("utf-16le")
+        elif m == 4:
+            ct = "text/html; charset=ISO-8859-1"
+            body = f"\xff doc {did}".encode("latin-1")
+        else:
+            body = f"caf\xe9 doc {did}".encode("latin-1")
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n".encode("ascii")
+            + body
+        )
+        date = (_EPOCH + timedelta(seconds=did)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        shards[i % n_shards].append(_record(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", f"https://example.org/doc/{did}"),
+             ("WARC-Date", date),
+             ("Content-Type", "application/http; msgtype=response")],
+            http,
+        ))
+    os.makedirs(out_dir, exist_ok=True)
+    for i, recs in enumerate(shards):
+        raw = b"".join(recs)
+        if i % 2 == 0:
+            path = os.path.join(out_dir, f"shard-{i:05d}.warc.gz")
+            with open(path, "wb") as f:
+                with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                    gz.write(raw)
+        else:
+            path = os.path.join(out_dir, f"shard-{i:05d}.warc")
+            with open(path, "wb") as f:
+                f.write(raw)
+    with open(marker, "w") as f:
+        f.write(str(len(ids)))
     return out_dir

@@ -212,3 +212,24 @@ def test_write_spans_caps_records_per_file(spark, tmp_path):
     files = glob.glob(out + "/*.parquet")
     assert len(files) >= 10
     assert spark.read.parquet(out).count() == 100
+
+
+def test_keep_bytes_round_trips_raw_body(spark):
+    """keep_bytes=True surfaces the UNdecoded HTTP body (charset-sniff
+    input): non-UTF-8 bytes must arrive exactly, while `body` stays the
+    legacy replace-decode; without the flag the schema is unchanged."""
+    from chug_spark.sources.warc import parse_warc_stream, _record
+
+    body = b"caf\xe9 latin"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    blob = _record(
+        [("WARC-Type", "response"),
+         ("WARC-Target-URI", "https://x/doc/1"),
+         ("WARC-Date", "2020-01-01T00:00:00Z")],
+        http,
+    )
+    pdf = parse_warc_stream("s", blob, keep_bytes=True)
+    assert list(pdf.columns)[-1] == "body_bytes"
+    assert bytes(pdf["body_bytes"][0]) == body
+    assert pdf["body"][0] == body.decode("utf-8", "replace")  # U+FFFD
+    assert "body_bytes" not in parse_warc_stream("s", blob).columns
