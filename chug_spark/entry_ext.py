@@ -1025,6 +1025,48 @@ LEFT JOIN err_bucket e ON b.bucket = e.bucket
 """
 
 
+def q_caption_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pairing mined from the interleaved flagship stream: the
+    reference's image-text task requires an explicit caption key per sample
+    (ref pipeline_image_text.py:23-30); at web scale the caption is mined
+    from the text spans ADJACENT to each media span instead
+    (ops/interleave.mine_captions).  Runs on the real docread output, so
+    the oracle replays the full extraction SQL plus the neighbor windows."""
+    from .flagship import docread_flat
+    from .ops.interleave import mine_captions
+
+    return mine_captions(docread_flat(spark, sf_dir, page_sampling="all_valid"))
+
+
+def _caption_mine_sql() -> str:
+    from __spark_entry__ import _docread_sql
+
+    neighbor = (
+        "CASE WHEN kind = 'text' THEN nullif(trim(text), '') END IGNORE NULLS"
+    )
+    return f"""
+WITH spans AS ({_docread_sql("all_valid")}),
+t AS (
+  SELECT doc_id, "offset", kind, media_ref,
+         last_value({neighbor})
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b,
+         first_value({neighbor})
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a
+  FROM spans
+)
+SELECT doc_id, "offset", media_ref,
+       substr(b, 1, 160) AS before_text,
+       substr(a, 1, 160) AS after_text,
+       coalesce(substr(a, 1, 160), substr(b, 1, 160)) AS caption,
+       CASE WHEN a IS NOT NULL THEN 'after'
+            WHEN b IS NOT NULL THEN 'before'
+            ELSE 'none' END AS cap_src
+FROM t WHERE kind = 'media'
+"""
+
+
 # ---------------------------------------------------------------------------
 # WARC shard ingestion (web-scale counterpart of the wds tar shards, ref
 # tariterators.py:28-59 for the per-shard sequential-stream contract) and
@@ -1305,6 +1347,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "warc_extract": q_warc_extract,
         "warc_charset": q_warc_charset,
+        "caption_mine": q_caption_mine,
         "stream_warc": q_stream_warc,
         "temperature_mix": q_temperature_mix,
     }
@@ -1339,6 +1382,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "warc_ingest": _SQL_WARC_INGEST,
         "warc_extract": _warc_extract_sql(),
         "warc_charset": _SQL_WARC_CHARSET,
+        "caption_mine": _caption_mine_sql(),
         "stream_warc": _SQL_WARC_INGEST,
         "temperature_mix": _SQL_TEMPERATURE_MIX,
     }
