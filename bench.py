@@ -264,6 +264,18 @@ def main() -> int:
     timed("domain_budget",
           lambda: domain_budget_select(docs_pq, 500).count())
 
+    # q26: site-template line removal, per-host relative df (r5)
+    from chug_spark.ops.entry import q_host_template
+
+    timed("host_template", lambda: q_host_template(spark, SF_DIR).count())
+
+    # q27: caption mining from the interleaved flagship stream (r5);
+    # includes the flagship re-run — the marginal window cost is this
+    # minus docread_all_valid
+    from chug_spark.entry_ext import q_caption_mine
+
+    timed("caption_mine", lambda: q_caption_mine(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

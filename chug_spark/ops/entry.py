@@ -922,6 +922,62 @@ FROM w
 """
 
 
+def q_pub_date(spark, sf_dir):
+    """Publish-date mining (ops/html.extract_publish_date): 5 synthesized
+    page classes per doc_id%5 — meta article:published_time (with a time
+    tail the regex must not capture), <time datetime>, URL /YYYY/MM/DD/
+    path only, an INVALID meta month that must fall through to the time
+    tag, and no date at all.  The oracle states the ground-truth tier."""
+    from pyspark.sql import functions as F
+
+    from .html import extract_publish_date
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id")
+    iso = F.concat(
+        (i % 20 + 2000).cast("string"), F.lit("-"),
+        F.lpad((i % 12 + 1).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((i % 28 + 1).cast("string"), 2, "0"),
+    )
+    m5 = F.pmod(i, 5)
+    html = (
+        F.when(m5 == 0, F.concat(
+            F.lit('<html><head><meta property="article:published_time" '
+                  'content="'), iso,
+            F.lit('T08:00:00Z"></head><body>x</body></html>')))
+        .when(m5 == 1, F.concat(
+            F.lit('<html><body><time datetime="'), iso,
+            F.lit('">then</time></body></html>')))
+        .when(m5 == 2, F.lit("<html><body>plain page</body></html>"))
+        .when(m5 == 3, F.concat(
+            F.lit('<meta name="date" content="2021-13-01"><time datetime="'),
+            iso, F.lit('">t</time>')))
+        .otherwise(F.lit("<html><body>no date here</body></html>"))
+    )
+    url = F.when(m5 == 2, F.concat(
+        F.lit("https://ex.com/"),
+        (i % 20 + 2000).cast("string"), F.lit("/"),
+        F.lpad((i % 12 + 1).cast("string"), 2, "0"), F.lit("/"),
+        F.lpad((i % 28 + 1).cast("string"), 2, "0"), F.lit("/post"),
+    )).otherwise(F.concat(F.lit("https://ex.com/post/"), i.cast("string")))
+    pages = d.select("doc_id", html.alias("html"), url.alias("url"))
+    return extract_publish_date(pages).select("doc_id", "pub_date", "pub_src")
+
+
+_SQL_PUB_DATE = """
+SELECT doc_id,
+       CASE WHEN m IN (0, 1, 2, 3) THEN iso END AS pub_date,
+       CASE WHEN m = 0 THEN 'meta'
+            WHEN m IN (1, 3) THEN 'time'
+            WHEN m = 2 THEN 'url' END AS pub_src
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 5 AS m,
+             CAST(doc_id % 20 + 2000 AS VARCHAR) || '-' ||
+             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS iso
+      FROM documents)
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML main-content extraction end-to-end: deterministically wrap each
     document's text into a full HTML page (title, style, nav, paragraphs of
@@ -1460,6 +1516,74 @@ SELECT doc_id,
        CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
        CAST(count(*) - count(*) FILTER (WHERE rn = 1) AS INT) AS n_dropped
 FROM r GROUP BY doc_id
+"""
+
+
+def q_host_template(spark, sf_dir):
+    """Site-template line removal (ops/textstats.host_template_strip): every
+    page gains its host's deterministic nav header + copyright footer lines;
+    the per-host relative-df threshold must strip exactly those (df ratio =
+    100% within each source) while every body line survives.  The oracle
+    replays the synthesis and the threshold arithmetic."""
+    from pyspark.sql import functions as F
+
+    from .textstats import host_template_strip
+
+    d = _docs(spark, sf_dir)
+    src = F.coalesce(F.col("source"), F.lit(""))
+    synth = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("home about contact "), src, F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("copyright "), src, F.lit(" all rights reserved"),
+        ).alias("text"),
+    )
+    return host_template_strip(synth, host_col="source")
+
+
+_SQL_HOST_TEMPLATE = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         coalesce(source, '') AS host,
+         'home about contact ' || coalesce(source, '') || chr(10) || text ||
+           chr(10) || 'copyright ' || coalesce(source, '')
+           || ' all rights reserved' AS text
+  FROM documents WHERE text IS NOT NULL
+),
+l AS (
+  SELECT doc_id, host, u.i AS line_idx,
+         list_extract(string_split(text, chr(10)), u.i + 1) AS line
+  FROM d, unnest(generate_series(0,
+         len(string_split(text, chr(10))) - 1)) AS u(i)
+),
+hp AS (SELECT host, count(*) AS n_pages FROM d GROUP BY host),
+ldf AS (
+  SELECT host, md5(trim(line)) AS line_key, count(DISTINCT doc_id) AS df
+  FROM l WHERE trim(line) <> '' GROUP BY 1, 2
+),
+tpl AS (
+  SELECT ldf.host, ldf.line_key
+  FROM ldf JOIN hp USING (host)
+  WHERE hp.n_pages >= 3 AND ldf.df * 10000 >= 5000 * hp.n_pages
+),
+k AS (
+  SELECT l.doc_id, l.line_idx, l.line FROM l
+  WHERE NOT EXISTS (SELECT 1 FROM tpl
+                    WHERE tpl.host = l.host
+                      AND tpl.line_key = md5(trim(l.line)))
+)
+SELECT t.doc_id,
+       coalesce(kk.clean_text, '') AS clean_text,
+       CAST(coalesce(kk.n_kept, 0) AS INT) AS n_kept,
+       CAST(t.n_total - coalesce(kk.n_kept, 0) AS INT) AS n_dropped
+FROM (SELECT doc_id, count(*) AS n_total FROM l GROUP BY doc_id) t
+LEFT JOIN (SELECT doc_id,
+                  array_to_string(list(line ORDER BY line_idx), ' ')
+                    AS clean_text,
+                  count(*) AS n_kept
+           FROM k GROUP BY doc_id) kk USING (doc_id)
 """
 
 
@@ -4383,6 +4507,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "block_dedup": q_block_dedup,
         "line_dedup": q_line_dedup,
+        "host_template": q_host_template,
+        "pub_date": q_pub_date,
         "html_extract": q_html_extract,
         "html_spans": q_html_spans,
         "dom_extract": q_dom_extract,
@@ -4489,6 +4615,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "length_percentiles": _SQL_LENGTH_PERCENTILES,
         "block_dedup": _SQL_BLOCK_DEDUP,
         "line_dedup": _SQL_LINE_DEDUP,
+        "host_template": _SQL_HOST_TEMPLATE,
+        "pub_date": _SQL_PUB_DATE,
         "html_extract": _html_extract_sql(),
         "html_spans": _html_spans_sql(),
         "dom_extract": _SQL_DOM_EXTRACT,

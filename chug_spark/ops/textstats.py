@@ -337,6 +337,80 @@ def boilerplate_block_dedup(
     )
 
 
+def host_template_strip(
+    docs: DataFrame,
+    host_col: str = "source",
+    min_host_docs: int = 3,
+    max_ratio_bp: int = 5000,
+) -> DataFrame:
+    """Site-template removal: a LINE (newline-delimited) that appears in at
+    least ``max_ratio_bp``/10000 of one host's pages is that site's chrome
+    (nav, footer, cookie banner) and is stripped from every page of the
+    host.  The RELATIVE per-host threshold is what distinguishes this from
+    :func:`boilerplate_block_dedup`'s absolute corpus-wide df cap: a
+    10-page blog's footer (df=10) and a 10^7-page portal's nav (df=10^7)
+    are both template, while a quote legitimately repeated on 10 pages of
+    the portal is not.  Hosts with fewer than ``min_host_docs`` pages are
+    left untouched (no statistical support).
+
+    Returns (doc_id, clean_text, n_kept, n_dropped); ``clean_text`` joins
+    the surviving lines with a space, n_* count lines.
+
+    Scale shape: explode lines → per-(host, line) distinct-doc df via
+    dropDuplicates + ONE keyed agg (both partial-agg map-side; the df
+    relation is bounded by distinct lines, never pages×lines) → join the
+    #hosts-bounded page-count relation → left_anti join of the line rows
+    against the template set (AQE decides broadcast; at web scale the
+    template set is large, never forced) → one groupBy doc_id reassembly.
+    All keyed aggs, no corpus-wide window, no pair expansion."""
+    host = F.coalesce(F.col(host_col), F.lit("")).alias("host")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("long").alias("doc_id"), host, "text"
+    )
+    lines = base.select(
+        "doc_id", "host",
+        F.posexplode(F.split("text", "\n")).alias("line_idx", "line"),
+    ).withColumn("line_key", F.md5(F.trim("line")))
+    host_pages = base.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    line_df = (
+        lines.filter(F.trim("line") != "")
+        .select("host", "line_key", "doc_id")
+        .dropDuplicates()  # in-page repeats count once toward df
+        .groupBy("host", "line_key")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    templates = (
+        line_df.join(host_pages, "host")
+        .filter(
+            (F.col("n_pages") >= min_host_docs)
+            & (F.col("df") * 10000 >= F.lit(max_ratio_bp) * F.col("n_pages"))
+        )
+        .select("host", "line_key")
+    )
+    kept = lines.join(templates, ["host", "line_key"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_dropped"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3, round_to: int = 4) -> DataFrame:
     """Per-doc top-k TF-IDF terms — the keyword-extraction staple:
     score = tf(term, doc) * ln(N / df(term)).  Returns (doc_id, term,

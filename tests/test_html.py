@@ -226,3 +226,29 @@ def test_html_to_spans_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_extract_publish_date_precedence_and_validation(spark):
+    from chug_spark.ops.html import extract_publish_date
+
+    rows = [
+        # meta outranks time and url
+        (1, '<meta property="article:published_time" content="2020-05-06T01:02:03Z">'
+            '<time datetime="2019-01-01">x</time>', "https://h/2018/02/03/p"),
+        # invalid meta month falls through to the time tag
+        (2, '<meta name="date" content="2021-13-01"><time datetime="2021-04-05">x</time>',
+         "https://h/p"),
+        # url-only
+        (3, "<p>no tags</p>", "https://h/2017/11/30/post"),
+        # invalid url day (32) -> no date
+        (4, "<p>none</p>", "https://h/2017/11/32/post"),
+        # nothing anywhere; NULL html survives
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string, url string")
+    out = {r.doc_id: r for r in extract_publish_date(df).collect()}
+    assert (out[1].pub_date, out[1].pub_src) == ("2020-05-06", "meta")
+    assert (out[2].pub_date, out[2].pub_src) == ("2021-04-05", "time")
+    assert (out[3].pub_date, out[3].pub_src) == ("2017-11-30", "url")
+    assert out[4].pub_date is None and out[4].pub_src is None
+    assert out[5].pub_date is None

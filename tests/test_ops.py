@@ -796,3 +796,38 @@ def test_split_assign_deterministic_and_exclusive(spark):
     out2 = {r["doc_id"]: r["split"] for r in
             split_assign(docs.repartition(13), val_frac=0.1, test_frac=0.1).collect()}
     assert out2 == out
+
+
+def test_host_template_strip_relative_threshold(spark):
+    """Template = per-host RELATIVE line frequency: the big host's nav
+    (4/5 pages = 80%) strips; the same line on 1/5 pages survives; a host
+    below min_host_docs is exempt entirely; in-page repeats count once
+    toward df but every occurrence is stripped."""
+    from chug_spark.ops.textstats import host_template_strip
+
+    nav = "home | products | about"
+    rows = [
+        # big host: 5 pages, nav on 4 (80% >= 50%), quote on 1 (20%)
+        (1, "big", f"{nav}\nbody one"),
+        (2, "big", f"{nav}\nbody two\n{nav}"),  # in-page repeat
+        (3, "big", f"{nav}\nbody three"),
+        (4, "big", f"{nav}\nbody four"),
+        (5, "big", "famous quote\nbody five"),
+        # tiny host: 2 pages (< min_host_docs=3) sharing a line — exempt
+        (6, "tiny", "shared footer\nbody six"),
+        (7, "tiny", "shared footer\nbody seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in host_template_strip(
+            docs, min_host_docs=3, max_ratio_bp=5000
+        ).collect()
+    }
+    assert out[1].clean_text == "body one" and out[1].n_dropped == 1
+    # BOTH in-page occurrences of the template line are removed
+    assert out[2].clean_text == "body two" and out[2].n_dropped == 2
+    assert out[5].clean_text == "famous quote body five"
+    assert out[5].n_dropped == 0
+    assert out[6].clean_text == "shared footer body six"
+    assert out[7].n_dropped == 0
