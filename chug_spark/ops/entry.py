@@ -922,6 +922,166 @@ FROM w
 """
 
 
+def q_og_extract(spark, sf_dir):
+    """OpenGraph + canonical extraction (ops/webmeta.extract_opengraph)
+    over 4 synthesized page classes: full OG set + canonical, og:title
+    only, canonical only, bare page.  Oracle states the ground truth."""
+    from pyspark.sql import functions as F
+
+    from .webmeta import extract_opengraph
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id").cast("string")
+    m4 = F.pmod(F.col("doc_id"), 4)
+    html = (
+        F.when(m4 == 0, F.concat(
+            F.lit('<head><meta property="og:title" content="Title '), i,
+            F.lit('"><meta property="og:description" content="About '), i,
+            F.lit('"><meta property="og:image" content="https://img/'), i,
+            F.lit('.jpg"><meta property="og:type" content="article">'
+                  '<link rel="canonical" href="https://ex.com/c/'), i,
+            F.lit('"></head>')))
+        .when(m4 == 1, F.concat(
+            F.lit('<meta property="og:title" content="Only '), i, F.lit('">')))
+        .when(m4 == 2, F.concat(
+            F.lit('<link rel="canonical" href="https://ex.com/c/'), i,
+            F.lit('">')))
+        .otherwise(F.lit("<html><body>bare</body></html>"))
+    )
+    return extract_opengraph(d.select("doc_id", html.alias("html"))).select(
+        "doc_id", "og_title", "og_description", "og_image", "og_type",
+        "canonical_url",
+    )
+
+
+_SQL_OG_EXTRACT = """
+SELECT doc_id,
+       CASE WHEN m = 0 THEN 'Title ' || i
+            WHEN m = 1 THEN 'Only ' || i END AS og_title,
+       CASE WHEN m = 0 THEN 'About ' || i END AS og_description,
+       CASE WHEN m = 0 THEN 'https://img/' || i || '.jpg' END AS og_image,
+       CASE WHEN m = 0 THEN 'article' END AS og_type,
+       CASE WHEN m IN (0, 2) THEN 'https://ex.com/c/' || i END AS canonical_url
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 4 AS m,
+             CAST(doc_id AS VARCHAR) AS i
+      FROM documents)
+"""
+
+
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection (ops/webmeta.soft404_detect): normal page, error
+    title, short error body, and a LONG article that merely mentions
+    '404 error' (body flag fires, verdict must stay false — the two-signal
+    rule).  Oracle recomputes n_words from the reconstructed plain text."""
+    from pyspark.sql import functions as F
+
+    from .webmeta import soft404_detect
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id").cast("string")
+    m4 = F.pmod(F.col("doc_id"), 4)
+    filler = " ".join(f"w{k}" for k in range(36))
+    long_body = (
+        "this long guide mentions the 404 error phrase once but keeps "
+        "going with plenty of genuine content " + filler
+    )
+    # m0 title is a CONSTANT: 'Doc <id>' would contain the substring 404
+    # for ~1/1000 of ids and flip title_404 (found by the sf0.001 sweep)
+    title = (
+        F.when(m4 == 0, F.lit("Welcome"))
+        .when(m4 == 1, F.lit("404 Not Found"))
+        .when(m4 == 2, F.lit("Oops"))
+        .otherwise(F.lit("Guide"))
+    )
+    body = (
+        F.when(m4 == 0, F.concat(F.lit("welcome to page "), i, F.lit(" "),
+                                 F.lit(filler)))
+        .when(m4 == 1, F.lit("gone"))
+        .when(m4 == 2, F.lit("The page you requested was not found."))
+        .otherwise(F.lit(long_body))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit("</title></head><body>"), body, F.lit("</body></html>"),
+    )
+    return soft404_detect(d.select("doc_id", html.alias("html"))).select(
+        "doc_id", "title_404", "body_404", "n_words", "soft404"
+    )
+
+
+def _soft404_sql() -> str:
+    filler = " ".join(f"w{k}" for k in range(36))
+    long_body = (
+        "this long guide mentions the 404 error phrase once but keeps "
+        "going with plenty of genuine content " + filler
+    )
+    return f"""
+SELECT doc_id,
+       m = 1 AS title_404,
+       m IN (2, 3) AS body_404,
+       CAST(len(string_split(txt, ' ')) AS INT) AS n_words,
+       m IN (1, 2) AS soft404
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 4 AS m,
+             CASE doc_id % 4
+               WHEN 0 THEN 'Welcome welcome to page '
+                 || CAST(doc_id AS VARCHAR) || ' {filler}'
+               WHEN 1 THEN '404 Not Found gone'
+               WHEN 2 THEN 'Oops The page you requested was not found.'
+               ELSE 'Guide {long_body}'
+             END AS txt
+      FROM documents)
+"""
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap parsing (ops/webmeta.parse_sitemap): urlset leaf with a
+    fully- and a minimally-specified entry, sitemapindex indirection, and
+    a non-sitemap page (one NULL-kind row — the outer explode keeps the
+    doc visible for accounting)."""
+    from pyspark.sql import functions as F
+
+    from .webmeta import parse_sitemap
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id").cast("string")
+    m3 = F.pmod(F.col("doc_id"), 3)
+    xml = (
+        F.when(m3 == 0, F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc>https://ex.com/p/'),
+            i, F.lit("</loc><lastmod>2021-02-03</lastmod>"
+                     "<priority>0.8</priority></url>"
+                     "<url><loc>https://ex.com/q/"), i,
+            F.lit("</loc></url></urlset>")))
+        .when(m3 == 1, F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://ex.com/s/"), i,
+            F.lit(".xml</loc><lastmod>2022-01-01</lastmod>"
+                  "</sitemap></sitemapindex>")))
+        .otherwise(F.lit("<html>not a sitemap</html>"))
+    )
+    return parse_sitemap(d.select("doc_id", xml.alias("xml")))
+
+
+_SQL_SITEMAP_PARSE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 3 AS m,
+                  CAST(doc_id AS VARCHAR) AS i
+           FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS entry_no, 'url' AS kind,
+       'https://ex.com/p/' || i AS loc,
+       '2021-02-03' AS lastmod, '0.8' AS priority
+FROM d WHERE m = 0
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), 'url', 'https://ex.com/q/' || i, NULL, NULL
+FROM d WHERE m = 0
+UNION ALL
+SELECT doc_id, CAST(0 AS INT), 'sitemap', 'https://ex.com/s/' || i || '.xml',
+       '2022-01-01', NULL
+FROM d WHERE m = 1
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+FROM d WHERE m = 2
+"""
+
+
 def q_pub_date(spark, sf_dir):
     """Publish-date mining (ops/html.extract_publish_date): 5 synthesized
     page classes per doc_id%5 — meta article:published_time (with a time
@@ -4509,6 +4669,9 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "host_template": q_host_template,
         "pub_date": q_pub_date,
+        "og_extract": q_og_extract,
+        "soft404": q_soft404,
+        "sitemap_parse": q_sitemap_parse,
         "html_extract": q_html_extract,
         "html_spans": q_html_spans,
         "dom_extract": q_dom_extract,
@@ -4617,6 +4780,9 @@ def ops_oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "host_template": _SQL_HOST_TEMPLATE,
         "pub_date": _SQL_PUB_DATE,
+        "og_extract": _SQL_OG_EXTRACT,
+        "soft404": _soft404_sql(),
+        "sitemap_parse": _SQL_SITEMAP_PARSE,
         "html_extract": _html_extract_sql(),
         "html_spans": _html_spans_sql(),
         "dom_extract": _SQL_DOM_EXTRACT,
