@@ -395,11 +395,25 @@ _SWEEP_FRONT = [
     # r1-r3-green rows never swept in r4 (stale evidence rotation — the
     # oracle-bearing 32 of the 36; the 4 rows-only ones rotate to r6 since
     # the driver can only count their rows): see OPERATORS.md
-    "group_members", "coalesce_rename", "filter_incomplete",
-    "base_plus_ext", "vqa_prompt", "target_mask", "weighted_mix",
-    "dedup_exact", "url_dedup",
+    "group_members", "vqa_prompt", "target_mask",
     "substring_cut", "minhash_pairs",
     "simhash_pairs", "ngram_jaccard",
+    # fourth-continuation r5: brand-new machinery outranks stale
+    # re-verification (same policy as line_dedup/stream_dedup above).
+    # Displaced, all r1-r3 green + paranoid-green this round, front-load
+    # r6: coalesce_rename / base_plus_ext / filter_incomplete (one-
+    # projection rows, least machinery in the stale set), weighted_mix
+    # (weighted-draw machinery re-exercised by in-window shard_resample),
+    # url_dedup (canonical_dedup below is its strict superset —
+    # canonical_url normalization + keyed agg PLUS the rel=canonical
+    # override), dedup_exact (keyed-agg dedup shape inside in-window
+    # line_dedup/curation_keep)
+    "charset_detect",   # WHATWG sniff machinery (hex-regex validity, BOM)
+    "warc_charset",     # same sniffer over REAL WARC bytes (keep_bytes path)
+    "caption_mine",     # neighbor-window pairing over the flagship stream
+    "host_template",    # per-host relative-df template strip
+    "canonical_dedup",  # url_dedup superset (declared canonical wins)
+    "frontier_rank",    # sitemap -> robots gate -> per-host top-k
     # new late-r5 curation machinery (no prior driver evidence, so they
     # outrank two more stale re-verifications): corpus-wide keep-first
     # line dedup + per-domain token budgets.  Displaced: line_join (its

@@ -922,6 +922,133 @@ FROM w
 """
 
 
+def q_frontier_rank(spark, sf_dir):
+    """Crawl-frontier composition: per-host sitemap candidates (loc,
+    lastmod, priority) → RFC 9309 robots gate (ops/robots.robots_filter)
+    → top-3 per host by priority desc, lastmod desc, loc.  The per-host
+    window is bounded by the sitemap protocol's own 50k-URL-per-file cap,
+    so the rank never sees crawl-scale partitions; /private paths must
+    fall to the robots gate before ranking."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .robots import robots_filter
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".com"))
+    path = F.when(
+        F.pmod(F.col("doc_id"), 4) == 0, F.concat(F.lit("/private/"), i)
+    ).otherwise(F.concat(F.lit("/post/"), i))
+    lastmod = F.concat(
+        (F.col("doc_id") % 20 + 2000).cast("string"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+    )
+    cands = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        lastmod.alias("lastmod"),
+        (F.col("doc_id") % 10).cast("int").alias("prio"),
+    )
+    robots = d.select(host.alias("host")).distinct().select(
+        "host", F.lit("User-agent: *\nDisallow: /private\n").alias("robots_txt")
+    )
+    verdict = robots_filter(cands, robots, agent="chugbot").filter("allow")
+    ranked = (
+        verdict.join(cands.select("doc_id", "lastmod", "prio"), "doc_id")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(
+                    F.desc("prio"), F.desc("lastmod"), F.asc("url")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    return ranked.select("host", "rnk", "url", "prio", "lastmod")
+
+
+_SQL_FRONTIER_RANK = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'site' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS host,
+         CASE WHEN doc_id % 4 = 0 THEN '/private/' || CAST(doc_id AS VARCHAR)
+              ELSE '/post/' || CAST(doc_id AS VARCHAR) END AS path,
+         CAST(doc_id % 20 + 2000 AS VARCHAR) || '-' ||
+           lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+           lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+         CAST(doc_id % 10 AS INT) AS prio
+  FROM documents
+),
+allowed AS (SELECT * FROM d WHERE doc_id % 4 <> 0),
+r AS (
+  SELECT host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY prio DESC, lastmod DESC,
+                                     'https://' || host || path) AS rnk,
+         'https://' || host || path AS url, prio, lastmod
+  FROM allowed
+)
+SELECT host, CAST(rnk AS INT) AS rnk, url, prio, lastmod
+FROM r WHERE rnk <= 3
+"""
+
+
+def q_canonical_dedup(spark, sf_dir):
+    """Composition: rel=canonical extraction (ops/webmeta) feeding URL-level
+    dedup (functions.canonical_url) — every third page declares a canonical
+    shared by its doc_id%40 cohort (case-mangled, so normalization must do
+    real work); the rest dedup by their fetched URL (tracking param
+    stripped).  The declared canonical outranks the fetched URL — the
+    standard search-engine duplicate-cluster rule."""
+    from pyspark.sql import functions as F
+
+    from ..functions import canonical_url
+    from .webmeta import extract_opengraph
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id").cast("string")
+    s = (F.col("doc_id") % 5).cast("string")
+    c = (F.col("doc_id") % 40).cast("string")
+    fetched = F.concat(
+        F.lit("https://Site"), s, F.lit(".COM/page/"), i,
+        F.lit("?utm_source=feed"),
+    )
+    html = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<link rel="canonical" href="HTTPS://site'), s,
+                 F.lit(".com/canon/"), c, F.lit('">')),
+    ).otherwise(F.lit("<p>no canonical</p>"))
+    pages = d.select("doc_id", fetched.alias("url"), html.alias("html"))
+    eff = F.coalesce(F.col("canonical_url"), F.col("url"))
+    return (
+        extract_opengraph(pages)
+        .select("doc_id", canonical_url(eff).alias("canon"))
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_pages"),
+             F.min("doc_id").alias("first_doc"))
+    )
+
+
+_SQL_CANONICAL_DEDUP = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(doc_id % 5 AS VARCHAR) AS s,
+                  CAST(doc_id % 40 AS VARCHAR) AS c,
+                  CAST(doc_id AS VARCHAR) AS i,
+                  doc_id % 3 = 0 AS has_canon
+           FROM documents),
+e AS (SELECT doc_id,
+             CASE WHEN has_canon THEN 'https://site' || s || '.com/canon/' || c
+                  ELSE 'https://site' || s || '.com/page/' || i END AS canon
+      FROM d)
+SELECT canon, CAST(count(*) AS INT) AS n_pages, min(doc_id) AS first_doc
+FROM e GROUP BY canon
+"""
+
+
 def q_og_extract(spark, sf_dir):
     """OpenGraph + canonical extraction (ops/webmeta.extract_opengraph)
     over 4 synthesized page classes: full OG set + canonical, og:title
@@ -4670,6 +4797,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template": q_host_template,
         "pub_date": q_pub_date,
         "og_extract": q_og_extract,
+        "canonical_dedup": q_canonical_dedup,
+        "frontier_rank": q_frontier_rank,
         "soft404": q_soft404,
         "sitemap_parse": q_sitemap_parse,
         "html_extract": q_html_extract,
@@ -4781,6 +4910,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "host_template": _SQL_HOST_TEMPLATE,
         "pub_date": _SQL_PUB_DATE,
         "og_extract": _SQL_OG_EXTRACT,
+        "canonical_dedup": _SQL_CANONICAL_DEDUP,
+        "frontier_rank": _SQL_FRONTIER_RANK,
         "soft404": _soft404_sql(),
         "sitemap_parse": _SQL_SITEMAP_PARSE,
         "html_extract": _html_extract_sql(),
