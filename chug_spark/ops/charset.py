@@ -12,7 +12,13 @@ Everything is pure Column work — map-only, zero shuffle, zero Python:
   fixed-alternation byte-class grammar (RFC 3629 table), no backtracking
   blowup, linear in payload size.
 - The meta scan decodes a bounded prefix as ISO-8859-1 (total — every
-  byte sequence decodes) and regex-extracts ``charset=``/``encoding=``.
+  byte sequence decodes) and regex-extracts declarations ONLY: a
+  ``charset=`` inside a ``<meta ...>`` tag or an ``encoding=`` inside a
+  leading ``<?xml ?>`` declaration (WHATWG prescan) — never free text
+  like a ``?encoding=json`` query string in an anchor.
+- UTF-16 decode is guarded by RFC 2781 validity regexes (unit tiling +
+  surrogate pairing) — odd lengths and lone surrogates fall back to the
+  total ISO-8859-1 decode instead of raising under ANSI.
 - Decode uses the JVM charsets Spark exposes; windows-1252 is
   approximated by ISO-8859-1 (identical except 0x80-0x9F, where 1252
   maps printables — documented, and the sniff still REPORTS
@@ -52,16 +58,41 @@ UTF8_HEX_RE = (
     f"|E[EF]{_CONT}{_CONT}"              # EE-EF
     f"|F0[9AB][0-9A-F]{_CONT}{_CONT}"    # F0 90-BF
     f"|F[1-3]{_CONT}{_CONT}{_CONT}"      # F1-F3
-    f"|F48[0-9A-F]{_CONT}{_CONT}{_CONT}" # F4 80-8F (<= U+10FFFF)
+    f"|F48[0-9A-F]{_CONT}{_CONT}"        # F4 80-8F (4 bytes, <= U+10FFFF)
     ")*$"
 )
 
-_LABEL_RE = r"""(?i)(?:charset|encoding)\s*=\s*["']?\s*([A-Za-z0-9._:-]+)"""
+#: RFC 2781 well-formed UTF-16 code-unit sequences over hex(body): every
+#: unit is either a non-surrogate or a high surrogate (D800-DBFF)
+#: immediately followed by a low surrogate (DC00-DFFF).  The 4-hex-char
+#: unit tiling also rejects odd byte counts, so these subsume the
+#: even-length guard.  In LE hex the HIGH byte is the SECOND pair.
+_U16_NOSUR = "(?:[0-9ABCEF][0-9A-F]|D[0-7])"  # high byte not in D8-DF
+UTF16LE_HEX_RE = (
+    f"^(?:[0-9A-F]{{2}}{_U16_NOSUR}"
+    f"|[0-9A-F]{{2}}D[89AB][0-9A-F]{{2}}D[CDEF])*$"
+)
+UTF16BE_HEX_RE = (
+    f"^(?:{_U16_NOSUR}[0-9A-F]{{2}}"
+    f"|D[89AB][0-9A-F]{{2}}D[CDEF][0-9A-F]{{2}})*$"
+)
+
+#: header Content-Type parameter: charset= anywhere in the VALUE is the
+#: grammar (RFC 9110) — unlike the in-document scan below
+_HDR_LABEL_RE = r"""(?i)charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+)"""
+#: in-document declarations ONLY (WHATWG prescan): a charset= inside a
+#: <meta ...> tag (covers both <meta charset=..> and http-equiv
+#: content="...; charset=.."), or encoding= inside a LEADING <?xml ?>
+#: declaration — never script/anchor text like '?encoding=json'
+_META_TAG_RE = r"""(?is)<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+)"""
+_XML_DECL_RE = r"""(?is)^\s{0,64}<\?xml[^>]{0,256}?encoding\s*=\s*["']\s*([A-Za-z0-9._:-]+)"""
 
 
 def normalize_label(label: Column) -> Column:
     """lowercased charset label with the common aliases folded (utf8,
-    latin-1/iso8859-1, ascii, cp1252 families)."""
+    latin-1/iso8859-1, ascii, cp1252 families).  Per the WHATWG encoding
+    registry the bare ``utf-16``/``unicode`` labels decode little-endian,
+    so they fold to utf-16le (a BOM, checked first, overrides)."""
     lab = F.lower(F.trim(label))
     return (
         F.when(lab.isin("utf8", "utf-8"), "utf-8")
@@ -70,7 +101,7 @@ def normalize_label(label: Column) -> Column:
         .when(lab.isin("ascii", "us-ascii"), "us-ascii")
         .when(lab.isin("cp1252", "windows-1252", "win-1252", "x-cp1252"),
               "windows-1252")
-        .when(lab.isin("utf-16", "utf16", "unicode"), "utf-16")
+        .when(lab.isin("utf-16", "utf16", "unicode", "utf-16le"), "utf-16le")
         .otherwise(lab)
     )
 
@@ -95,7 +126,7 @@ def detect_charset(
         bom = F.when(hit & bom.isNull(), F.lit(name)).otherwise(bom)
         bom_len = F.when(bom == name, F.lit(blen)).otherwise(bom_len)
     hdr = (
-        normalize_label(F.regexp_extract(F.col(header_ct_col), _LABEL_RE, 1))
+        normalize_label(F.regexp_extract(F.col(header_ct_col), _HDR_LABEL_RE, 1))
         if header_ct_col
         else F.lit("")
     )
@@ -103,7 +134,12 @@ def detect_charset(
         F.col(payload_col).substr(F.lit(1), F.lit(meta_prefix_bytes)),
         "ISO-8859-1",
     )
-    meta = normalize_label(F.regexp_extract(prefix_txt, _LABEL_RE, 1))
+    # declaration-scoped scan: meta tag first, leading XML decl second —
+    # a stray 'encoding=json' in script/anchor text must never outrank the
+    # UTF-8 validity probe and NULL a decodable page
+    raw_meta = F.regexp_extract(prefix_txt, _META_TAG_RE, 1)
+    raw_xml = F.regexp_extract(prefix_txt, _XML_DECL_RE, 1)
+    meta = normalize_label(F.when(raw_meta != "", raw_meta).otherwise(raw_xml))
     utf8_ok = F.regexp_like(hx, F.lit(UTF8_HEX_RE))
     charset = (
         F.when(F.col(payload_col).isNull(), F.lit(None).cast("string"))
@@ -136,16 +172,20 @@ def decode_payload_text(
     )
     cs = F.col("charset")
     latin1ish = cs.isin("iso-8859-1", "windows-1252", "us-ascii")
-    # even-length guard: under default-ANSI Spark 4 a truncated UTF-16
-    # body (odd byte count) would raise from decode and kill the stage —
-    # mislabeled pages fall back to the total ISO-8859-1 decode instead
-    even = F.length(body) % 2 == 0
+    # RFC 2781 validity guards: under default-ANSI Spark 4 decode() raises
+    # on malformed UTF-16 (odd byte count, lone/unpaired surrogates) and
+    # would kill the stage — mislabeled or truncated pages fall back to
+    # the total ISO-8859-1 decode instead.  The unit-tiling regexes also
+    # reject odd lengths, subsuming the old even-length guard.
+    bhex = F.hex(body)
+    le_ok = F.regexp_like(bhex, F.lit(UTF16LE_HEX_RE))
+    be_ok = F.regexp_like(bhex, F.lit(UTF16BE_HEX_RE))
     text = (
         F.when(cs.isNull(), F.lit(None).cast("string"))
         .when((cs == "utf-8") & F.col("utf8_valid"), F.decode(body, "UTF-8"))
         .when(cs == "utf-8", F.decode(body, "ISO-8859-1"))
-        .when((cs == "utf-16le") & even, F.decode(body, "UTF-16LE"))
-        .when((cs == "utf-16be") & even, F.decode(body, "UTF-16BE"))
+        .when((cs == "utf-16le") & le_ok, F.decode(body, "UTF-16LE"))
+        .when((cs == "utf-16be") & be_ok, F.decode(body, "UTF-16BE"))
         .when(cs.isin("utf-16le", "utf-16be"), F.decode(body, "ISO-8859-1"))
         .when(latin1ish, F.decode(body, "ISO-8859-1"))
         .otherwise(F.lit(None).cast("string"))

@@ -400,7 +400,11 @@ def host_template_strip(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
-    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    # per-doc line totals are derivable map-side from the un-exploded text
+    # (a third explode+agg pass over the corpus would be pure waste)
+    totals = base.select(
+        "doc_id", F.size(F.split("text", "\n")).alias("n_total")
+    )
     return totals.join(reassembled, "doc_id", "left").select(
         "doc_id",
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),

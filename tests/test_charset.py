@@ -32,6 +32,9 @@ def test_utf8_hex_grammar_is_exact():
         b"\xc0\xaf",            # overlong encoding
         b"\xed\xa0\x80",        # surrogate half
         b"\xf4\x90\x80\x80",    # > U+10FFFF
+        b"\xf4\x80\x80\x80",    # valid 4-byte F4 plane (U+100000)
+        b"\xf4\x80\x80\x80\x80",  # valid F4 seq + lone continuation
+        "\U00100000".encode("utf-8") + b" tail",
         b"\xe0\xa0\x80",        # minimal valid 3-byte
         b"",
     ]
@@ -104,3 +107,63 @@ def test_map_only_plan(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     plan = decode_payload_text(detect_charset(df))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_f4_plane_decodes_not_stage_kills(spark):
+    """Valid F4-lead UTF-8 (U+100000+) must pass the probe and decode;
+    an invalid F4 run must fall back, never raise (review finding: the
+    old grammar tiled F4 sequences as 5 bytes)."""
+    got = _detect(spark, [
+        (1, "\U00100000 ok".encode("utf-8")),
+        (2, b"\xf4\x80\x80\x80\x80"),  # trailing lone continuation byte
+    ])
+    assert got[1].utf8_valid and got[1].text == "\U00100000 ok"
+    assert not got[2].utf8_valid and got[2].charset == "windows-1252"
+    assert got[2].text is not None  # total decode, no exception
+
+
+def test_lone_surrogate_utf16_falls_back(spark):
+    """A BOM'd UTF-16 body with a lone surrogate (or truncated pair) must
+    fall back to the total ISO-8859-1 decode instead of raising under
+    ANSI (review finding: the even-length guard was not enough)."""
+    got = _detect(spark, [
+        (1, b"\xff\xfe\x00\xd8"),               # lone high surrogate, even
+        (2, b"\xff\xfe" + "ok".encode("utf-16-le")
+            + b"\x00\xd8h\x00"),                 # unpaired high mid-stream
+        (3, b"\xff\xfe" + "\U0001f600".encode("utf-16-le")),  # proper pair
+    ])
+    assert got[1].charset == "utf-16le" and got[1].text == "\x00\xd8"
+    assert got[2].text is not None  # fallback, not an exception
+    assert got[3].text == "\U0001f600"
+
+
+def test_meta_scan_ignores_free_text_labels(spark):
+    """'encoding=json' in an href and 'document.charset=x' in script text
+    are NOT declarations; the UTF-8 probe must win (review finding: the
+    old scan nulled such pages)."""
+    got = _detect(spark, [
+        (1, b'<a href="/api?encoding=json">x</a> body words'),
+        (2, b"<script>document.charset='x'</script> more"),
+        (3, b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=iso-8859-1">y'),
+        (4, b'<?xml version="1.0" encoding="UTF8"?><d>z</d>'),
+    ])
+    assert got[1].meta_charset is None and got[1].charset == "utf-8"
+    assert got[1].text is not None
+    assert got[2].meta_charset is None and got[2].charset == "utf-8"
+    assert got[3].meta_charset == "iso-8859-1"  # real meta declaration
+    assert got[4].meta_charset == "utf-8"       # leading XML declaration
+
+
+def test_declared_utf16_label_decodes_le(spark):
+    """A header-declared bare 'utf-16' label folds to utf-16le (WHATWG
+    registry) and the BOM-less body decodes (review finding: the old
+    'utf-16' label had no decode branch -> NULL text)."""
+    got = _detect(
+        spark,
+        [(1, "hi there".encode("utf-16-le"),
+          "text/html; charset=UTF-16")],
+        header=True,
+    )
+    assert got[1].charset == "utf-16le"
+    assert got[1].text == "hi there"
