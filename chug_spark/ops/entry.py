@@ -922,6 +922,109 @@ FROM w
 """
 
 
+def q_feed_parse(spark, sf_dir):
+    """RSS/Atom feed parsing (ops/webmeta.parse_feed): a 2-item RSS feed,
+    a 1-entry Atom feed (href link, <updated> date), and a non-feed page
+    (one NULL-kind accounting row)."""
+    from pyspark.sql import functions as F
+
+    from .webmeta import parse_feed
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id").cast("string")
+    m3 = F.pmod(F.col("doc_id"), 3)
+    xml = (
+        F.when(m3 == 0, F.concat(
+            F.lit("<rss><channel><item><title>Post "), i,
+            F.lit("</title><link>https://ex.com/r/"), i,
+            F.lit("</link><pubDate>Mon, 02 Mar 2020 00:00:00 GMT</pubDate>"
+                  "</item><item><title>Old "), i,
+            F.lit("</title><link>https://ex.com/o/"), i,
+            F.lit("</link></item></channel></rss>")))
+        .when(m3 == 1, F.concat(
+            F.lit('<feed><entry><title>Atom '), i,
+            F.lit('</title><link rel="alternate" href="https://ex.com/a/'),
+            i, F.lit('"/><updated>2021-05-06T00:00:00Z</updated>'
+                     "</entry></feed>")))
+        .otherwise(F.lit("<html>not a feed</html>"))
+    )
+    return parse_feed(d.select("doc_id", xml.alias("xml")))
+
+
+_SQL_FEED_PARSE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 3 AS m,
+                  CAST(doc_id AS VARCHAR) AS i
+           FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS entry_no, 'rss' AS kind,
+       'Post ' || i AS title, 'https://ex.com/r/' || i AS link,
+       'Mon, 02 Mar 2020 00:00:00 GMT' AS published
+FROM d WHERE m = 0
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), 'rss', 'Old ' || i,
+       'https://ex.com/o/' || i, NULL
+FROM d WHERE m = 0
+UNION ALL
+SELECT doc_id, CAST(0 AS INT), 'atom', 'Atom ' || i,
+       'https://ex.com/a/' || i, '2021-05-06T00:00:00Z'
+FROM d WHERE m = 1
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+FROM d WHERE m = 2
+"""
+
+
+def q_table_extract(spark, sf_dir):
+    """HTML table extraction (ops/tables.extract_tables): a two-table page
+    (header row + data rows, then a 1x1 table), a table-free page, and a
+    ragged table with nested markup inside a cell.  Oracle enumerates the
+    expected (table_no, row_no, col_no, is_header, cell) grid."""
+    from pyspark.sql import functions as F
+
+    from .tables import extract_tables
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id").cast("string")
+    m3 = F.pmod(F.col("doc_id"), 3)
+    html = (
+        F.when(m3 == 0, F.concat(
+            F.lit("<h1>t</h1><table><tr><th>Name</th><th>Qty</th></tr>"
+                  "<tr><td>a"), i, F.lit("</td><td>"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</td></tr><tr><td>b"), i, F.lit("</td><td>"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("</td></tr></table><table><tr><td>solo</td></tr></table>")))
+        .when(m3 == 1, F.lit("<p>no tables here</p>"))
+        .otherwise(F.concat(
+            F.lit("<table><tr><td>x"), i, F.lit("</td><td>y"), i,
+            F.lit("</td></tr><tr><td><b>bold "), i,
+            F.lit("</b></td></tr></table>")))
+    )
+    return extract_tables(d.select("doc_id", html.alias("html")))
+
+
+_SQL_TABLE_EXTRACT = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 3 AS m,
+                  CAST(doc_id AS VARCHAR) AS i,
+                  CAST(doc_id % 7 AS VARCHAR) AS q7,
+                  CAST(doc_id % 5 AS VARCHAR) AS q5
+           FROM documents)
+SELECT doc_id, CAST(t AS INT) AS table_no, CAST(r AS INT) AS row_no,
+       CAST(c AS INT) AS col_no, h AS is_header, cell
+FROM (
+  SELECT doc_id, 0 AS t, 0 AS r, 0 AS c, true AS h, 'Name' AS cell FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 0, 0, 1, true, 'Qty' FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 0, 1, 0, false, 'a' || i FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 0, 1, 1, false, q7 FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 0, 2, 0, false, 'b' || i FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 0, 2, 1, false, q5 FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 1, 0, 0, false, 'solo' FROM d WHERE m = 0
+  UNION ALL SELECT doc_id, 0, 0, 0, false, 'x' || i FROM d WHERE m = 2
+  UNION ALL SELECT doc_id, 0, 0, 1, false, 'y' || i FROM d WHERE m = 2
+  UNION ALL SELECT doc_id, 0, 1, 0, false, 'bold ' || i FROM d WHERE m = 2
+)
+"""
+
+
 def q_frontier_rank(spark, sf_dir):
     """Crawl-frontier composition: per-host sitemap candidates (loc,
     lastmod, priority) → RFC 9309 robots gate (ops/robots.robots_filter)
@@ -4799,6 +4902,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "og_extract": q_og_extract,
         "canonical_dedup": q_canonical_dedup,
         "frontier_rank": q_frontier_rank,
+        "table_extract": q_table_extract,
+        "feed_parse": q_feed_parse,
         "soft404": q_soft404,
         "sitemap_parse": q_sitemap_parse,
         "html_extract": q_html_extract,
@@ -4912,6 +5017,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "og_extract": _SQL_OG_EXTRACT,
         "canonical_dedup": _SQL_CANONICAL_DEDUP,
         "frontier_rank": _SQL_FRONTIER_RANK,
+        "table_extract": _SQL_TABLE_EXTRACT,
+        "feed_parse": _SQL_FEED_PARSE,
         "soft404": _soft404_sql(),
         "sitemap_parse": _SQL_SITEMAP_PARSE,
         "html_extract": _html_extract_sql(),

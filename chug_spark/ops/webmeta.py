@@ -129,3 +129,44 @@ def parse_sitemap(
         _tag(b, "lastmod").alias("lastmod"),
         _tag(b, "priority").alias("priority"),
     )
+
+
+_ITEM_BLOCK_RE = r"(?is)<item(?=[\s>])[^>]*>.*?</item>"
+_ENTRY_BLOCK_RE = r"(?is)<entry(?=[\s>])[^>]*>.*?</entry>"
+_ATOM_HREF_RE = r"""(?is)<link[^>]*href\s*=\s*["']([^"']*)["']"""
+
+
+def parse_feed(
+    df: DataFrame, xml_col: str = "xml", key_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """RSS/Atom feed XML → one row per entry: (…key_cols, entry_no, kind,
+    title, link, published).  RSS ``<item>`` blocks report kind='rss'
+    (``<link>text</link>``, ``<pubDate>``); Atom ``<entry>`` blocks report
+    kind='atom' (``<link href=…/>``, ``<published>``/``<updated>``).
+    Non-feed documents keep one NULL-kind row (posexplode_outer — same
+    accounting contract as :func:`parse_sitemap`).  Map-only."""
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+    blocks = F.concat(
+        F.regexp_extract_all(xml, F.lit(_ITEM_BLOCK_RE), 0),
+        F.regexp_extract_all(xml, F.lit(_ENTRY_BLOCK_RE), 0),
+    )
+    out = df.select(
+        *key_cols, F.posexplode_outer(blocks).alias("entry_no", "block")
+    )
+    b = F.col("block")
+    is_atom = F.lower(b).startswith("<entry")
+    link = F.when(
+        is_atom, F.nullif(F.regexp_extract(b, _ATOM_HREF_RE, 1), F.lit(""))
+    ).otherwise(_tag(b, "link"))
+    published = F.coalesce(
+        _tag(b, "pubDate"), _tag(b, "published"), _tag(b, "updated")
+    )
+    return out.select(
+        *key_cols,
+        F.col("entry_no").cast("int").alias("entry_no"),
+        F.when(b.isNull(), None).when(is_atom, "atom").otherwise("rss")
+        .alias("kind"),
+        _tag(b, "title").alias("title"),
+        link.alias("link"),
+        published.alias("published"),
+    )

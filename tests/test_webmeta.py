@@ -60,3 +60,26 @@ def test_sitemap_urlset_index_and_nonsitemap(spark):
         (3, None, None, None, None, None),  # outer explode keeps the doc
         (4, None, None, None, None, None),
     ]
+
+
+def test_feed_rss_atom_and_nonfeed(spark):
+    from chug_spark.ops.webmeta import parse_feed
+
+    rss = ("<rss><channel><item><title>A</title><link>https://x/a</link>"
+           "<pubDate>d1</pubDate></item></channel></rss>")
+    atom = ('<feed><entry><title>B</title>'
+            '<link rel="alternate" href="https://x/b"/>'
+            "<updated>d2</updated></entry></feed>")
+    df = spark.createDataFrame(
+        [(1, rss), (2, atom), (3, "<html>n</html>")],
+        "doc_id long, xml string",
+    )
+    rows = sorted(
+        (r.doc_id, r.entry_no, r.kind, r.title, r.link, r.published)
+        for r in parse_feed(df).collect()
+    )
+    assert rows == [
+        (1, 0, "rss", "A", "https://x/a", "d1"),
+        (2, 0, "atom", "B", "https://x/b", "d2"),
+        (3, None, None, None, None, None),
+    ]
