@@ -922,6 +922,174 @@ FROM w
 """
 
 
+def q_web_pipeline2(spark, sf_dir):
+    """End-to-end page pipeline over RAW BYTES, chaining this round's
+    stages: payload → WHATWG charset sniff + decode (ops/charset) →
+    soft-404 gate (ops/webmeta) → jusText main content (ops/html) →
+    per-host site-template strip (ops/textstats).  Per doc_id%4: two
+    utf-8 classes with doc-text paragraphs, a windows-1252 page with a
+    meta declaration and an 0xE9 byte, and a soft-404 page that must die
+    at the gate.  Every page carries its host's nav header + copyright
+    footer paragraphs — jusText keeps them (long, link-free), so ONLY the
+    template strip can remove them.  The oracle replays all four stages."""
+    from pyspark.sql import functions as F
+
+    from .charset import decode_payload_text, detect_charset
+    from .html import html_main_content
+    from .textstats import host_template_strip
+    from .webmeta import soft404_detect
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+    )
+    m4 = F.pmod(F.col("doc_id"), 4)
+    hsrc = F.regexp_replace(
+        F.coalesce(F.col("source"), F.lit("nosrc")), "[^A-Za-z0-9.-]", "-"
+    )
+    hdr = F.concat(F.lit("home about contact menu for "), hsrc)
+    ftr = F.concat(F.lit("copyright "), hsrc, F.lit(" all rights reserved"))
+    # paragraphs: 12-word slices of the <>&-sanitized text (sanitized so
+    # block segmentation and tag-strip are identity on the para content —
+    # the oracle replays slices, not a full HTML parse)
+    ptext = F.regexp_replace("text", "[<>&]", " ")
+    words = F.split(ptext, " ")
+    paras_html = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(words) / 12).cast("int") - 1),
+            lambda i: F.concat(
+                F.lit("<p>"), F.array_join(F.slice(words, i * 12 + 1, 12), " "),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Doc</title></head><body><p>"), hdr,
+        F.lit("</p>"), paras_html, F.lit("<p>"), ftr,
+        F.lit("</p></body></html>"),
+    )
+    page_1252 = F.concat(
+        F.lit('<html><head><meta charset="windows-1252"><title>Doc</title>'
+              "</head><body><p>"), hdr,
+        F.lit("</p><p>café fixed menu paragraph here</p><p>"), ftr,
+        F.lit("</p></body></html>"),
+    )
+    page_404 = (
+        "<html><head><title>404 Not Found</title></head>"
+        "<body><p>this page has been removed</p></body></html>"
+    )
+    payload = (
+        F.when(m4 == 1, F.encode(page_1252, "ISO-8859-1"))
+        .when(m4 == 3, F.encode(F.lit(page_404), "UTF-8"))
+        .otherwise(F.encode(page, "UTF-8"))
+    )
+    # FIXTURE-ONLY barrier: CollapseProject inlines the page-synthesis +
+    # charset-decode expression into EVERY downstream reference (soft-404
+    # probes body text 4×, jusText ~20×, template strip a few more — the
+    # tree multiplies until one task grinds for minutes; a plain
+    # repartition() does NOT stop it, projections push through exchanges).
+    # An Aggregate is a genuine collapse boundary: downstream reads the agg
+    # output attribute, same as the parquet-fed warc_charset/html_extract
+    # paths.  doc_id is unique so groupBy+first is an identity with one
+    # keyed shuffle.  Production pages arrive as plain parquet/WARC columns
+    # and need no barrier.
+    pages = d.select("doc_id", "source", payload.alias("payload"))
+    decoded = (
+        decode_payload_text(detect_charset(pages))
+        .groupBy("doc_id")
+        .agg(F.first("source").alias("source"), F.first("text").alias("text"))
+    )
+    gated = soft404_detect(decoded, html_col="text").filter(~F.col("soft404"))
+    main = html_main_content(
+        gated.select("doc_id", "text"), html_col="text"
+    ).join(gated.select("doc_id", "source"), "doc_id")
+    return host_template_strip(
+        main.select("doc_id", "source", F.col("main_text").alias("text"))
+    )
+
+
+_ERR_BODY_SQL = (
+    r"(?is)(page\s+(?:you\s+requested\s+)?(?:was\s+)?not\s+found"
+    r"|no\s+longer\s+available|has\s+been\s+(?:removed|deleted)"
+    r"|404\s+error)"
+)
+
+_SQL_WEB_PIPELINE2 = rf"""
+WITH raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 4 AS m,
+         coalesce(source, '') AS host,
+         regexp_replace(coalesce(source, 'nosrc'), '[^A-Za-z0-9.-]', '-', 'g')
+           AS hsrc,
+         regexp_replace(text, '[<>&]', ' ', 'g') AS ptext
+  FROM documents WHERE text IS NOT NULL
+),
+cfg AS (
+  SELECT doc_id, m, host,
+         'home about contact menu for ' || hsrc AS hdr,
+         'copyright ' || hsrc || ' all rights reserved' AS ftr,
+         string_split(ptext, ' ') AS words
+  FROM raw WHERE m <> 3
+),
+paras AS (
+  SELECT doc_id, host, hdr, ftr,
+         CASE WHEN m = 1 THEN ['caf' || chr(233) || ' fixed menu paragraph here']
+              ELSE list_transform(
+                generate_series(0, CAST(ceil(len(words) / 12.0) AS INT) - 1),
+                i -> trim(regexp_replace(
+                       array_to_string(list_slice(words, i*12 + 1, i*12 + 12), ' '),
+                       '\s+', ' ', 'g')))
+         END AS plist
+  FROM cfg
+),
+gated AS (
+  SELECT *,
+    trim(regexp_replace('Doc ' || hdr || ' ' || array_to_string(plist, ' ')
+                        || ' ' || ftr, '\s+', ' ', 'g')) AS vis
+  FROM paras
+),
+keep AS (
+  SELECT doc_id, host, hdr, ftr, plist FROM gated
+  WHERE NOT (regexp_matches(vis, '{_ERR_BODY_SQL}')
+             AND len(string_split(vis, ' ')) < 30)
+),
+blocks AS (
+  SELECT doc_id, host,
+         list_concat(list_concat([hdr],
+           list_filter(plist, p -> len(p) >= 20)), [ftr]) AS bl
+  FROM keep
+),
+l AS (
+  SELECT doc_id, host, u.i AS line_idx, list_extract(bl, u.i + 1) AS line
+  FROM blocks, unnest(generate_series(0, len(bl) - 1)) AS u(i)
+),
+hp AS (SELECT host, count(*) AS n_pages FROM keep GROUP BY host),
+ldf AS (
+  SELECT host, md5(trim(line)) AS line_key, count(DISTINCT doc_id) AS df
+  FROM l WHERE trim(line) <> '' GROUP BY 1, 2
+),
+tpl AS (
+  SELECT ldf.host, ldf.line_key FROM ldf JOIN hp USING (host)
+  WHERE hp.n_pages >= 3 AND ldf.df * 10000 >= 5000 * hp.n_pages
+),
+k AS (
+  SELECT l.doc_id, l.line_idx, l.line FROM l
+  WHERE NOT EXISTS (SELECT 1 FROM tpl
+                    WHERE tpl.host = l.host
+                      AND tpl.line_key = md5(trim(l.line)))
+)
+SELECT t.doc_id,
+       coalesce(kk.clean_text, '') AS clean_text,
+       CAST(coalesce(kk.n_kept, 0) AS INT) AS n_kept,
+       CAST(t.n_total - coalesce(kk.n_kept, 0) AS INT) AS n_dropped
+FROM (SELECT doc_id, count(*) AS n_total FROM l GROUP BY doc_id) t
+LEFT JOIN (SELECT doc_id,
+                  array_to_string(list(line ORDER BY line_idx), ' ')
+                    AS clean_text,
+                  count(*) AS n_kept
+           FROM k GROUP BY doc_id) kk USING (doc_id)
+"""
+
+
 def q_feed_parse(spark, sf_dir):
     """RSS/Atom feed parsing (ops/webmeta.parse_feed): a 2-item RSS feed,
     a 1-entry Atom feed (href link, <updated> date), and a non-feed page
@@ -4904,6 +5072,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_rank": q_frontier_rank,
         "table_extract": q_table_extract,
         "feed_parse": q_feed_parse,
+        "web_pipeline2": q_web_pipeline2,
         "soft404": q_soft404,
         "sitemap_parse": q_sitemap_parse,
         "html_extract": q_html_extract,
@@ -5019,6 +5188,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "frontier_rank": _SQL_FRONTIER_RANK,
         "table_extract": _SQL_TABLE_EXTRACT,
         "feed_parse": _SQL_FEED_PARSE,
+        "web_pipeline2": _SQL_WEB_PIPELINE2,
         "soft404": _soft404_sql(),
         "sitemap_parse": _SQL_SITEMAP_PARSE,
         "html_extract": _html_extract_sql(),

@@ -1,0 +1,220 @@
+"""PDF layout analysis: reading-order reconstruction via recursive XY-cut.
+
+The north rule's extraction triad is "HTML boilerplate strip, PDF/layout
+parse, DOM heuristics".  The PDF *decode* side (page render + text-layer
+span emission, ref ``/root/reference/src/chug/doc/doc_processor.py:239-320``)
+lives in :mod:`chug_spark.extract` / :mod:`chug_spark.media`; this module is
+the *layout* side proper: given the positioned word boxes a real text layer
+yields (pypdfium2's ``page.get_textpage()`` charboxes, or any OCR engine's
+word geometry), reconstruct the human reading order — multi-column pages,
+full-width headings, stacked sections — and group words into layout blocks.
+
+Algorithm: the classic recursive XY-cut (Nagy & Seth 1984, the standard
+top-down page segmentation used by every document-AI preprocessing stack).
+At each region, project the boxes onto both axes, find the largest empty
+gap in each projection (merged-interval sweep), and split on the larger
+gap that clears its axis threshold — horizontal cuts (top/bottom, gap in
+the y-projection) win ties, matching column-before-row reading.  Regions
+with no qualifying gap are leaves; a leaf's words sort by (y, x), i.e.
+line-major.  Leaves emit in cut order (top/left subtree first), which IS
+the reading order; each leaf is one layout block.
+
+Spark-side this is ONE Arrow-batched ``mapInPandas`` pass over
+``(doc_id, boxes)`` rows — a pure map, no shuffle, pipelines behind the
+scan.  A page's cost is O(b log b) in its box count with at most 2b-1
+regions total (each split strictly shrinks both sides), so a giant page
+costs like its text layer and upstream page-size capping is the skew
+control, exactly as for the render/DOM legs.  All region processing is an
+explicit stack — adversarial layouts cannot hit the recursion limit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: minimum empty gap (in page units) for a horizontal cut (y-projection):
+#: separates title/heading bands, stacked sections, paragraphs-with-leading
+H_GAP = 20
+#: minimum empty gap for a vertical cut (x-projection): separates columns;
+#: larger than H_GAP so inter-word spacing never reads as a column break
+V_GAP = 30
+
+
+def _largest_gap(starts: np.ndarray, ends: np.ndarray) -> tuple[int, int]:
+    """Largest empty gap in the union of [start, end) intervals.
+
+    Returns ``(gap, cut)`` where ``cut`` is a coordinate strictly inside
+    the gap (its midpoint); ``gap == 0`` means the projection is connected.
+    Merged-interval sweep: sort by start, track the running cover end.
+    """
+    order = np.argsort(starts, kind="mergesort")
+    s = starts[order]
+    e = ends[order]
+    best = 0
+    cut = 0
+    cover = e[0]
+    for i in range(1, len(s)):
+        if s[i] > cover:
+            g = int(s[i] - cover)
+            if g > best:
+                best = g
+                cut = int(cover) + g // 2
+        if e[i] > cover:
+            cover = e[i]
+    return best, cut
+
+
+def xy_cut(
+    x: np.ndarray,
+    y: np.ndarray,
+    w: np.ndarray,
+    h: np.ndarray,
+    h_gap: int = H_GAP,
+    v_gap: int = V_GAP,
+) -> list[np.ndarray]:
+    """Segment word boxes into layout blocks in reading order.
+
+    Returns a list of index arrays (into the input), one per leaf block,
+    blocks in reading order and each block's indices line-major (y, then
+    x).  The concatenation is a permutation of ``range(len(x))``.
+    """
+    n = len(x)
+    if n == 0:
+        return []
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    x2 = x + np.asarray(w, dtype=np.int64)
+    y2 = y + np.asarray(h, dtype=np.int64)
+
+    leaves: list[np.ndarray] = []
+    # LIFO with the top/left part pushed last => popped (and emitted) first
+    stack: list[np.ndarray] = [np.arange(n)]
+    # each split yields two non-empty strict subsets => <= 2n-1 regions ever;
+    # the guard is a defensive backstop, not a reachable path
+    guard = 2 * n + 8
+    while stack:
+        idx = stack.pop()
+        split = None
+        if len(idx) > 1 and guard > 0:
+            guard -= 1
+            gh, cy = _largest_gap(y[idx], y2[idx])
+            gv, cx = _largest_gap(x[idx], x2[idx])
+            if gh >= h_gap and (gh >= gv or gv < v_gap):
+                first = idx[y2[idx] <= cy]  # gap is empty: every box is
+                second = idx[y2[idx] > cy]  # entirely on one side of cut
+                split = (first, second)
+            elif gv >= v_gap:
+                first = idx[x2[idx] <= cx]
+                second = idx[x2[idx] > cx]
+                split = (first, second)
+        if split is not None:
+            stack.append(split[1])
+            stack.append(split[0])
+        else:
+            order = np.lexsort((x[idx], y[idx]))  # line-major: y, then x
+            leaves.append(idx[order])
+    return leaves
+
+
+#: struct fields expected in the ``boxes`` array column
+BOX_SCHEMA = "array<struct<x:int,y:int,w:int,h:int,text:string>>"
+
+_ORDER_SCHEMA = "doc_id long, k int, block int, x int, y int, text string"
+
+
+def reading_order(
+    docs: DataFrame,
+    boxes_col: str = "boxes",
+    h_gap: int = H_GAP,
+    v_gap: int = V_GAP,
+    repartition: int | None = None,
+) -> DataFrame:
+    """(doc_id, k, block, x, y, text) per word box, k = reading-order rank.
+
+    ``boxes_col`` is an ``array<struct<x,y,w,h,text>>`` page text layer in
+    ARBITRARY array order (text layers come in extraction order, not
+    reading order — that is the whole problem).  Pure map; pass
+    ``repartition=N`` only for degenerate single-split inputs, same knob
+    and rationale as :func:`chug_spark.ops.dom.dom_extract`.
+    """
+    import pandas as pd
+
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(boxes_col).alias("boxes"),
+    )
+    if repartition:
+        src = src.repartition(repartition, "doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            dids: list[int] = []
+            ks: list[int] = []
+            blocks: list[int] = []
+            xs: list[int] = []
+            ys: list[int] = []
+            texts: list[str] = []
+            for did, boxes in zip(pdf["doc_id"], pdf["boxes"]):
+                if boxes is None or len(boxes) == 0:
+                    continue
+                bx = np.fromiter((b["x"] for b in boxes), np.int64, len(boxes))
+                by = np.fromiter((b["y"] for b in boxes), np.int64, len(boxes))
+                bw = np.fromiter((b["w"] for b in boxes), np.int64, len(boxes))
+                bh = np.fromiter((b["h"] for b in boxes), np.int64, len(boxes))
+                btext = [b["text"] for b in boxes]
+                k = 0
+                for bi, leaf in enumerate(xy_cut(bx, by, bw, bh, h_gap, v_gap)):
+                    for j in leaf:
+                        dids.append(did)
+                        ks.append(k)
+                        blocks.append(bi)
+                        xs.append(int(bx[j]))
+                        ys.append(int(by[j]))
+                        texts.append(btext[j])
+                        k += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dids, dtype="int64"),
+                    "k": pd.Series(ks, dtype="int32"),
+                    "block": pd.Series(blocks, dtype="int32"),
+                    "x": pd.Series(xs, dtype="int32"),
+                    "y": pd.Series(ys, dtype="int32"),
+                    "text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(run, _ORDER_SCHEMA)
+
+
+def layout_blocks(
+    docs: DataFrame,
+    boxes_col: str = "boxes",
+    h_gap: int = H_GAP,
+    v_gap: int = V_GAP,
+    repartition: int | None = None,
+) -> DataFrame:
+    """One row per layout block: (doc_id, block, n_words, block_text, bbox).
+
+    :func:`reading_order` + one keyed agg; ``block_text`` joins the words
+    in reading order (sort_array over (k, text) pairs — the per-block word
+    count is page-bounded, so the in-row sort is O(block) not O(corpus)).
+    """
+    spans = reading_order(docs, boxes_col, h_gap, v_gap, repartition)
+    return (
+        spans.groupBy("doc_id", "block")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("k", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("block_text"),
+            F.min("x").alias("x0"),
+            F.min("y").alias("y0"),
+        )
+        .select("doc_id", "block", "n_words", "block_text", "x0", "y0")
+    )

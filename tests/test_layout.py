@@ -1,0 +1,126 @@
+"""XY-cut layout analysis: kernel semantics + the Spark surface."""
+
+import numpy as np
+import pytest
+
+from chug_spark.ops.layout import layout_blocks, reading_order, xy_cut
+
+
+def _boxes(rows):
+    """rows: list of (x, y, w, h) -> four arrays."""
+    a = np.array(rows, dtype=np.int64)
+    return a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+
+
+def _flat(leaves):
+    return [int(i) for leaf in leaves for i in leaf]
+
+
+def test_empty_and_single():
+    e = np.array([], dtype=np.int64)
+    assert xy_cut(e, e, e, e) == []
+    leaves = xy_cut(*_boxes([(5, 5, 10, 10)]))
+    assert _flat(leaves) == [0] and len(leaves) == 1
+
+
+def test_two_columns_title():
+    # full-width title over two columns; input order scrambled
+    rows = [
+        (50, 0, 180, 16),  # 0 title
+        (250, 0, 180, 16),  # 1 title
+        (50, 40, 80, 12),  # 2 left col line 0
+        (140, 40, 80, 12),  # 3 left col line 0
+        (50, 60, 80, 12),  # 4 left col line 1
+        (450, 40, 80, 12),  # 5 right col line 0
+        (450, 60, 80, 12),  # 6 right col line 1
+    ]
+    perm = [5, 2, 0, 6, 4, 1, 3]
+    x, y, w, h = _boxes([rows[i] for i in perm])
+    leaves = xy_cut(x, y, w, h)
+    # reading order recovers original order: title, left top-down, right
+    assert [perm[i] for i in _flat(leaves)] == [0, 1, 2, 3, 4, 5, 6]
+    assert [len(l) for l in leaves] == [2, 3, 2]
+
+
+def test_three_columns():
+    rows = []
+    for c, cx in enumerate((0, 200, 400)):
+        for line in range(3):
+            rows.append((cx, 30 * line, 100, 10))
+    leaves = xy_cut(*_boxes(rows), h_gap=25, v_gap=50)
+    assert [len(l) for l in leaves] == [3, 3, 3]
+    assert _flat(leaves) == list(range(9))
+
+
+def test_nested_sections():
+    # two stacked 2-column sections with a full-width separator between:
+    # order = sec1 left, sec1 right, separator, sec2 left, sec2 right
+    sec1 = [(0, 0, 100, 10), (300, 0, 100, 10)]
+    sep = [(0, 50, 400, 10)]
+    sec2 = [(0, 100, 100, 10), (300, 100, 100, 10)]
+    leaves = xy_cut(*_boxes(sec1 + sep + sec2))
+    assert [list(map(int, l)) for l in leaves] == [[0], [1], [2], [3], [4]]
+
+
+def test_no_gap_falls_back_to_line_sort():
+    # overlapping/connected boxes: one leaf, (y, x)-sorted
+    rows = [(10, 10, 50, 50), (40, 5, 50, 50), (5, 30, 50, 50)]
+    leaves = xy_cut(*_boxes(rows))
+    assert len(leaves) == 1
+    assert _flat(leaves) == [1, 0, 2]  # y=5 first, then y=10, then y=30
+
+
+def test_permutation_property():
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        n = int(rng.randint(1, 60))
+        x = rng.randint(0, 500, n)
+        y = rng.randint(0, 500, n)
+        w = rng.randint(1, 120, n)
+        h = rng.randint(1, 40, n)
+        leaves = xy_cut(x, y, w, h)
+        assert sorted(_flat(leaves)) == list(range(n))
+
+
+def test_l_shaped_figure_caption():
+    # figure occupying the top-right quadrant with body text flowing in an
+    # L: left column full height, bottom band full width under the figure
+    left = [(0, 30 * i, 100, 10) for i in range(6)]  # y 0..150
+    fig = [(200, 0, 200, 60)]  # top-right figure block
+    band = [(200, 120, 90, 10), (300, 120, 90, 10)]  # caption under figure
+    leaves = xy_cut(*_boxes(left + fig + band))
+    order = _flat(leaves)
+    # left column reads before the figure, figure before its caption
+    assert order.index(6) > order.index(0)
+    assert order.index(7) > order.index(6)
+    assert sorted(order) == list(range(9))
+
+
+def test_reading_order_spark(spark):
+    rows = [
+        (
+            1,
+            [
+                {"x": 450, "y": 40, "w": 80, "h": 12, "text": "right"},
+                {"x": 50, "y": 0, "w": 180, "h": 16, "text": "Title"},
+                {"x": 50, "y": 40, "w": 80, "h": 12, "text": "left"},
+            ],
+        ),
+        (2, []),
+        (3, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, boxes array<struct<x:int,y:int,w:int,h:int,text:string>>"
+    )
+    out = reading_order(df).orderBy("doc_id", "k").collect()
+    assert [(r.doc_id, r.k, r.block, r.text) for r in out] == [
+        (1, 0, 0, "Title"),
+        (1, 1, 1, "left"),
+        (1, 2, 2, "right"),
+    ]
+    blocks = layout_blocks(df).orderBy("doc_id", "block").collect()
+    assert [(b.block, b.n_words, b.block_text, b.x0, b.y0) for b in blocks] == [
+        (0, 1, "Title", 50, 0),
+        (1, 1, "left", 50, 40),
+        (2, 1, "right", 450, 40),
+    ]
