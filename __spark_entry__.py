@@ -392,10 +392,21 @@ _SWEEP_FRONT = [
     # minhash_verified machinery) and curation_sampled (curation_keep +
     # stratified_sample stay in-window), both of which rotate to r6.
     "media_dhash_struct", "media_features_struct",
+    # fifth-continuation r5: brand-new machinery outranks stale
+    # re-verification (same policy as below).  layout_order = the XY-cut
+    # reading-order op (ops/layout.py, never driver-seen; its layout_blocks
+    # sibling shares the kernel + one agg and stays out-of-window,
+    # paranoid-green); web_pipeline2 = the 4-stage raw-bytes composition
+    # (charset -> soft-404 -> jusText -> template strip).  Displaced, both
+    # r1-r3 driver-green + paranoid-green this round, front-load r6:
+    # group_members (suffix-groupBy shape inside in-window tar-ingest-
+    # family oracles), vqa_prompt (projection + md5 pick, its md5-draw
+    # machinery probed by in-window aug_schedule_nougat)
+    "layout_order", "web_pipeline2",
     # r1-r3-green rows never swept in r4 (stale evidence rotation — the
     # oracle-bearing 32 of the 36; the 4 rows-only ones rotate to r6 since
     # the driver can only count their rows): see OPERATORS.md
-    "group_members", "vqa_prompt", "target_mask",
+    "target_mask",
     "substring_cut", "minhash_pairs",
     "simhash_pairs", "ngram_jaccard",
     # fourth-continuation r5: brand-new machinery outranks stale

@@ -1141,6 +1141,123 @@ FROM d WHERE m = 2
 """
 
 
+def _layout_boxes(spark, sf_dir):
+    """Synthesized page text layers for the XY-cut queries: the first 22
+    words of each ≥22-word document laid out as a 2-word full-width title
+    band over a 10-line left column and a 10-line right column, the array
+    DETERMINISTICALLY SHUFFLED by md5(doc_id, j) — extraction order is not
+    reading order, which is the whole problem.  Geometry puts the title/
+    body y-gap at 24 (≥ H_GAP 20), the inter-column x-gap at 320 (≥ V_GAP
+    30), intra-column line gaps at 8 and the title's inter-word x-gap at
+    20 (both below threshold), so the reading order is the closed form
+    word index j — the oracle needs no recursion."""
+    from pyspark.sql import functions as F
+
+    words = F.split(
+        F.trim(F.regexp_replace("text", r"\s+", " ")), " "
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.slice(words, 1, 22).alias("w"),
+        )
+        .filter(F.size("w") >= 22)
+    )
+
+    def geom(j):
+        title = j < F.lit(2)
+        left = j < F.lit(12)
+        return (
+            F.when(title, 50 + 200 * j).when(left, F.lit(50)).otherwise(450),
+            F.when(title, F.lit(0))
+            .when(left, 40 + 20 * (j - 2))
+            .otherwise(40 + 20 * (j - 12)),
+            F.when(title, F.lit(180)).otherwise(80),
+            F.when(title, F.lit(16)).otherwise(12),
+        )
+
+    def keyed_box(wtext, j):
+        x, y, bw, bh = geom(j)
+        return F.struct(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit("-"),
+                         j.cast("string"))
+            ).alias("key"),
+            x.cast("int").alias("x"),
+            y.cast("int").alias("y"),
+            bw.cast("int").alias("w"),
+            bh.cast("int").alias("h"),
+            wtext.alias("text"),
+        )
+
+    boxes = F.transform(
+        F.array_sort(F.transform("w", keyed_box)),
+        lambda s: F.struct(
+            s["x"].alias("x"), s["y"].alias("y"), s["w"].alias("w"),
+            s["h"].alias("h"), s["text"].alias("text"),
+        ),
+    )
+    return d.select("doc_id", boxes.alias("boxes"))
+
+
+def q_layout_order(spark, sf_dir):
+    """XY-cut reading-order reconstruction (ops/layout.reading_order) over
+    the shuffled synthetic text layers of :func:`_layout_boxes`; the oracle
+    emits the closed-form (k = word index, block = title/left/right)."""
+    from .layout import reading_order
+
+    return reading_order(_layout_boxes(spark, sf_dir))
+
+
+def q_layout_blocks(spark, sf_dir):
+    """Block grouping over the same layers (ops/layout.layout_blocks):
+    (block, n_words, reading-order block_text, bbox origin) per leaf."""
+    from .layout import layout_blocks
+
+    return layout_blocks(_layout_boxes(spark, sf_dir))
+
+
+_SQL_LAYOUT_DOCS = r"""
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+"""
+
+_SQL_LAYOUT_ORDER = rf"""
+WITH d AS ({_SQL_LAYOUT_DOCS}),
+f AS (SELECT doc_id, list_slice(w, 1, 22) AS w FROM d WHERE len(w) >= 22),
+j AS (SELECT doc_id, u.i AS k, w[u.i + 1] AS text
+      FROM f, unnest(generate_series(0, 21)) AS u(i))
+SELECT doc_id, CAST(k AS INT) AS k,
+       CAST(CASE WHEN k < 2 THEN 0 WHEN k < 12 THEN 1 ELSE 2 END AS INT)
+         AS block,
+       CAST(CASE WHEN k < 2 THEN 50 + 200 * k
+                 WHEN k < 12 THEN 50 ELSE 450 END AS INT) AS x,
+       CAST(CASE WHEN k < 2 THEN 0
+                 WHEN k < 12 THEN 40 + 20 * (k - 2)
+                 ELSE 40 + 20 * (k - 12) END AS INT) AS y,
+       text
+FROM j
+"""
+
+_SQL_LAYOUT_BLOCKS = rf"""
+WITH d AS ({_SQL_LAYOUT_DOCS}),
+f AS (SELECT doc_id, list_slice(w, 1, 22) AS w FROM d WHERE len(w) >= 22)
+SELECT doc_id, CAST(0 AS INT) AS block, CAST(2 AS INT) AS n_words,
+       array_to_string(list_slice(w, 1, 2), ' ') AS block_text,
+       CAST(50 AS INT) AS x0, CAST(0 AS INT) AS y0
+FROM f
+UNION ALL
+SELECT doc_id, 1, 10, array_to_string(list_slice(w, 3, 12), ' '), 50, 40
+FROM f
+UNION ALL
+SELECT doc_id, 2, 10, array_to_string(list_slice(w, 13, 22), ' '), 450, 40
+FROM f
+"""
+
+
 def q_table_extract(spark, sf_dir):
     """HTML table extraction (ops/tables.extract_tables): a two-table page
     (header row + data rows, then a 1x1 table), a table-free page, and a
@@ -5073,6 +5190,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extract": q_table_extract,
         "feed_parse": q_feed_parse,
         "web_pipeline2": q_web_pipeline2,
+        "layout_order": q_layout_order,
+        "layout_blocks": q_layout_blocks,
         "soft404": q_soft404,
         "sitemap_parse": q_sitemap_parse,
         "html_extract": q_html_extract,
@@ -5189,6 +5308,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "table_extract": _SQL_TABLE_EXTRACT,
         "feed_parse": _SQL_FEED_PARSE,
         "web_pipeline2": _SQL_WEB_PIPELINE2,
+        "layout_order": _SQL_LAYOUT_ORDER,
+        "layout_blocks": _SQL_LAYOUT_BLOCKS,
         "soft404": _soft404_sql(),
         "sitemap_parse": _SQL_SITEMAP_PARSE,
         "html_extract": _html_extract_sql(),
