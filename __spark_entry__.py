@@ -384,7 +384,10 @@ _SWEEP_FRONT = [
     # changed/new in r5: dom_extract gained a full oracle; image/bpe twins;
     # nougat train leg; bpe queries switched to the driver-side fast trainer
     "dom_extract", "image_eval_struct", "image_train_struct",
-    "aug_schedule_nougat", "media_train_nougat", "bpe_vocab", "bpe_apply",
+    # (media_train_nougat is rows-only — its value gate is the every-round
+    # md5 pin and the in-window full-oracle aug_schedule_nougat twin; its
+    # slot goes to the new full-oracle line_unwrap row below)
+    "aug_schedule_nougat", "bpe_vocab", "bpe_apply",
     # late-r5: the last two untwinned rows-only pipelines gained hard
     # structural-twin oracles (plumbing/fan-out/geometry value-checked;
     # pixel bits stay md5-pinned).  They take the front slots of
@@ -402,7 +405,7 @@ _SWEEP_FRONT = [
     # group_members (suffix-groupBy shape inside in-window tar-ingest-
     # family oracles), vqa_prompt (projection + md5 pick, its md5-draw
     # machinery probed by in-window aug_schedule_nougat)
-    "layout_order", "web_pipeline2",
+    "layout_order", "web_pipeline2", "line_unwrap",
     # r1-r3-green rows never swept in r4 (stale evidence rotation — the
     # oracle-bearing 32 of the 36; the 4 rows-only ones rotate to r6 since
     # the driver can only count their rows): see OPERATORS.md

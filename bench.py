@@ -276,6 +276,12 @@ def main() -> int:
 
     timed("caption_mine", lambda: q_caption_mine(spark, SF_DIR).count())
 
+    # q28: XY-cut reading-order reconstruction — one mapInPandas map pass
+    # over shuffled synthetic text layers (r5)
+    from chug_spark.ops.entry import q_layout_order
+
+    timed("layout_order", lambda: q_layout_order(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

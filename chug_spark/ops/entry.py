@@ -1225,6 +1225,96 @@ _SQL_LAYOUT_DOCS = r"""
   FROM documents WHERE text IS NOT NULL
 """
 
+
+def q_layout_pages(spark, sf_dir):
+    """Multi-page reading order (ops/layout.reading_order_pages): ≥44-word
+    docs get TWO pages of the same shuffled 3-block geometry (page p =
+    words 22p+1..22p+22); the document-wide rank must come out as the
+    closed form k = 22*page + j, i.e. the per-page XY-cut result plus the
+    cross-page word-count offset join."""
+    from pyspark.sql import functions as F
+
+    from .layout import reading_order_pages
+
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.slice(words, 1, 44).alias("w"),
+        )
+        .filter(F.size("w") >= 44)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("page"),
+            F.col("w"),
+        )
+        .select(
+            "doc_id", "page",
+            F.slice("w", F.col("page") * 22 + 1, F.lit(22)).alias("w"),
+        )
+    )
+
+    def geom(j):
+        title = j < F.lit(2)
+        left = j < F.lit(12)
+        return (
+            F.when(title, 50 + 200 * j).when(left, F.lit(50)).otherwise(450),
+            F.when(title, F.lit(0))
+            .when(left, 40 + 20 * (j - 2))
+            .otherwise(40 + 20 * (j - 12)),
+            F.when(title, F.lit(180)).otherwise(80),
+            F.when(title, F.lit(16)).otherwise(12),
+        )
+
+    def keyed_box(wtext, j):
+        x, y, bw, bh = geom(j)
+        return F.struct(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit("-"),
+                         F.col("page").cast("string"), F.lit("-"),
+                         j.cast("string"))
+            ).alias("key"),
+            x.cast("int").alias("x"),
+            y.cast("int").alias("y"),
+            bw.cast("int").alias("w"),
+            bh.cast("int").alias("h"),
+            wtext.alias("text"),
+        )
+
+    boxes = F.transform(
+        F.array_sort(F.transform("w", keyed_box)),
+        lambda s: F.struct(
+            s["x"].alias("x"), s["y"].alias("y"), s["w"].alias("w"),
+            s["h"].alias("h"), s["text"].alias("text"),
+        ),
+    )
+    return reading_order_pages(d.select("doc_id", "page", boxes.alias("boxes")))
+
+
+_SQL_LAYOUT_PAGES = rf"""
+WITH d AS ({_SQL_LAYOUT_DOCS}),
+f AS (SELECT doc_id, list_slice(w, 1, 44) AS w FROM d WHERE len(w) >= 44),
+j AS (SELECT doc_id, p.i AS page, u.i AS k_page,
+             w[p.i * 22 + u.i + 1] AS text
+      FROM f,
+           unnest(generate_series(0, 1)) AS p(i),
+           unnest(generate_series(0, 21)) AS u(i))
+SELECT doc_id, CAST(page AS INT) AS page,
+       CAST(page * 22 + k_page AS INT) AS k,
+       CAST(CASE WHEN k_page < 2 THEN 0 WHEN k_page < 12 THEN 1 ELSE 2 END
+            AS INT) AS block,
+       CAST(CASE WHEN k_page < 2 THEN 50 + 200 * k_page
+                 WHEN k_page < 12 THEN 50 ELSE 450 END AS INT) AS x,
+       CAST(CASE WHEN k_page < 2 THEN 0
+                 WHEN k_page < 12 THEN 40 + 20 * (k_page - 2)
+                 ELSE 40 + 20 * (k_page - 12) END AS INT) AS y,
+       text
+FROM j
+"""
+
+
 _SQL_LAYOUT_ORDER = rf"""
 WITH d AS ({_SQL_LAYOUT_DOCS}),
 f AS (SELECT doc_id, list_slice(w, 1, 22) AS w FROM d WHERE len(w) >= 22),
@@ -1255,6 +1345,89 @@ FROM f
 UNION ALL
 SELECT doc_id, 2, 10, array_to_string(list_slice(w, 13, 22), ' '), 450, 40
 FROM f
+"""
+
+
+def q_line_unwrap(spark, sf_dir):
+    """Hard-wrap repair (ops/textnorm.line_unwrap): each ≥20-word doc is
+    re-wrapped PDF-text-layer style — a line break every 5th word, a
+    paragraph break every 15th, and every 10th word ≥6 chars split by an
+    end-of-line hyphen (continuation case decides soft-vs-hard at runtime,
+    from the word's own 4th character).  The oracle replays the synthesis
+    and the regex chain verbatim."""
+    from pyspark.sql import functions as F
+
+    from .textnorm import line_unwrap
+
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            words.alias("w"),
+        )
+        .filter(F.size("w") >= 20)
+    )
+    n = F.size("w")
+
+    def tok(wd, i):
+        hyph = F.when(
+            (i % 10 == F.lit(3)) & (F.length(wd) >= 6),
+            F.concat(
+                wd.substr(F.lit(1), F.lit(3)), F.lit("-\n"),
+                wd.substr(F.lit(4), F.length(wd)),
+            ),
+        ).otherwise(wd)
+        sep = (
+            F.when(i == n - 1, F.lit(""))
+            .when(i % 15 == F.lit(14), F.lit("\n\n"))
+            .when(i % 5 == F.lit(4), F.lit("\n"))
+            .otherwise(F.lit(" "))
+        )
+        return F.concat(hyph, sep)
+
+    raw = F.array_join(F.transform("w", tok), "")
+    return line_unwrap(d.select("doc_id", raw.alias("text")))
+
+
+_SQL_LINE_UNWRAP = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+f AS (SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) >= 20),
+j AS (SELECT doc_id, n, u.i AS i, w[u.i + 1] AS word
+      FROM f, unnest(generate_series(0, len(w) - 1)) AS u(i)),
+tok AS (
+  SELECT doc_id, i,
+    (CASE WHEN i % 10 = 3 AND len(word) >= 6
+          THEN substr(word, 1, 3) || '-' || chr(10) || substr(word, 4)
+          ELSE word END)
+    || (CASE WHEN i = n - 1 THEN ''
+             WHEN i % 15 = 14 THEN chr(10) || chr(10)
+             WHEN i % 5 = 4 THEN chr(10)
+             ELSE ' ' END) AS t
+  FROM j
+),
+doc AS (SELECT doc_id, string_agg(t, '' ORDER BY i) AS raw FROM tok GROUP BY doc_id),
+s1 AS (SELECT doc_id, raw,
+              regexp_replace(raw, '([a-z])-\n([a-z])', '\1\2', 'g') AS a
+       FROM doc),
+s2 AS (SELECT doc_id, raw, a,
+              regexp_replace(a, '([A-Za-z0-9])-\n([A-Z0-9])', '\1-\2', 'g') AS b
+       FROM s1),
+s3 AS (SELECT doc_id, raw, a, b,
+              replace(regexp_replace(regexp_replace(b, '\n{2,}', chr(1), 'g'),
+                                     '\n', ' ', 'g'),
+                      chr(1), chr(10) || chr(10)) AS clean
+       FROM s2)
+SELECT doc_id, clean AS clean_text,
+       CAST((length(raw) - length(a)) / 2 AS INT) AS n_soft,
+       CAST(length(a) - length(b) AS INT) AS n_hard,
+       CAST(len(string_split(clean, chr(10) || chr(10))) AS INT) AS n_paras
+FROM s3
 """
 
 
@@ -5192,6 +5365,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pipeline2": q_web_pipeline2,
         "layout_order": q_layout_order,
         "layout_blocks": q_layout_blocks,
+        "layout_pages": q_layout_pages,
+        "line_unwrap": q_line_unwrap,
         "soft404": q_soft404,
         "sitemap_parse": q_sitemap_parse,
         "html_extract": q_html_extract,
@@ -5310,6 +5485,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "web_pipeline2": _SQL_WEB_PIPELINE2,
         "layout_order": _SQL_LAYOUT_ORDER,
         "layout_blocks": _SQL_LAYOUT_BLOCKS,
+        "layout_pages": _SQL_LAYOUT_PAGES,
+        "line_unwrap": _SQL_LINE_UNWRAP,
         "soft404": _soft404_sql(),
         "sitemap_parse": _SQL_SITEMAP_PARSE,
         "html_extract": _html_extract_sql(),

@@ -188,6 +188,97 @@ def reading_order(
     return src.mapInPandas(run, _ORDER_SCHEMA)
 
 
+_PAGE_ORDER_SCHEMA = (
+    "doc_id long, page int, k_page int, block int, x int, y int, text string"
+)
+
+
+def reading_order_pages(
+    docs: DataFrame,
+    boxes_col: str = "boxes",
+    page_col: str = "page",
+    h_gap: int = H_GAP,
+    v_gap: int = V_GAP,
+) -> DataFrame:
+    """Multi-page reading order: (doc_id, page, k, block, x, y, text).
+
+    Real text layers arrive one page at a time (pypdfium2 charboxes,
+    OCR word geometry per rendered page), so the realistic input is one
+    row per (doc, page).  Each page is XY-cut independently in the same
+    single map pass as :func:`reading_order` — pages of a document need
+    NOT be co-partitioned — and ``k`` is then promoted to a document-wide
+    rank by adding the word counts of earlier pages: one keyed agg to a
+    #pages-bounded relation, a per-doc running sum, and a join back on
+    (doc_id, page).  Both shuffles key on doc_id; no corpus-wide window.
+    ``block`` stays page-local (page breaks are real layout boundaries).
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(page_col).cast("int").alias("page"),
+        F.col(boxes_col).alias("boxes"),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "page": [], "k_page": [], "block": [],
+                "x": [], "y": [], "text": [],
+            }
+            for did, pg, boxes in zip(pdf["doc_id"], pdf["page"], pdf["boxes"]):
+                if boxes is None or len(boxes) == 0:
+                    continue
+                bx = np.fromiter((b["x"] for b in boxes), np.int64, len(boxes))
+                by = np.fromiter((b["y"] for b in boxes), np.int64, len(boxes))
+                bw = np.fromiter((b["w"] for b in boxes), np.int64, len(boxes))
+                bh = np.fromiter((b["h"] for b in boxes), np.int64, len(boxes))
+                btext = [b["text"] for b in boxes]
+                k = 0
+                for bi, leaf in enumerate(xy_cut(bx, by, bw, bh, h_gap, v_gap)):
+                    for j in leaf:
+                        out["doc_id"].append(did)
+                        out["page"].append(pg)
+                        out["k_page"].append(k)
+                        out["block"].append(bi)
+                        out["x"].append(int(bx[j]))
+                        out["y"].append(int(by[j]))
+                        out["text"].append(btext[j])
+                        k += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "page": pd.Series(out["page"], dtype="int32"),
+                    "k_page": pd.Series(out["k_page"], dtype="int32"),
+                    "block": pd.Series(out["block"], dtype="int32"),
+                    "x": pd.Series(out["x"], dtype="int32"),
+                    "y": pd.Series(out["y"], dtype="int32"),
+                    "text": pd.Series(out["text"], dtype="object"),
+                }
+            )
+
+    spans = src.mapInPandas(run, _PAGE_ORDER_SCHEMA)
+    counts = spans.groupBy("doc_id", "page").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("page")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "doc_id", "page",
+        F.coalesce(F.sum("n_words").over(w), F.lit(0))
+        .cast("int").alias("k0"),
+    )
+    return spans.join(offsets, ["doc_id", "page"]).select(
+        "doc_id", "page",
+        (F.col("k0") + F.col("k_page")).cast("int").alias("k"),
+        "block", "x", "y", "text",
+    )
+
+
 def layout_blocks(
     docs: DataFrame,
     boxes_col: str = "boxes",

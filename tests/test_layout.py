@@ -124,3 +124,30 @@ def test_reading_order_spark(spark):
         (1, 1, "left", 50, 40),
         (2, 1, "right", 450, 40),
     ]
+
+
+def test_reading_order_pages_spark(spark):
+    from chug_spark.ops.layout import reading_order_pages
+
+    box = lambda x, y, w, h, t: {"x": x, "y": y, "w": w, "h": h, "text": t}
+    rows = [
+        # doc 1, page 1: two columns, shuffled; page 0: a single title line
+        (1, 1, [box(450, 0, 80, 12, "p1right"), box(0, 0, 80, 12, "p1left")]),
+        (1, 0, [box(50, 0, 180, 16, "title")]),
+        # doc 2: empty page then one word — empty pages contribute no rows
+        # and no offset
+        (2, 0, []),
+        (2, 1, [box(0, 0, 10, 10, "only")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, page int, "
+        "boxes array<struct<x:int,y:int,w:int,h:int,text:string>>",
+    )
+    out = reading_order_pages(df).orderBy("doc_id", "k").collect()
+    assert [(r.doc_id, r.page, r.k, r.text) for r in out] == [
+        (1, 0, 0, "title"),
+        (1, 1, 1, "p1left"),
+        (1, 1, 2, "p1right"),
+        (2, 1, 0, "only"),
+    ]
