@@ -1348,6 +1348,77 @@ FROM f
 """
 
 
+def q_layout_table(spark, sf_dir):
+    """PDF-side table reconstruction (ops/layout.table_cells): each
+    ≥20-word doc becomes a shuffled 5-row × 3-column word-box grid whose
+    first column holds two-word cells (intra-cell spacing 20 < col_gap 30,
+    inter-column pitch 120 ≥ 30, row pitch 20 ≥ row_gap 8), so the
+    tab-stop clustering must merge within cells and split between them;
+    the oracle emits the closed-form grid."""
+    from pyspark.sql import functions as F
+
+    from .layout import table_cells
+
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.slice(words, 1, 20).alias("w"),
+        )
+        .filter(F.size("w") >= 20)
+    )
+
+    def keyed_box(wtext, j):
+        # j = 4r + c4 with c4 in 0..3: c4 0/1 -> two words of cell (r, 0)
+        # at x 40/60; c4 2 -> cell (r, 1) at x 160; c4 3 -> (r, 2) at 280
+        r = F.floor(j / 4)
+        c4 = j % 4
+        x = (
+            F.when(c4 == F.lit(0), 40)
+            .when(c4 == F.lit(1), 60)
+            .when(c4 == F.lit(2), 160)
+            .otherwise(280)
+        )
+        return F.struct(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit("-"),
+                         j.cast("string"))
+            ).alias("key"),
+            x.cast("int").alias("x"),
+            (r * 20).cast("int").alias("y"),
+            F.lit(15).alias("w"),
+            F.lit(10).alias("h"),
+            wtext.alias("text"),
+        )
+
+    boxes = F.transform(
+        F.array_sort(F.transform("w", keyed_box)),
+        lambda s: F.struct(
+            s["x"].alias("x"), s["y"].alias("y"), s["w"].alias("w"),
+            s["h"].alias("h"), s["text"].alias("text"),
+        ),
+    )
+    return table_cells(d.select("doc_id", boxes.alias("boxes")))
+
+
+_SQL_LAYOUT_TABLE = rf"""
+WITH d AS ({_SQL_LAYOUT_DOCS}),
+f AS (SELECT doc_id, list_slice(w, 1, 20) AS w FROM d WHERE len(w) >= 20),
+g AS (SELECT doc_id, r.i AS r, c.i AS c, w FROM f,
+      unnest(generate_series(0, 4)) AS r(i),
+      unnest(generate_series(0, 2)) AS c(i))
+SELECT doc_id, CAST(r AS INT) AS row, CAST(c AS INT) AS col,
+       CASE WHEN c = 0 THEN w[4*r + 1] || ' ' || w[4*r + 2]
+            WHEN c = 1 THEN w[4*r + 3] ELSE w[4*r + 4] END AS cell_text,
+       CAST(CASE WHEN c = 0 THEN 40 WHEN c = 1 THEN 160 ELSE 280 END AS INT)
+         AS x0,
+       CAST(r * 20 AS INT) AS y0
+FROM g
+"""
+
+
 def q_line_unwrap(spark, sf_dir):
     """Hard-wrap repair (ops/textnorm.line_unwrap): each ≥20-word doc is
     re-wrapped PDF-text-layer style — a line break every 5th word, a
@@ -5366,6 +5437,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_order": q_layout_order,
         "layout_blocks": q_layout_blocks,
         "layout_pages": q_layout_pages,
+        "layout_table": q_layout_table,
         "line_unwrap": q_line_unwrap,
         "soft404": q_soft404,
         "sitemap_parse": q_sitemap_parse,
@@ -5486,6 +5558,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "layout_order": _SQL_LAYOUT_ORDER,
         "layout_blocks": _SQL_LAYOUT_BLOCKS,
         "layout_pages": _SQL_LAYOUT_PAGES,
+        "layout_table": _SQL_LAYOUT_TABLE,
         "line_unwrap": _SQL_LINE_UNWRAP,
         "soft404": _soft404_sql(),
         "sitemap_parse": _SQL_SITEMAP_PARSE,

@@ -309,3 +309,86 @@ def layout_blocks(
         )
         .select("doc_id", "block", "n_words", "block_text", "x0", "y0")
     )
+
+
+def _gap_clusters(starts: np.ndarray, min_gap: int) -> np.ndarray:
+    """1-D gap clustering: cluster id per element, ids ordered by
+    coordinate.  Elements whose sorted starts are less than ``min_gap``
+    apart share a cluster — the classic tab-stop detector."""
+    order = np.argsort(starts, kind="mergesort")
+    s = starts[order]
+    ids = np.empty(len(s), dtype=np.int64)
+    cid = 0
+    ids[order[0]] = 0
+    for i in range(1, len(s)):
+        if s[i] - s[i - 1] >= min_gap:
+            cid += 1
+        ids[order[i]] = cid
+    return ids
+
+
+_TABLE_SCHEMA = (
+    "doc_id long, row int, col int, cell_text string, x0 int, y0 int"
+)
+
+
+def table_cells(
+    docs: DataFrame,
+    boxes_col: str = "boxes",
+    col_gap: int = 30,
+    row_gap: int = 8,
+    repartition: int | None = None,
+) -> DataFrame:
+    """Reconstruct tabular structure from positioned word boxes:
+    (doc_id, row, col, cell_text, x0, y0) — the PDF-side complement of
+    the HTML ``extract_tables`` op (pdfplumber-style lattice-free table
+    recovery).  Columns are x-start tab stops (1-D gap clustering with
+    ``col_gap``), rows are y-start bands (``row_gap``); a cell joins its
+    words in x order.  Same execution shape as :func:`reading_order`:
+    ONE Arrow-batched map pass, no shuffle, O(b log b) per page."""
+    import pandas as pd
+
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(boxes_col).alias("boxes"),
+    )
+    if repartition:
+        src = src.repartition(repartition, "doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "row": [], "col": [], "cell_text": [],
+                   "x0": [], "y0": []}
+            for did, boxes in zip(pdf["doc_id"], pdf["boxes"]):
+                if boxes is None or len(boxes) == 0:
+                    continue
+                n = len(boxes)
+                bx = np.fromiter((b["x"] for b in boxes), np.int64, n)
+                by = np.fromiter((b["y"] for b in boxes), np.int64, n)
+                btext = [b["text"] for b in boxes]
+                rows = _gap_clusters(by, row_gap)
+                cols = _gap_clusters(bx, col_gap)
+                # cell = (row, col); words inside sort by x then y
+                cells: dict = {}
+                for j in range(n):
+                    cells.setdefault((int(rows[j]), int(cols[j])), []).append(j)
+                for (r, c), idx in sorted(cells.items()):
+                    idx.sort(key=lambda j: (bx[j], by[j]))
+                    out["doc_id"].append(did)
+                    out["row"].append(r)
+                    out["col"].append(c)
+                    out["cell_text"].append(" ".join(btext[j] for j in idx))
+                    out["x0"].append(int(min(bx[j] for j in idx)))
+                    out["y0"].append(int(min(by[j] for j in idx)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "row": pd.Series(out["row"], dtype="int32"),
+                    "col": pd.Series(out["col"], dtype="int32"),
+                    "cell_text": pd.Series(out["cell_text"], dtype="object"),
+                    "x0": pd.Series(out["x0"], dtype="int32"),
+                    "y0": pd.Series(out["y0"], dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(run, _TABLE_SCHEMA)

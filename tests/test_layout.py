@@ -151,3 +151,43 @@ def test_reading_order_pages_spark(spark):
         (1, 1, 2, "p1right"),
         (2, 1, 0, "only"),
     ]
+
+
+def test_gap_clusters():
+    from chug_spark.ops.layout import _gap_clusters
+
+    s = np.array([40, 160, 40, 60, 280, 41])
+    ids = _gap_clusters(s, 30)
+    # 40/40/41/60 cluster together (consecutive sorted gaps < 30), then
+    # 160, then 280
+    assert list(ids) == [0, 1, 0, 0, 2, 0]
+
+
+def test_table_cells_spark(spark):
+    from chug_spark.ops.layout import table_cells
+
+    box = lambda x, y, t: {"x": x, "y": y, "w": 15, "h": 10, "text": t}
+    # 2x2 grid with a two-word cell at (0,0), input shuffled
+    rows = [
+        (
+            7,
+            [
+                box(160, 20, "d"),
+                box(40, 0, "a1"),
+                box(160, 0, "b"),
+                box(60, 0, "a2"),
+                box(40, 20, "c"),
+            ],
+        ),
+        (8, []),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, boxes array<struct<x:int,y:int,w:int,h:int,text:string>>"
+    )
+    out = table_cells(df).orderBy("row", "col").collect()
+    assert [(r.row, r.col, r.cell_text, r.x0, r.y0) for r in out] == [
+        (0, 0, "a1 a2", 40, 0),
+        (0, 1, "b", 160, 0),
+        (1, 0, "c", 40, 20),
+        (1, 1, "d", 160, 20),
+    ]
