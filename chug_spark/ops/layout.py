@@ -207,10 +207,13 @@ def reading_order_pages(
     row per (doc, page).  Each page is XY-cut independently in the same
     single map pass as :func:`reading_order` — pages of a document need
     NOT be co-partitioned — and ``k`` is then promoted to a document-wide
-    rank by adding the word counts of earlier pages: one keyed agg to a
-    #pages-bounded relation, a per-doc running sum, and a join back on
-    (doc_id, page).  Both shuffles key on doc_id; no corpus-wide window.
-    ``block`` stays page-local (page breaks are real layout boundaries).
+    rank with ONE per-doc window — ``row_number() over (partition by
+    doc_id order by page, k_page) - 1`` — a single keyed shuffle over the
+    map output.  (A count-agg + running-sum + join-back derives the same
+    offsets but duplicates the mapInPandas subtree in the physical plan —
+    Spark re-evaluates the XY-cut once per consumer — so the window form
+    is strictly better.)  ``block`` stays page-local (page breaks are
+    real layout boundaries).
     """
     import pandas as pd
     from pyspark.sql import Window
@@ -259,22 +262,10 @@ def reading_order_pages(
             )
 
     spans = src.mapInPandas(run, _PAGE_ORDER_SCHEMA)
-    counts = spans.groupBy("doc_id", "page").agg(
-        F.count(F.lit(1)).cast("int").alias("n_words")
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("page")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
+    w = Window.partitionBy("doc_id").orderBy("page", "k_page")
+    return spans.select(
         "doc_id", "page",
-        F.coalesce(F.sum("n_words").over(w), F.lit(0))
-        .cast("int").alias("k0"),
-    )
-    return spans.join(offsets, ["doc_id", "page"]).select(
-        "doc_id", "page",
-        (F.col("k0") + F.col("k_page")).cast("int").alias("k"),
+        (F.row_number().over(w) - 1).cast("int").alias("k"),
         "block", "x", "y", "text",
     )
 
