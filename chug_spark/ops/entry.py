@@ -1419,6 +1419,89 @@ FROM g
 """
 
 
+def q_page_template(spark, sf_dir):
+    """Running header/footer detection (ops/layout.flag_running_headers):
+    each ≥22-word doc becomes 4 pages of (repeated header = words 1-2,
+    per-page 5-word body, digit-varying 'page N' footer); the footer must
+    flag via digit folding, the header via plain recurrence, and bodies
+    are judged by the replayed aggregation (a repetitive doc whose body
+    slices coincide IS chrome by the rule — the oracle replays, not
+    assumes)."""
+    from pyspark.sql import functions as F
+
+    from .layout import flag_running_headers
+
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.slice(words, 1, 22).alias("w"),
+        )
+        .filter(F.size("w") >= 22)
+        .select(
+            "doc_id", "w",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("page"),
+        )
+    )
+    p = F.col("page")
+    blocks = F.array(
+        F.struct(
+            F.lit(0).alias("block"),
+            F.array_join(F.slice("w", 1, 2), " ").alias("block_text"),
+        ),
+        F.struct(
+            F.lit(1).alias("block"),
+            F.array_join(F.slice("w", p * 5 + 3, F.lit(5)), " ")
+            .alias("block_text"),
+        ),
+        F.struct(
+            F.lit(2).alias("block"),
+            F.concat(F.lit("page "), (p + 1).cast("string"))
+            .alias("block_text"),
+        ),
+    )
+    rows = d.select(
+        "doc_id", "page", F.explode(blocks).alias("b")
+    ).select(
+        "doc_id", "page",
+        F.col("b.block").alias("block"),
+        F.col("b.block_text").alias("block_text"),
+    )
+    return flag_running_headers(rows).select(
+        "doc_id", "page", "block", "block_text", "is_template"
+    )
+
+
+_SQL_PAGE_TEMPLATE = rf"""
+WITH d AS ({_SQL_LAYOUT_DOCS}),
+f AS (SELECT doc_id, list_slice(w, 1, 22) AS w FROM d WHERE len(w) >= 22),
+pg AS (SELECT doc_id, w, p.i AS page FROM f,
+       unnest(generate_series(0, 3)) AS p(i)),
+blk AS (
+  SELECT doc_id, page, 0 AS block,
+         array_to_string(list_slice(w, 1, 2), ' ') AS block_text FROM pg
+  UNION ALL
+  SELECT doc_id, page, 1,
+         array_to_string(list_slice(w, page*5 + 3, page*5 + 7), ' ') FROM pg
+  UNION ALL
+  SELECT doc_id, page, 2, 'page ' || CAST(page + 1 AS VARCHAR) FROM pg
+),
+norm AS (SELECT *, regexp_replace(lower(trim(block_text)), '[0-9]+', '#', 'g')
+                AS k FROM blk),
+pages AS (SELECT doc_id, count(DISTINCT page) AS n_pages FROM norm GROUP BY 1),
+dfs AS (SELECT doc_id, k, count(DISTINCT page) AS df FROM norm GROUP BY 1, 2)
+SELECT n.doc_id, CAST(n.page AS INT) AS page, CAST(n.block AS INT) AS block,
+       n.block_text,
+       (p.n_pages >= 3 AND dfs.df * 10000 >= 6000 * p.n_pages)
+         AS is_template
+FROM norm n
+JOIN dfs ON n.doc_id = dfs.doc_id AND n.k = dfs.k
+JOIN pages p ON n.doc_id = p.doc_id
+"""
+
+
 def q_line_unwrap(spark, sf_dir):
     """Hard-wrap repair (ops/textnorm.line_unwrap): each ≥20-word doc is
     re-wrapped PDF-text-layer style — a line break every 5th word, a
@@ -5438,6 +5521,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_blocks": q_layout_blocks,
         "layout_pages": q_layout_pages,
         "layout_table": q_layout_table,
+        "page_template": q_page_template,
         "line_unwrap": q_line_unwrap,
         "soft404": q_soft404,
         "sitemap_parse": q_sitemap_parse,
@@ -5559,6 +5643,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "layout_blocks": _SQL_LAYOUT_BLOCKS,
         "layout_pages": _SQL_LAYOUT_PAGES,
         "layout_table": _SQL_LAYOUT_TABLE,
+        "page_template": _SQL_PAGE_TEMPLATE,
         "line_unwrap": _SQL_LINE_UNWRAP,
         "soft404": _soft404_sql(),
         "sitemap_parse": _SQL_SITEMAP_PARSE,

@@ -383,3 +383,55 @@ def table_cells(
             )
 
     return src.mapInPandas(run, _TABLE_SCHEMA)
+
+
+def flag_running_headers(
+    blocks: DataFrame,
+    text_col: str = "block_text",
+    min_pages: int = 3,
+    ratio_bp: int = 6000,
+) -> DataFrame:
+    """Flag running headers/footers/page chrome in per-page layout blocks.
+
+    Input rows are (doc_id, page, ..., ``text_col``); a block is template
+    (``is_template`` = true) when its normalized text recurs on at least
+    ``ratio_bp``/10000 of the document's pages and the document has at
+    least ``min_pages`` pages.  Normalization lowercases, trims, and
+    folds digit runs to '#' so "Page 3" / "Page 17" match — the classic
+    running-page-number case.  The per-DOC relative threshold mirrors
+    :func:`chug_spark.ops.textstats.host_template_strip`'s per-host rule
+    one level down: a 400-page book's header (df=400) and a 4-page
+    letter's header (df=4) are both template, while a sentence repeated
+    on 2 pages of the book is not.
+
+    Scale shape: page counts and per-(doc, line) dfs are two keyed aggs
+    over #pages- and #distinct-line-bounded relations; the template set
+    joins back on (doc_id, key) — everything keys on doc_id, no
+    corpus-wide state, no pair expansion.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), "[0-9]+", "#"
+    ).alias("tpl_key")
+    base = blocks.select("*", norm)
+    pages = base.groupBy("doc_id").agg(
+        F.countDistinct("page").alias("n_pages")
+    )
+    dfs = (
+        base.select("doc_id", "page", "tpl_key")
+        .dropDuplicates(["doc_id", "page", "tpl_key"])
+        .groupBy("doc_id", "tpl_key")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tpl = (
+        dfs.join(pages, "doc_id")
+        .filter(
+            (F.col("n_pages") >= min_pages)
+            & (F.col("df") * 10000 >= ratio_bp * F.col("n_pages"))
+        )
+        .select("doc_id", "tpl_key", F.lit(True).alias("is_template"))
+    )
+    return (
+        base.join(tpl, ["doc_id", "tpl_key"], "left")
+        .withColumn("is_template", F.coalesce("is_template", F.lit(False)))
+        .drop("tpl_key")
+    )

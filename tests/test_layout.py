@@ -191,3 +191,34 @@ def test_table_cells_spark(spark):
         (1, 0, "c", 40, 20),
         (1, 1, "d", 160, 20),
     ]
+
+
+def test_flag_running_headers(spark):
+    from chug_spark.ops.layout import flag_running_headers
+
+    rows = []
+    # doc 1: 4 pages, repeated header + digit-varying footer + unique body
+    for p in range(4):
+        rows += [
+            (1, p, 0, "Annual Report"),
+            (1, p, 1, "unique body text " + "very " * (p + 1) + "substantial"),
+            (1, p, 2, f"Page {p + 1}"),
+        ]
+    # doc 2: only 2 pages (< min_pages) — nothing flagged
+    for p in range(2):
+        rows += [(2, p, 0, "Annual Report"), (2, p, 1, f"body {p} stuff")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, page int, block int, block_text string"
+    )
+    out = {
+        (r.doc_id, r.page, r.block): r.is_template
+        for r in flag_running_headers(df).collect()
+    }
+    for p in range(4):
+        assert out[(1, p, 0)] is True  # header
+        assert out[(1, p, 2)] is True  # page number (digit-folded)
+    # bodies survive: they differ in words, not digits (a body that
+    # differs ONLY in a digit folds to one key and is — correctly —
+    # treated as chrome)
+    assert all(out[(1, p, 1)] is False for p in range(4))
+    assert all(not out[(2, p, b)] for p in range(2) for b in (0, 1))
