@@ -51,12 +51,41 @@ def main(argv=None) -> int:
                         "Trigger.AvailableNow; re-runs process only new files")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the untimed JIT/worker warmup pass")
+    p.add_argument("--layout-boxes", default=None,
+                   help="layout mode: read a (doc_id[, page], boxes) parquet "
+                        "of positioned word boxes and write reading-order "
+                        "spans (recursive XY-cut) instead of running the "
+                        "extract job; multi-page stitching engages when a "
+                        "'page' column is present")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("chug_spark_extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.layout_boxes:
+        from chug_spark.ops.layout import reading_order, reading_order_pages
+
+        boxes = spark.read.parquet(args.layout_boxes)
+        t0 = time.monotonic()
+        ordered = (
+            reading_order_pages(boxes)
+            if "page" in boxes.columns
+            else reading_order(boxes)
+        )
+        ordered.write.mode("overwrite").parquet(args.output + "/reading_order")
+        wall = time.monotonic() - t0
+        n_docs = (
+            spark.read.parquet(args.output + "/reading_order")
+            .select("doc_id").distinct().count()
+        )
+        print(json.dumps({
+            "wall_sec": round(wall, 3),
+            "docs_out": n_docs,
+            "docs_per_sec": round(n_docs / wall, 2) if wall > 0 else None,
+        }))
+        return 0
 
     from chug_spark.checkpoint import write_with_checkpoint
     from chug_spark.config import ExtractJobCfg
