@@ -8,17 +8,23 @@ Everything is pure Column work — map-only, zero shuffle, zero Python:
 
 - BOM detection is a prefix test on ``hex(payload)`` (UTF-32 variants
   checked before their UTF-16 prefixes).
-- UTF-8 validity is ONE deterministic regex over the hex string — a
-  fixed-alternation byte-class grammar (RFC 3629 table), no backtracking
-  blowup, linear in payload size.
+- UTF-8 validity is Spark's native ``is_valid_utf8`` over the raw
+  binary — linear, iterative, constant stack.  (The RFC 3629 hex-regex
+  grammar below is kept as the executable REFERENCE for the property
+  test; it is no longer the engine path: Java's regex engine recurses
+  once per ``(?:...)*`` iteration, and a payload beyond ~5-10 KB
+  overflows the task stack — found by the adversarial giant-token doc.)
 - The meta scan decodes a bounded prefix as ISO-8859-1 (total — every
   byte sequence decodes) and regex-extracts declarations ONLY: a
   ``charset=`` inside a ``<meta ...>`` tag or an ``encoding=`` inside a
   leading ``<?xml ?>`` declaration (WHATWG prescan) — never free text
   like a ``?encoding=json`` query string in an anchor.
-- UTF-16 decode is guarded by RFC 2781 validity regexes (unit tiling +
+- UTF-16 decode is guarded by an RFC 2781 validity check (unit tiling +
   surrogate pairing) — odd lengths and lone surrogates fall back to the
-  total ISO-8859-1 decode instead of raising under ANSI.
+  total ISO-8859-1 decode instead of raising under ANSI.  Evaluated as a
+  higher-order expression over the 4-hex-char unit array (same
+  stack-safety rationale as the UTF-8 probe; the regex constants remain
+  as the reference grammar).
 - Decode uses the JVM charsets Spark exposes; windows-1252 is
   approximated by ISO-8859-1 (identical except 0x80-0x9F, where 1252
   maps printables — documented, and the sniff still REPORTS
@@ -88,6 +94,49 @@ _META_TAG_RE = r"""(?is)<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+
 _XML_DECL_RE = r"""(?is)^\s{0,64}<\?xml[^>]{0,256}?encoding\s*=\s*["']\s*([A-Za-z0-9._:-]+)"""
 
 
+def _utf16_valid(bhex: Column, hi_off: int) -> Column:
+    """RFC 2781 validity (unit tiling + surrogate pairing) over
+    ``hex(body)``, evaluated ITERATIVELY.
+
+    ``hi_off`` is the 1-based position of the HIGH byte's first hex char
+    inside a 4-hex-char code unit: 3 for LE (high byte second), 1 for BE.
+    The equivalent ``(?:...)*`` regex grammar (:data:`UTF16LE_HEX_RE` /
+    :data:`UTF16BE_HEX_RE`, kept as reference) recurses once per unit in
+    Java's engine and overflows the task stack beyond ~10 KB of hex, so
+    the check walks the unit array with higher-order functions instead:
+    every unit is a non-surrogate, or a high surrogate whose successor is
+    a low surrogate, and every low surrogate's predecessor is a high —
+    linear work, constant stack, whole-stage codegen.
+    """
+    units = F.regexp_extract_all(bhex, F.lit("(.{4})"), 1)
+
+    def hi_nib(u: Column) -> Column:
+        return F.substring(u, hi_off, 1)
+
+    def lo_nib(u: Column) -> Column:
+        return F.substring(u, hi_off + 1, 1)
+
+    def is_hi(u: Column) -> Column:
+        return (hi_nib(u) == "D") & lo_nib(u).isin("8", "9", "A", "B")
+
+    def is_lo(u: Column) -> Column:
+        return (hi_nib(u) == "D") & lo_nib(u).isin("C", "D", "E", "F")
+
+    paired = F.forall(
+        F.transform(
+            units,
+            lambda u, i: (
+                (~is_hi(u)) | is_lo(F.coalesce(F.get(units, i + 1), F.lit("")))
+            )
+            & (
+                (~is_lo(u)) | is_hi(F.coalesce(F.get(units, i - 1), F.lit("")))
+            ),
+        ),
+        lambda ok: ok,
+    )
+    return (F.length(bhex) % 4 == 0) & paired
+
+
 def normalize_label(label: Column) -> Column:
     """lowercased charset label with the common aliases folded (utf8,
     latin-1/iso8859-1, ascii, cp1252 families).  Per the WHATWG encoding
@@ -140,7 +189,9 @@ def detect_charset(
     raw_meta = F.regexp_extract(prefix_txt, _META_TAG_RE, 1)
     raw_xml = F.regexp_extract(prefix_txt, _XML_DECL_RE, 1)
     meta = normalize_label(F.when(raw_meta != "", raw_meta).otherwise(raw_xml))
-    utf8_ok = F.regexp_like(hx, F.lit(UTF8_HEX_RE))
+    # native linear validity — NOT the hex regex (Java regex recursion
+    # overflows the task stack on multi-KB payloads; see module docstring)
+    utf8_ok = F.is_valid_utf8(F.col(payload_col))
     charset = (
         F.when(F.col(payload_col).isNull(), F.lit(None).cast("string"))
         .when(bom.isNotNull(), bom)
@@ -178,8 +229,8 @@ def decode_payload_text(
     # the total ISO-8859-1 decode instead.  The unit-tiling regexes also
     # reject odd lengths, subsuming the old even-length guard.
     bhex = F.hex(body)
-    le_ok = F.regexp_like(bhex, F.lit(UTF16LE_HEX_RE))
-    be_ok = F.regexp_like(bhex, F.lit(UTF16BE_HEX_RE))
+    le_ok = _utf16_valid(bhex, hi_off=3)
+    be_ok = _utf16_valid(bhex, hi_off=1)
     text = (
         F.when(cs.isNull(), F.lit(None).cast("string"))
         .when((cs == "utf-8") & F.col("utf8_valid"), F.decode(body, "UTF-8"))

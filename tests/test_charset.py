@@ -167,3 +167,33 @@ def test_declared_utf16_label_decodes_le(spark):
     )
     assert got[1].charset == "utf-16le"
     assert got[1].text == "hi there"
+
+
+def test_giant_payload_stack_safety(spark):
+    """Multi-KB payloads must sniff + decode without JVM StackOverflow.
+
+    Regression: the original hex-regex validity probes recursed once per
+    byte/unit in Java's regex engine; a ~5 KB payload overflowed the task
+    stack (found by the adversarial giant-token doc via web_pipeline2).
+    The engine path is now is_valid_utf8 + an iterative HOF unit check.
+    """
+    from chug_spark.ops.charset import decode_payload_text, detect_charset
+
+    big_ascii = ("x" * 5000 + " tail ") * 40          # ~200 KB utf-8/ascii
+    big_utf16 = ("hi " * 40000).encode("utf-16-le")   # ~240 KB, no BOM
+    bad_utf16 = big_utf16 + b"\x00\xd8"               # trailing lone high
+    rows = [
+        (1, bytearray(big_ascii.encode("utf-8"))),
+        (2, bytearray(b"\xff\xfe") + bytearray(big_utf16)),
+        (3, bytearray(b"\xff\xfe") + bytearray(bad_utf16)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: r
+        for r in decode_payload_text(detect_charset(df)).collect()
+    }
+    assert out[1].charset == "utf-8" and out[1].text == big_ascii
+    assert out[2].charset == "utf-16le"
+    assert out[2].text == "hi " * 40000
+    # malformed giant utf-16: guard rejects, total latin-1 fallback
+    assert out[3].charset == "utf-16le" and out[3].text is not None
