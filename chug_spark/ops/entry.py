@@ -1419,6 +1419,73 @@ FROM g
 """
 
 
+def q_layout_spans(spark, sf_dir):
+    """Layout → canonical span bridge (ops/layout.layout_spans): the same
+    shuffled 3-block layers as layout_order, emitted as (doc_id, offset,
+    kind, text, media_ref) — the engine's flagship span schema, so a PDF
+    text layer plugs into everything downstream of the decode leg."""
+    from .layout import layout_spans
+
+    return layout_spans(_layout_boxes(spark, sf_dir))
+
+
+_SQL_LAYOUT_SPANS = rf"""
+WITH d AS ({_SQL_LAYOUT_DOCS}),
+f AS (SELECT doc_id, list_slice(w, 1, 22) AS w FROM d WHERE len(w) >= 22)
+SELECT doc_id, CAST(0 AS INT) AS "offset", 'text' AS kind,
+       array_to_string(list_slice(w, 1, 2), ' ') AS text,
+       CAST(NULL AS VARCHAR) AS media_ref
+FROM f
+UNION ALL
+SELECT doc_id, 1, 'text', array_to_string(list_slice(w, 3, 12), ' '), NULL
+FROM f
+UNION ALL
+SELECT doc_id, 2, 'text', array_to_string(list_slice(w, 13, 22), ' '), NULL
+FROM f
+"""
+
+
+def q_lang_segments(spark, sf_dir):
+    """Mixed-language segmentation (ops/textstats.lang_segments): every
+    doc gets 8 ordered blocks with known stopword signatures (en en fr fr
+    de de, an en/fr tie broken to en by the lexicographic-first rule, and
+    an all-zero 'und' block) plus a per-block filler token that is no
+    language's stopword; the closed-form answer is 5 runs per doc."""
+    from pyspark.sql import functions as F
+
+    from .textstats import lang_segments
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    phrases = [
+        "the and of", "the and of", "le et un", "le et un",
+        "der und zu", "der und zu", "the le", "zz qq",
+    ]
+    blocks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+    ).select(
+        "doc_id", "k",
+        F.concat(
+            F.element_at(F.array(*[F.lit(p) for p in phrases]), F.col("k") + 1),
+            F.lit(" tkn"), F.col("doc_id").cast("string"),
+            F.lit("x"), F.col("k").cast("string"),
+        ).alias("text"),
+    )
+    return lang_segments(blocks)
+
+
+_SQL_LANG_SEGMENTS = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+s(seg, lang, start_k, end_k, n_blocks) AS (
+  VALUES (0, 'en', 0, 1, 2), (1, 'fr', 2, 3, 2), (2, 'de', 4, 5, 2),
+         (3, 'en', 6, 6, 1), (4, 'und', 7, 7, 1))
+SELECT doc_id, CAST(seg AS INT) AS seg, lang,
+       CAST(start_k AS INT) AS start_k, CAST(end_k AS INT) AS end_k,
+       CAST(n_blocks AS INT) AS n_blocks
+FROM d CROSS JOIN s
+"""
+
+
 def q_page_template(spark, sf_dir):
     """Running header/footer detection (ops/layout.flag_running_headers):
     each ≥22-word doc becomes 4 pages of (repeated header = words 1-2,
@@ -5521,6 +5588,8 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_blocks": q_layout_blocks,
         "layout_pages": q_layout_pages,
         "layout_table": q_layout_table,
+        "layout_spans": q_layout_spans,
+        "lang_segments": q_lang_segments,
         "page_template": q_page_template,
         "line_unwrap": q_line_unwrap,
         "soft404": q_soft404,
@@ -5643,6 +5712,8 @@ def ops_oracle_sql() -> dict[str, str]:
         "layout_blocks": _SQL_LAYOUT_BLOCKS,
         "layout_pages": _SQL_LAYOUT_PAGES,
         "layout_table": _SQL_LAYOUT_TABLE,
+        "layout_spans": _SQL_LAYOUT_SPANS,
+        "lang_segments": _SQL_LANG_SEGMENTS,
         "page_template": _SQL_PAGE_TEMPLATE,
         "line_unwrap": _SQL_LINE_UNWRAP,
         "soft404": _soft404_sql(),

@@ -435,3 +435,26 @@ def flag_running_headers(
         .withColumn("is_template", F.coalesce("is_template", F.lit(False)))
         .drop("tpl_key")
     )
+
+
+def layout_spans(
+    docs: DataFrame,
+    boxes_col: str = "boxes",
+    h_gap: int = H_GAP,
+    v_gap: int = V_GAP,
+) -> DataFrame:
+    """Emit layout blocks in the engine's canonical span schema:
+    (doc_id, offset, kind, text, media_ref) — the same per-row invariant
+    the decode leg produces (ref interleaved span model,
+    ``chug_spark.extract``), so a PDF text layer and a decoded payload
+    are interchangeable downstream.  offset = reading-order block index,
+    kind = 'text', media_ref NULL (a text layer carries no pixel refs);
+    block text joins its words in reading order."""
+    blocks = layout_blocks(docs, boxes_col, h_gap, v_gap)
+    return blocks.select(
+        "doc_id",
+        F.col("block").cast("int").alias("offset"),
+        F.lit("text").alias("kind"),
+        F.col("block_text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )

@@ -560,3 +560,55 @@ def chunk_documents(
         F.size("c.w").cast("int").alias("n_words"),
         F.array_join("c.w", " ").alias("chunk_text"),
     )
+
+
+def lang_segments(
+    blocks: DataFrame, text_col: str = "text", k_col: str = "k"
+) -> DataFrame:
+    """Mixed-language document splitting: contiguous same-language runs
+    over ORDERED blocks of a document.
+
+    Input rows are (doc_id, ``k_col`` = block order, ``text_col``); each
+    block is classified with the same stopword-argmax heuristic (and the
+    same strict-``>`` lexicographic tie rule) as :func:`lang_id`, then
+    adjacent same-language blocks merge by gaps-and-islands (the
+    row_number-difference trick — two per-doc windows, one keyed agg; no
+    corpus-wide state).  Returns one row per run:
+    (doc_id, seg, lang, start_k, end_k, n_blocks), ``seg`` dense in
+    document order.  The per-block granularity is what page-level lang-id
+    (the mC4 approach) cannot give: a French quotation inside an English
+    article becomes its own span instead of poisoning the page label."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in LANGS:
+        this = _stopword_hits(words, lang)
+        best = F.when(this > best_hits, F.lit(lang)).otherwise(best)
+        best_hits = F.when(this > best_hits, this).otherwise(best_hits)
+    base = blocks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(k_col).cast("int").alias("k"),
+        best.alias("lang"),
+    )
+    w_all = Window.partitionBy("doc_id").orderBy("k")
+    w_lang = Window.partitionBy("doc_id", "lang").orderBy("k")
+    isl = base.select(
+        "*",
+        (F.row_number().over(w_all) - F.row_number().over(w_lang)).alias("grp"),
+    )
+    segs = isl.groupBy("doc_id", "lang", "grp").agg(
+        F.min("k").alias("start_k"),
+        F.max("k").alias("end_k"),
+        F.count(F.lit(1)).cast("int").alias("n_blocks"),
+    )
+    w_seg = Window.partitionBy("doc_id").orderBy("start_k")
+    return segs.select(
+        "doc_id",
+        (F.row_number().over(w_seg) - 1).cast("int").alias("seg"),
+        "lang",
+        F.col("start_k").cast("int").alias("start_k"),
+        F.col("end_k").cast("int").alias("end_k"),
+        "n_blocks",
+    )

@@ -133,3 +133,28 @@ def test_domain_budget_caps_each_domain(spark):
     for r in out.collect():
         assert r["tok"] <= 35
         assert r["n"] == 3  # 10-token docs: exactly 3 fit in 35 per domain
+
+
+def test_lang_segments_islands(spark):
+    from chug_spark.ops.textstats import lang_segments
+
+    rows = [
+        (1, 0, "the and of x"),
+        (1, 1, "the of y"),          # en run continues
+        (1, 2, "le et un z"),        # fr
+        (1, 3, "qq zz"),             # und
+        (1, 4, "the is a w"),        # back to en -> NEW segment
+        (2, 0, "der und zu"),        # second doc independent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, k int, text string")
+    out = [
+        (r.doc_id, r.seg, r.lang, r.start_k, r.end_k, r.n_blocks)
+        for r in lang_segments(df).orderBy("doc_id", "seg").collect()
+    ]
+    assert out == [
+        (1, 0, "en", 0, 1, 2),
+        (1, 1, "fr", 2, 2, 1),
+        (1, 2, "und", 3, 3, 1),
+        (1, 3, "en", 4, 4, 1),
+        (2, 0, "de", 0, 0, 1),
+    ]

@@ -222,3 +222,28 @@ def test_flag_running_headers(spark):
     # treated as chrome)
     assert all(out[(1, p, 1)] is False for p in range(4))
     assert all(not out[(2, p, b)] for p in range(2) for b in (0, 1))
+
+
+def test_layout_spans_schema(spark):
+    from chug_spark.ops.layout import layout_spans
+
+    rows = [
+        (
+            1,
+            [
+                {"x": 50, "y": 40, "w": 80, "h": 12, "text": "body"},
+                {"x": 50, "y": 0, "w": 180, "h": 16, "text": "Title"},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, boxes array<struct<x:int,y:int,w:int,h:int,text:string>>"
+    )
+    out = layout_spans(df).orderBy("offset").collect()
+    assert [f.name for f in layout_spans(df).schema.fields] == [
+        "doc_id", "offset", "kind", "text", "media_ref",
+    ]
+    assert [(r.offset, r.kind, r.text, r.media_ref) for r in out] == [
+        (0, "text", "Title", None),
+        (1, "text", "body", None),
+    ]
