@@ -282,6 +282,12 @@ def main() -> int:
 
     timed("layout_order", lambda: q_layout_order(spark, SF_DIR).count())
 
+    # q29: raw-bytes web pipeline — charset sniff -> decode -> soft-404
+    # gate -> jusText -> per-host template strip, end to end (r5)
+    from chug_spark.ops.entry import q_web_pipeline2
+
+    timed("web_pipeline2", lambda: q_web_pipeline2(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
