@@ -47,23 +47,21 @@ def _largest_gap(starts: np.ndarray, ends: np.ndarray) -> tuple[int, int]:
 
     Returns ``(gap, cut)`` where ``cut`` is a coordinate strictly inside
     the gap (its midpoint); ``gap == 0`` means the projection is connected.
-    Merged-interval sweep: sort by start, track the running cover end.
+    Merged-interval sweep, fully vectorized (sort + running-max cover +
+    diff) so a giant region costs numpy time, not a Python loop — the
+    first maximal gap wins, same tie rule as the scalar sweep.
     """
     order = np.argsort(starts, kind="mergesort")
     s = starts[order]
-    e = ends[order]
-    best = 0
-    cut = 0
-    cover = e[0]
-    for i in range(1, len(s)):
-        if s[i] > cover:
-            g = int(s[i] - cover)
-            if g > best:
-                best = g
-                cut = int(cover) + g // 2
-        if e[i] > cover:
-            cover = e[i]
-    return best, cut
+    cover = np.maximum.accumulate(ends[order])
+    if len(s) < 2:
+        return 0, 0
+    gaps = s[1:] - cover[:-1]
+    i = int(np.argmax(gaps))
+    g = int(gaps[i])
+    if g <= 0:
+        return 0, 0
+    return g, int(cover[i]) + g // 2
 
 
 def xy_cut(

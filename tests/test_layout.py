@@ -247,3 +247,21 @@ def test_layout_spans_schema(spark):
         (0, "text", "Title", None),
         (1, "text", "body", None),
     ]
+
+
+def test_xy_cut_scales_to_giant_pages():
+    # worst-case shredding: a 200-column x 500-row lattice where nearly
+    # every region splits down to unit blocks — guards the vectorized
+    # gap sweep against a per-element-Python-loop regression
+    import time
+
+    rng = np.random.RandomState(3)
+    n = 20_000
+    x = (rng.randint(0, 200, n) * 100).astype(np.int64)
+    y = (rng.randint(0, 500, n) * 40).astype(np.int64)
+    w = np.full(n, 40)
+    h = np.full(n, 12)
+    t0 = time.time()
+    leaves = xy_cut(x, y, w, h)
+    assert time.time() - t0 < 5.0
+    assert sorted(_flat(leaves)) == list(range(n))
