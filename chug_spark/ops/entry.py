@@ -1486,6 +1486,56 @@ FROM d CROSS JOIN s
 """
 
 
+def q_figure_captions(spark, sf_dir):
+    """Layout-side figure-caption pairing (ops/layout.figure_captions):
+    each ≥4-word doc gets a page with a figure (NULL-text box), a 2-word
+    caption line below it, a second-line decoy, a no-x-overlap decoy, and
+    a captionless second figure; the geometric join must pick exactly the
+    caption line.  Closed-form oracle."""
+    from pyspark.sql import functions as F
+
+    from .layout import figure_captions
+
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.slice(words, 1, 4).alias("w"),
+        )
+        .filter(F.size("w") >= 4)
+    )
+
+    def box(x, y, w, h, text):
+        t = text if text is not None else F.lit(None).cast("string")
+        return F.struct(
+            F.lit(x).alias("x"), F.lit(y).alias("y"),
+            F.lit(w).alias("w"), F.lit(h).alias("h"), t.alias("text"),
+        )
+
+    boxes = F.array(
+        box(200, 0, 200, 60, None),                      # figure 0
+        box(210, 70, 90, 10, F.element_at("w", 1)),      # caption word 1
+        box(310, 70, 60, 10, F.element_at("w", 2)),      # caption word 2
+        box(210, 90, 90, 10, F.element_at("w", 3)),      # 2nd line decoy
+        box(0, 70, 90, 10, F.element_at("w", 4)),        # no x-overlap
+        box(500, 0, 80, 60, None),                       # captionless fig
+    )
+    return figure_captions(d.select("doc_id", boxes.alias("boxes")))
+
+
+_SQL_FIGURE_CAPTIONS = rf"""
+WITH d AS ({_SQL_LAYOUT_DOCS}),
+f AS (SELECT doc_id, list_slice(w, 1, 4) AS w FROM d WHERE len(w) >= 4)
+SELECT doc_id, CAST(0 AS INT) AS fig_i, CAST(200 AS INT) AS fx,
+       CAST(0 AS INT) AS fy, w[1] || ' ' || w[2] AS caption
+FROM f
+UNION ALL
+SELECT doc_id, 5, 500, 0, NULL FROM f
+"""
+
+
 def q_page_template(spark, sf_dir):
     """Running header/footer detection (ops/layout.flag_running_headers):
     each ≥22-word doc becomes 4 pages of (repeated header = words 1-2,
@@ -5589,6 +5639,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_pages": q_layout_pages,
         "layout_table": q_layout_table,
         "layout_spans": q_layout_spans,
+        "figure_captions": q_figure_captions,
         "lang_segments": q_lang_segments,
         "page_template": q_page_template,
         "line_unwrap": q_line_unwrap,
@@ -5713,6 +5764,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "layout_pages": _SQL_LAYOUT_PAGES,
         "layout_table": _SQL_LAYOUT_TABLE,
         "layout_spans": _SQL_LAYOUT_SPANS,
+        "figure_captions": _SQL_FIGURE_CAPTIONS,
         "lang_segments": _SQL_LANG_SEGMENTS,
         "page_template": _SQL_PAGE_TEMPLATE,
         "line_unwrap": _SQL_LINE_UNWRAP,

@@ -456,3 +456,88 @@ def layout_spans(
         F.col("block_text").alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
     )
+
+
+def figure_captions(
+    docs: DataFrame,
+    boxes_col: str = "boxes",
+    max_dy: int = 60,
+) -> DataFrame:
+    """Pair page figures with their captions — the layout-side form of
+    interleaved image-text pairing (the span-stream side is
+    ``entry_ext.q_caption_mine``).
+
+    A FIGURE is a box whose ``text`` is NULL (image regions in a real
+    text layer have geometry but no characters).  Its caption is the
+    nearest line of words that starts below the figure's bottom edge
+    within ``max_dy`` page units and horizontally overlaps it; the
+    line's words join in x order.  Figures with no such line emit with a
+    NULL caption (left join — accounting preserved).
+
+    Shape: one posexplode (map), one equi-join ON doc_id with the
+    geometric predicates as join filters (per-doc work is bounded by the
+    page's box count — upstream page capping is the skew control), one
+    per-figure window min, one keyed agg.  Nothing corpus-wide.
+    """
+    b = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.col(boxes_col)).alias("i", "box"),
+    ).select(
+        "doc_id", "i",
+        F.col("box.x").alias("x"), F.col("box.y").alias("y"),
+        F.col("box.w").alias("w"), F.col("box.h").alias("h"),
+        F.col("box.text").alias("text"),
+    )
+    figs = (
+        b.filter(F.col("text").isNull())
+        .select(
+            "doc_id",
+            F.col("i").alias("fig_i"),
+            F.col("x").alias("fx"), F.col("y").alias("fy"),
+            F.col("w").alias("fw"), F.col("h").alias("fh"),
+        )
+    )
+    # rename the word side up front: both branches come from the same
+    # exploded relation, and identically-named columns in a self-join are
+    # ambiguous to the analyzer
+    words = b.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("wdoc"),
+        F.col("x").alias("wx"), F.col("y").alias("wy"),
+        F.col("w").alias("ww"), "text",
+    )
+    cand = figs.join(
+        words,
+        on=[
+            figs["doc_id"] == words["wdoc"],
+            words["wy"] >= figs["fy"] + figs["fh"],
+            words["wy"] < figs["fy"] + figs["fh"] + F.lit(max_dy),
+            words["wx"] < figs["fx"] + figs["fw"],
+            words["wx"] + words["ww"] > figs["fx"],
+        ],
+        how="inner",
+    ).select("doc_id", "fig_i", "fx", "fy", "wx", "wy", "text")
+    from pyspark.sql import Window
+
+    w_fig = Window.partitionBy("doc_id", "fig_i")
+    nearest = cand.withColumn(
+        "min_y", F.min("wy").over(w_fig)
+    ).filter(F.col("wy") == F.col("min_y"))
+    captions = nearest.groupBy("doc_id", "fig_i").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("wx", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("caption")
+    )
+    return (
+        figs.join(captions, ["doc_id", "fig_i"], "left")
+        .select(
+            "doc_id",
+            F.col("fig_i").cast("int").alias("fig_i"),
+            F.col("fx").cast("int").alias("fx"),
+            F.col("fy").cast("int").alias("fy"),
+            "caption",
+        )
+    )

@@ -265,3 +265,32 @@ def test_xy_cut_scales_to_giant_pages():
     leaves = xy_cut(x, y, w, h)
     assert time.time() - t0 < 5.0
     assert sorted(_flat(leaves)) == list(range(n))
+
+
+def test_figure_captions(spark):
+    from chug_spark.ops.layout import figure_captions
+
+    box = lambda x, y, w, h, t: {"x": x, "y": y, "w": w, "h": h, "text": t}
+    rows = [
+        (
+            1,
+            [
+                box(200, 0, 200, 60, None),        # figure
+                box(210, 70, 90, 10, "Figure"),    # caption word 1
+                box(310, 70, 60, 10, "one"),       # caption word 2
+                box(210, 90, 90, 10, "body"),      # second line: NOT caption
+                box(0, 70, 90, 10, "left"),        # no x-overlap
+                box(210, 200, 90, 10, "far"),      # below max_dy
+                box(500, 0, 80, 60, None),         # captionless figure
+            ],
+        ),
+        (2, [box(0, 0, 50, 50, None)]),            # lone figure, no words
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, boxes array<struct<x:int,y:int,w:int,h:int,text:string>>"
+    )
+    out = [
+        (r.doc_id, r.fig_i, r.caption)
+        for r in figure_captions(df).orderBy("doc_id", "fig_i").collect()
+    ]
+    assert out == [(1, 0, "Figure one"), (1, 6, None), (2, 0, None)]
