@@ -1536,6 +1536,29 @@ SELECT doc_id, 5, 500, 0, NULL FROM f
 """
 
 
+def q_sentence_split(spark, sf_dir):
+    """Rule-based sentence segmentation (ops/textstats.sentence_split)
+    over the REAL document text — the oracle replays the identical
+    protect/boundary/split chain (lookaround-free, byte-parity-tested in
+    tests/test_unwrap.py)."""
+    from .textstats import sentence_split
+
+    return sentence_split(_docs(spark, sf_dir))
+
+
+def _sentence_split_sql() -> str:
+    from chug_spark.ops.textstats import sentence_split_sql
+
+    arr = sentence_split_sql("text")
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {arr} AS arr
+           FROM documents)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS sent_no, arr[u.i] AS sentence,
+       CAST(len(string_split(arr[u.i], ' ')) AS INT) AS n_words
+FROM d, unnest(generate_series(1, len(arr))) AS u(i)
+"""
+
+
 def q_page_template(spark, sf_dir):
     """Running header/footer detection (ops/layout.flag_running_headers):
     each ≥22-word doc becomes 4 pages of (repeated header = words 1-2,
@@ -5641,6 +5664,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_spans": q_layout_spans,
         "figure_captions": q_figure_captions,
         "lang_segments": q_lang_segments,
+        "sentence_split": q_sentence_split,
         "page_template": q_page_template,
         "line_unwrap": q_line_unwrap,
         "soft404": q_soft404,
@@ -5766,6 +5790,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "layout_spans": _SQL_LAYOUT_SPANS,
         "figure_captions": _SQL_FIGURE_CAPTIONS,
         "lang_segments": _SQL_LANG_SEGMENTS,
+        "sentence_split": _sentence_split_sql(),
         "page_template": _SQL_PAGE_TEMPLATE,
         "line_unwrap": _SQL_LINE_UNWRAP,
         "soft404": _soft404_sql(),

@@ -612,3 +612,74 @@ def lang_segments(
         F.col("end_k").cast("int").alias("end_k"),
         "n_blocks",
     )
+
+
+#: abbreviations whose trailing period is NOT a sentence boundary.
+#: Detection is lookaround-free — '(^|[^A-Za-z])<ab>\.' with a \1 backref —
+#: because the DuckDB oracle's RE2 engine has no lookbehind; the same
+#: pattern class keeps both engines byte-identical.
+SENT_ABBREVS = (
+    "Mrs", "Mr", "Ms", "Dr", "Prof", "St", "vs", "etc", "e.g", "i.e",
+    "Fig", "No",
+)
+#: sentinels: \x1f protects an abbreviation period, \x1e marks a boundary
+_ABBR_MARK = "\x1f"
+_SENT_MARK = "\x1e"
+
+
+def sentence_split(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based sentence segmentation (punkt-lite), one row per
+    sentence: (doc_id, sent_no, sentence, n_words).
+
+    Chain: protect abbreviation periods ('Dr.', 'e.g.') with a sentinel,
+    mark `[.!?]+` + whitespace runs as boundaries, split, restore, trim,
+    drop empties — every step a replace/regexp_replace the DuckDB oracle
+    replays verbatim (no lookarounds, explicit `[ \\t\\r\\n]` whitespace
+    class: the subset where Java and RE2 agree byte-for-byte).  Map-only;
+    the explode fans out behind the scan, no shuffle."""
+    import re as _re
+
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    for ab in SENT_ABBREVS:
+        s = F.regexp_replace(
+            s,
+            "(^|[^A-Za-z])" + _re.escape(ab) + r"\.",
+            "$1" + ab + _ABBR_MARK,
+        )
+    s = F.regexp_replace(s, r"([.!?]+)[ \t\r\n]+", "$1" + _SENT_MARK)
+    arr = F.filter(
+        F.transform(
+            F.split(s, _SENT_MARK),
+            lambda t: F.trim(F.replace(t, F.lit(_ABBR_MARK), F.lit("."))),
+        ),
+        lambda t: t != "",
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(arr).alias("sent_no", "sentence"),
+    ).select(
+        "doc_id",
+        F.col("sent_no").cast("int").alias("sent_no"),
+        "sentence",
+        F.size(F.split("sentence", " ")).cast("int").alias("n_words"),
+    )
+
+
+def sentence_split_sql(expr: str) -> str:
+    """The identical chain as a DuckDB scalar expression producing the
+    sentence ARRAY over ``expr`` (oracle twin of :func:`sentence_split`
+    up to the explode)."""
+    import re as _re
+
+    out = f"coalesce({expr}, '')"
+    for ab in SENT_ABBREVS:
+        pat = "(^|[^A-Za-z])" + _re.escape(ab) + r"\."
+        out = f"regexp_replace({out}, '{pat}', '\\1{ab}' || chr(31), 'g')"
+    out = (
+        f"regexp_replace({out}, '([.!?]+)[ \\t\\r\\n]+', "
+        f"'\\1' || chr(30), 'g')"
+    )
+    return (
+        f"list_filter(list_transform(string_split({out}, chr(30)), "
+        f"s -> trim(replace(s, chr(31), '.'))), s -> s <> '')"
+    )

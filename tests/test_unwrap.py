@@ -61,3 +61,58 @@ def test_unwrap_sql_twin_parity(spark):
     got = {r.doc_id: r.clean_text for r in line_unwrap(df).collect()}
     for i, (raw, _, _, _) in enumerate(CASES):
         assert duck[i] == got[i], (raw, duck[i], got[i])
+
+
+SENT_CASES = [
+    "First sentence. Second one! Third? Yes.",
+    "Dr. Smith met Mr. Jones, e.g. at noon. Then left.",
+    "No boundary here",
+    "Trailing period.",
+    "Multi   space.  Next.",
+    "Fig. 3 shows etc. and i.e. usage. Done!",
+    "",
+    None,
+]
+
+
+def test_sentence_split_semantics(spark):
+    from chug_spark.ops.textstats import sentence_split
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SENT_CASES)], "doc_id long, text string"
+    )
+    got = {}
+    for r in sentence_split(df).collect():
+        got.setdefault(r.doc_id, []).append((r.sent_no, r.sentence))
+    assert [s for _, s in sorted(got[0])] == [
+        "First sentence.", "Second one!", "Third?", "Yes.",
+    ]
+    assert [s for _, s in sorted(got[1])] == [
+        "Dr. Smith met Mr. Jones, e.g. at noon.", "Then left.",
+    ]
+    assert [s for _, s in sorted(got[2])] == ["No boundary here"]
+    assert [s for _, s in sorted(got[3])] == ["Trailing period."]
+    assert [s for _, s in sorted(got[5])] == [
+        "Fig. 3 shows etc. and i.e. usage.", "Done!",
+    ]
+    assert 6 not in got and 7 not in got  # empty + NULL -> no rows
+
+
+def test_sentence_split_sql_twin_parity(spark):
+    from chug_spark.ops.textstats import sentence_split, sentence_split_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (i INT, t VARCHAR)")
+    for i, t in enumerate(SENT_CASES):
+        con.execute("INSERT INTO c VALUES (?, ?)", [i, t])
+    duck = dict(
+        con.sql(f"SELECT i, {sentence_split_sql('t')} FROM c").fetchall()
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SENT_CASES)], "doc_id long, text string"
+    )
+    got = {i: [] for i in range(len(SENT_CASES))}
+    for r in sentence_split(df).collect():
+        got[r.doc_id].append((r.sent_no, r.sentence))
+    for i in range(len(SENT_CASES)):
+        assert [s for _, s in sorted(got[i])] == duck[i], (i, SENT_CASES[i])
