@@ -1536,6 +1536,55 @@ SELECT doc_id, 5, 500, 0, NULL FROM f
 """
 
 
+def q_heading_outline(spark, sf_dir):
+    """TOC reconstruction (ops/layout.heading_outline): each ≥8-word doc
+    gets a 5-line page — h1 (2 words), h2, a body line that must stay
+    out, another h2, a closing h1 — in a shuffled array; outline is the
+    closed form (1, 1.1, 1.2, 2)."""
+    from pyspark.sql import functions as F
+
+    from .layout import heading_outline
+
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.slice(words, 1, 8).alias("w"),
+        )
+        .filter(F.size("w") >= 8)
+    )
+
+    def box(x, y, h, widx):
+        return F.struct(
+            F.lit(x).alias("x"), F.lit(y).alias("y"),
+            F.lit(80).alias("w"), F.lit(h).alias("h"),
+            F.element_at("w", widx).alias("text"),
+        )
+
+    boxes = F.array(
+        box(0, 160, 24, 8),                 # closing h1 (shuffled order)
+        box(0, 0, 24, 1), box(100, 0, 24, 2),   # opening h1, two words
+        box(0, 40, 16, 3), box(100, 40, 16, 4),  # h2
+        box(0, 80, 12, 5),                  # body line — filtered out
+        box(0, 120, 16, 6), box(100, 120, 16, 7),  # h2
+    )
+    return heading_outline(d.select("doc_id", boxes.alias("boxes")))
+
+
+_SQL_HEADING_OUTLINE = rf"""
+WITH d AS ({_SQL_LAYOUT_DOCS}),
+f AS (SELECT doc_id, list_slice(w, 1, 8) AS w FROM d WHERE len(w) >= 8)
+SELECT doc_id, CAST(0 AS INT) AS pos, CAST(1 AS INT) AS level,
+       '1' AS section, w[1] || ' ' || w[2] AS heading
+FROM f
+UNION ALL SELECT doc_id, 1, 2, '1.1', w[3] || ' ' || w[4] FROM f
+UNION ALL SELECT doc_id, 2, 2, '1.2', w[6] || ' ' || w[7] FROM f
+UNION ALL SELECT doc_id, 3, 1, '2', w[8] FROM f
+"""
+
+
 def q_sentence_split(spark, sf_dir):
     """Rule-based sentence segmentation (ops/textstats.sentence_split)
     over the REAL document text — the oracle replays the identical
@@ -5665,6 +5714,7 @@ def ops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "figure_captions": q_figure_captions,
         "lang_segments": q_lang_segments,
         "sentence_split": q_sentence_split,
+        "heading_outline": q_heading_outline,
         "page_template": q_page_template,
         "line_unwrap": q_line_unwrap,
         "soft404": q_soft404,
@@ -5791,6 +5841,7 @@ def ops_oracle_sql() -> dict[str, str]:
         "figure_captions": _SQL_FIGURE_CAPTIONS,
         "lang_segments": _SQL_LANG_SEGMENTS,
         "sentence_split": _sentence_split_sql(),
+        "heading_outline": _SQL_HEADING_OUTLINE,
         "page_template": _SQL_PAGE_TEMPLATE,
         "line_unwrap": _SQL_LINE_UNWRAP,
         "soft404": _soft404_sql(),

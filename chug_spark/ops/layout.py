@@ -541,3 +541,64 @@ def figure_captions(
             "caption",
         )
     )
+
+
+def heading_outline(
+    docs: DataFrame,
+    boxes_col: str = "boxes",
+    h1_min: int = 20,
+    h2_min: int = 14,
+) -> DataFrame:
+    """Document outline (TOC) reconstruction from box heights: lines whose
+    tallest box reaches ``h1_min`` are level-1 headings, ``h2_min`` level
+    2; body text stays out.  Returns (doc_id, pos, level, section,
+    heading) — ``pos`` = document order, ``section`` a dotted label
+    ('2' / '2.1', level-2 rows numbered within their enclosing level-1
+    section; an orphan level-2 before any level-1 gets section '0.n').
+
+    Lines are exact-y groups (real text layers should quantize y
+    upstream — the engine's render path emits integral box grids).
+    Shape: explode → one (doc_id, y)-keyed agg → two per-doc windows.
+    """
+    from pyspark.sql import Window
+
+    w_box = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.col(boxes_col)).alias("box"),
+    ).select(
+        "doc_id",
+        F.col("box.x").alias("x"), F.col("box.y").alias("y"),
+        F.col("box.h").alias("h"), F.col("box.text").alias("text"),
+    ).filter(F.col("h") >= h2_min)
+    lines = w_box.groupBy("doc_id", "y").agg(
+        F.max("h").alias("line_h"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("x", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("heading"),
+    )
+    level = F.when(F.col("line_h") >= h1_min, 1).otherwise(2).cast("int")
+    w_doc = Window.partitionBy("doc_id").orderBy("y")
+    staged = lines.select(
+        "doc_id", "y", level.alias("level"), "heading",
+        (F.row_number().over(w_doc) - 1).cast("int").alias("pos"),
+        F.sum(F.when(level == 1, 1).otherwise(0)).over(w_doc)
+        .cast("int").alias("sec"),
+    )
+    w_sub = Window.partitionBy("doc_id", "sec").orderBy("y")
+    return staged.select(
+        "doc_id", "pos", "level",
+        F.when(F.col("level") == 1, F.col("sec").cast("string"))
+        .otherwise(
+            F.concat(
+                F.col("sec").cast("string"), F.lit("."),
+                (F.row_number().over(w_sub)
+                 - F.when(F.col("sec") > 0, 1).otherwise(0))
+                .cast("string"),
+            )
+        ).alias("section"),
+        "heading",
+    )

@@ -294,3 +294,37 @@ def test_figure_captions(spark):
         for r in figure_captions(df).orderBy("doc_id", "fig_i").collect()
     ]
     assert out == [(1, 0, "Figure one"), (1, 6, None), (2, 0, None)]
+
+
+def test_heading_outline(spark):
+    from chug_spark.ops.layout import heading_outline
+
+    box = lambda x, y, h, t: {"x": x, "y": y, "w": 80, "h": h, "text": t}
+    rows = [
+        (
+            1,
+            [
+                box(0, 160, 24, "Conclusion"),       # h1 (shuffled input)
+                box(0, 0, 24, "Intro"), box(100, 0, 24, "duction"),
+                box(0, 40, 16, "Background"),
+                box(0, 80, 12, "body-ignored"),
+                box(0, 120, 16, "Methods"),
+            ],
+        ),
+        (2, [box(0, 0, 16, "orphan"), box(0, 30, 16, "second")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, boxes array<struct<x:int,y:int,w:int,h:int,text:string>>"
+    )
+    out = [
+        (r.doc_id, r.pos, r.level, r.section, r.heading)
+        for r in heading_outline(df).orderBy("doc_id", "pos").collect()
+    ]
+    assert out == [
+        (1, 0, 1, "1", "Intro duction"),
+        (1, 1, 2, "1.1", "Background"),
+        (1, 2, 2, "1.2", "Methods"),
+        (1, 3, 1, "2", "Conclusion"),
+        (2, 0, 2, "0.1", "orphan"),
+        (2, 1, 2, "0.2", "second"),
+    ]
