@@ -210,6 +210,75 @@ def _spans_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_spans(spans_from_documents(spark, sf_dir))
 
 
+def _span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-invariant auditor (chug_spark.extract.audit_spans) over the
+    derived span corpus with DETERMINISTIC corruption injected per
+    doc_id%5 — offset shift (density break), media_ref nulling, unknown
+    kind — so the audit must both pass the clean docs and localize each
+    violation class; the oracle replays derivation + corruption +
+    aggregation."""
+    from pyspark.sql import functions as F
+
+    from chug_spark.extract import audit_spans, flatten_spans
+    from chug_spark.synth import spans_from_documents
+
+    spans = flatten_spans(spans_from_documents(spark, sf_dir))
+    m5 = F.pmod(F.col("doc_id").cast("long"), 5)
+    corrupted = spans.select(
+        "doc_id",
+        F.when(m5 == 0, F.col("offset") + 1)
+        .otherwise(F.col("offset")).cast("int").alias("offset"),
+        F.when((m5 == 2) & (F.col("offset") == 0), F.lit("mystery"))
+        .otherwise(F.col("kind")).alias("kind"),
+        "text",
+        F.when((m5 == 1) & (F.col("kind") == "media"),
+               F.lit(None).cast("string"))
+        .otherwise(F.col("media_ref")).alias("media_ref"),
+    )
+    return audit_spans(corrupted)
+
+
+_SQL_SPAN_AUDIT = f"""
+WITH base AS ({_SPANS_DERIVE_SQL}),
+c AS (
+  SELECT doc_id, CAST(doc_id AS BIGINT) % 5 AS m,
+         CASE WHEN CAST(doc_id AS BIGINT) % 5 = 0 THEN "offset" + 1
+              ELSE "offset" END AS off,
+         CASE WHEN CAST(doc_id AS BIGINT) % 5 = 2 AND "offset" = 0
+              THEN 'mystery' ELSE kind END AS kind,
+         text,
+         CASE WHEN CAST(doc_id AS BIGINT) % 5 = 1 AND kind = 'media'
+              THEN NULL ELSE media_ref END AS media_ref
+  FROM base
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_spans,
+       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS INT) AS n_text,
+       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS INT)
+         AS n_media,
+       CAST(sum(CASE WHEN kind = 'anno' THEN 1 ELSE 0 END) AS INT) AS n_anno,
+       CAST(sum(CASE WHEN kind NOT IN ('text', 'media', 'anno')
+                     THEN 1 ELSE 0 END) AS INT) AS n_unknown,
+       (min(off) = 0 AND max(off) = count(*) - 1
+        AND count(DISTINCT off) = count(*)) AS dense,
+       CAST(sum(CASE WHEN kind = 'media'
+                      AND (media_ref IS NULL OR text IS NOT NULL)
+                     THEN 1 ELSE 0 END) AS INT) AS n_bad_media,
+       CAST(sum(CASE WHEN kind <> 'media' AND media_ref IS NOT NULL
+                     THEN 1 ELSE 0 END) AS INT) AS n_bad_ref,
+       (min(off) = 0 AND max(off) = count(*) - 1
+        AND count(DISTINCT off) = count(*)
+        AND sum(CASE WHEN kind NOT IN ('text', 'media', 'anno')
+                     THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN kind = 'media'
+                      AND (media_ref IS NULL OR text IS NOT NULL)
+                     THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN kind <> 'media' AND media_ref IS NOT NULL
+                     THEN 1 ELSE 0 END) = 0) AS ok
+FROM c GROUP BY doc_id
+"""
+
+
 def _extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adversarial synthetic corpus through the full pipeline incl. payload
     render UDF — not SQL-expressible (rows-only check)."""
@@ -466,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docread_all": _docread("all"),
         "docread_random": _docread("random", seed=0),
         "spans_derive": _spans_derive,
+        "span_audit": _span_audit,
         "extract_synth": _extract_synth,
         "extract_synth_struct": _extract_synth_struct("all_valid"),
         "extract_synth_struct_random": _extract_synth_struct("random"),
@@ -484,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "docread_all": _docread_sql("all"),
         "docread_random": _docread_sql("random", seed=0),
         "spans_derive": _SPANS_DERIVE_SQL,
+        "span_audit": _SQL_SPAN_AUDIT,
         # extract_synth: non-SQL-expressible (pixel-hash media_refs) → rows-only;
         # its structural twin below carries the hard oracle for the same path
         "extract_synth_struct": _extract_synth_struct_sql("all_valid"),

@@ -883,3 +883,58 @@ def run_extract(
 
 def empty_errors(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], ERRORS_SCHEMA)
+
+
+#: span kinds the engine emits (extract pipeline: text/media; the derived
+#: span corpus additionally carries 'anno' annotation spans)
+KNOWN_SPAN_KINDS = ("text", "media", "anno")
+
+
+def audit_spans(
+    spans: DataFrame, known_kinds: tuple = KNOWN_SPAN_KINDS
+) -> DataFrame:
+    """Span-table data-quality audit: one row per doc over a FLAT span
+    relation (doc_id, offset, kind, text, media_ref), checking the
+    engine's interleaved-span invariants:
+
+    - ``dense``: offsets are exactly 0..n-1 with no gaps or duplicates
+    - media spans carry a media_ref and no text (``n_bad_media`` counts
+      violations); non-media spans carry no media_ref (``n_bad_ref``)
+    - every kind is known (``n_unknown``)
+
+    ``ok`` folds them all.  At 10^12 rows this is the cheap standing
+    gate between extraction and consumers — ONE map-side-combined agg
+    keyed on doc_id, no joins, no windows.
+    """
+    off = F.col("offset")
+    kind = F.col("kind")
+    n = F.count(F.lit(1))
+    g = spans.groupBy("doc_id").agg(
+        n.cast("int").alias("n_spans"),
+        F.sum((kind == "text").cast("int")).cast("int").alias("n_text"),
+        F.sum((kind == "media").cast("int")).cast("int").alias("n_media"),
+        F.sum((kind == "anno").cast("int")).cast("int").alias("n_anno"),
+        F.sum((~kind.isin(*known_kinds)).cast("int"))
+        .cast("int").alias("n_unknown"),
+        (
+            (F.min(off) == 0)
+            & (F.max(off) == n - 1)
+            & (F.countDistinct(off) == n)
+        ).alias("dense"),
+        F.sum(
+            (
+                (kind == "media")
+                & (F.col("media_ref").isNull() | F.col("text").isNotNull())
+            ).cast("int")
+        ).cast("int").alias("n_bad_media"),
+        F.sum(
+            ((kind != "media") & F.col("media_ref").isNotNull()).cast("int")
+        ).cast("int").alias("n_bad_ref"),
+    )
+    ok = (
+        F.col("dense")
+        & (F.col("n_unknown") == 0)
+        & (F.col("n_bad_media") == 0)
+        & (F.col("n_bad_ref") == 0)
+    )
+    return g.select("*", ok.alias("ok"))
