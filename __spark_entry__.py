@@ -17,6 +17,12 @@ SQL and apply the same reference extraction semantics
 
 from __future__ import annotations
 
+import os
+import sys
+
+# self-locating: the contract must import regardless of the harness cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
