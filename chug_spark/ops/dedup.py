@@ -120,7 +120,14 @@ def minhash_signatures(docs: DataFrame, bands: int = 8, shingle_n: int = 3) -> D
     needed — signatures are bit-identical to the per-doc-distinct HOF
     formulation (verified by exceptAll both ways).  The single-md5 +
     integer-permutation scheme still replaces ``bands`` md5 passes."""
+    from .dataflow import spread_small_scan
+
     consts = minhash_perm_constants(bands)
+    # tiny single-file corpora plan into 1-2 scan splits; hash-spread by
+    # doc_id so the shingle explode + md5 run on every core and the
+    # groupBy(doc_id) below reuses the exchange (guide §2.4/§2.5); no-op
+    # for real multi-file tables
+    docs = spread_small_scan(docs, key="doc_id")
     words = F.split(F.col("text"), " ")
     grams = (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("w"))
@@ -163,9 +170,19 @@ def cap_buckets(df: DataFrame, keys: list[str], max_size: int) -> DataFrame:
     (unlike a collect_list-first plan)."""
     if not max_size:
         return df
+    # explicit keyed repartition (count from spark.sql.shuffle.partitions):
+    # the window's own ENSURE_REQUIREMENTS exchange is AQE-coalescible by
+    # BYTES, and bucket rows are narrow — AQE squeezed this CPU-heavy
+    # sort+window+pair-expansion pipeline onto a handful of tasks (profiled:
+    # 5 tasks for a 6 MB / 10-CPU-second stage).  A user-specified
+    # repartition keeps the operator at the session's configured shuffle
+    # parallelism; the window and the downstream groupBy both reuse it, so
+    # the exchange count is unchanged (guide §2.4).
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     w = Window.partitionBy(*keys)
     return (
-        df.withColumn("_bn", F.count(F.lit(1)).over(w))
+        df.repartition(n, *[F.col(k) for k in keys])
+        .withColumn("_bn", F.count(F.lit(1)).over(w))
         .filter(F.col("_bn") <= max_size)
         .drop("_bn")
     )
@@ -241,7 +258,13 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
     16-bit signatures (round 1) are useless at 10^12 docs — 65k distinct
     values; 64 bits keep collision-by-chance negligible at corpus scale."""
+    from .dataflow import spread_small_scan
+
     assert bits == SIMHASH_BITS, "contract is fixed at 64 bits"
+    # spread tiny scans: the word explode + per-word md5 is the cost here
+    # and must not run on 1-2 cores (guide §2.5); groupBy(doc_id) reuses
+    # the spread's hash partitioning (guide §2.4)
+    docs = spread_small_scan(docs, key="doc_id")
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(F.col("text"), " ")).alias("w"),
@@ -602,7 +625,12 @@ def ngram_jaccard_pairs(
     interpreted ``word_shingles`` HOF — which the old formulation also
     evaluated twice (once for sizes, once for the explode).  Set sizes
     derive from the same exploded rows, so values are identical."""
+    from .dataflow import spread_small_scan
+
     words = F.split(F.col("text"), " ")
+    # spread tiny scans before the shingle explode (guide §2.5); doc_id
+    # hash partitioning also serves the distinct and the per-doc size agg
+    docs = spread_small_scan(docs, key="doc_id")
     exploded = (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("w"))
         .filter(F.size("w") >= shingle_n)
@@ -929,20 +957,29 @@ def line_dedup_keep_first(docs: DataFrame, line_words: int = 8) -> DataFrame:
     the fixed word window is the segmentation for the newline-free test
     corpus and is the only knob.
 
-    Scale shape: explode -> ONE keyed aggregation on the line hash taking
-    ``min(struct(doc_id, line_idx))`` — partial aggregation combines
-    map-side, so a boilerplate line occurring in 10^9 docs never funnels
-    its occurrences through one sorting task (the window-rank formulation
-    would; this is why the winner is an agg, not a row_number) -> join the
-    one-row-per-distinct-line winners table back on the hash (AQE splits
-    the skewed probe side; build side is 1 row/key) -> one groupBy doc_id
-    reassembly carrying kept text, kept count, and total count in a single
-    pass.  Nothing quadratic, no driver state.
+    Scale shape (optimization guide §8 "decide with small rows, move big
+    rows once"): explode -> ONE keyed aggregation on the line hash taking
+    ``min(struct(doc_id, line_idx, line_text))`` — partial aggregation
+    combines map-side, so a boilerplate line occurring in 10^9 docs never
+    funnels its occurrences through one sorting task (the window-rank
+    formulation would; this is why the winner is an agg, not a row_number).
+    The winning struct CARRIES its line text, so the winners relation alone
+    feeds the per-doc reassembly groupBy — no join back onto the exploded
+    corpus (the r5 shape joined on the hash and re-shuffled every line's
+    text twice; same values, one full text shuffle more).  Per-doc totals
+    come from the line count expression map-side, and docs whose every
+    line lost join back in by a narrow (doc_id, int) left join.  Nothing
+    quadratic, no driver state.
 
     Returns (doc_id, clean_text, n_kept, n_dropped); docs whose normalized
     text is NULL or empty carry no lines and drop out (dedup output is
     content-bearing docs).
     """
+    from .dataflow import spread_small_scan
+
+    # spread tiny scans before the line explode (guide §2.5); the doc_id
+    # hash partitioning is reused by the per-doc reassembly aggregation
+    docs = spread_small_scan(docs, key="doc_id")
     norm = normalize_text(F.col("text"))
     words = F.split(norm, " ")
     n_lines = F.ceil(F.size(words) / F.lit(line_words)).cast("int")
@@ -952,38 +989,45 @@ def line_dedup_keep_first(docs: DataFrame, line_words: int = 8) -> DataFrame:
             F.slice(words, i * line_words + 1, line_words), " "
         ),
     )
-    exploded = (
-        docs.filter(F.col("text").isNotNull())
-        .filter(norm != "")
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.posexplode(lines).alias("line_idx", "line_text"),
-        )
-        .withColumn("h", F.md5("line_text"))
-    )
+    content = docs.filter(F.col("text").isNotNull()).filter(norm != "")
+    exploded = content.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(lines).alias("line_idx", "line_text"),
+    ).withColumn("h", F.md5("line_text"))
+    # min(struct) picks the same winner as the (doc_id, line_idx) form —
+    # the first two fields are unique per row, line_text never tie-breaks —
+    # and hauling the text inside the agg is what makes the join-back
+    # unnecessary: each distinct line's text crosses the wire once
     winners = exploded.groupBy("h").agg(
-        F.min(F.struct("doc_id", "line_idx")).alias("w")
+        F.min(F.struct("doc_id", "line_idx", "line_text")).alias("w")
     )
-    marked = exploded.join(winners, "h").withColumn(
-        "is_first",
-        (F.col("w.doc_id") == F.col("doc_id"))
-        & (F.col("w.line_idx") == F.col("line_idx")),
+    kept = winners.select(
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.line_idx").alias("line_idx"),
+        F.col("w.line_text").alias("line_text"),
     )
-    kept_struct = F.when(
-        F.col("is_first"),
-        F.struct(F.col("line_idx"), F.col("line_text")),
-    )
-    return marked.groupBy("doc_id").agg(
+    kept_agg = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                # collect_list drops the NULL (non-first) entries itself
-                F.array_sort(F.collect_list(kept_struct)),
+                F.array_sort(F.collect_list(F.struct("line_idx", "line_text"))),
                 lambda s: s["line_text"],
             ),
             " ",
         ).alias("clean_text"),
-        F.sum(F.col("is_first").cast("int")).cast("int").alias("n_kept"),
-        (F.count(F.lit(1)) - F.sum(F.col("is_first").cast("int")))
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    # every content doc appears in the output, including docs whose every
+    # line lost (clean_text = '', n_kept = 0); total line counts are the
+    # map-side expression, no second pass over the exploded corpus
+    totals = content.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_lines.cast("long").alias("_n_total"),
+    )
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        (F.col("_n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
         .cast("int")
         .alias("n_dropped"),
     )

@@ -64,7 +64,14 @@ def doc_gram_counts(
     token-free texts drop out: they carry no n-gram mass on either side
     of the ratio, matching the paper's bag-of-ngrams model.
     """
+    from .dataflow import spread_small_scan
+
     toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda t: t != "")
+    # spread tiny scans: per-gram md5 hashing is the dominant cost and must
+    # use every core (guide §2.5); the doc_id hash partitioning is reused
+    # by BOTH keyed aggregations downstream (per-doc gram counts here and
+    # the per-doc score in dsir_scores), eliding their exchanges entirely
+    docs = spread_small_scan(docs, key="doc_id")
     staged = docs.filter(F.col(text_col).isNotNull()).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         target.cast("int").alias("is_target"),

@@ -9,12 +9,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark, sf_dir, spread=True):
+    # spread_small_scan: a single-file corpus plans into 1-2 scan splits, so
+    # without this every per-row expression before the first exchange runs
+    # on 1-2 cores (measured: the whole bench suite was map-bound on a
+    # 2-split scan at the driver's sf1.0).  No-op for real multi-file tables.
+    # Call sites whose first real operator is an exchange anyway (or that
+    # repartition internally) pass spread=False: for them the extra
+    # round-robin exchange is pure overhead (A/B-measured regressions on
+    # media_dhash / seq_pack / snapshot_dedup).
+    from .dataflow import spread_small_scan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread_small_scan(d) if spread else d
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .dataflow import spread_small_scan
+
+    return spread_small_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 #: Explicit events schema.  ``ts`` is stored as parquet timestamp[us] with
@@ -2890,7 +2903,9 @@ def q_media_features(spark, sf_dir):
 
     from .media_features import extract_media_features
 
-    fixture = _docs(spark, sf_dir).select(
+    # spread=False: the unordered .limit() below keeps the FIRST rows in
+    # physical order, so the scan layout is part of this pinned fixture
+    fixture = _docs(spark, sf_dir, spread=False).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(
             F.lit("synth://v1/L/"),
@@ -2912,7 +2927,9 @@ def q_media_frames(spark, sf_dir):
 
     from .media_features import extract_media_features
 
-    fixture = _docs(spark, sf_dir).select(
+    # spread=False: the unordered .limit() below keeps the FIRST rows in
+    # physical order, so the scan layout is part of this pinned fixture
+    fixture = _docs(spark, sf_dir, spread=False).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(
             F.lit("synth://v1/L/"),
@@ -3016,7 +3033,9 @@ def q_media_train(spark, sf_dir):
 
     from .media_features import extract_train_tensors
 
-    fixture = _docs(spark, sf_dir).select(
+    # spread=False: the unordered .limit() below keeps the FIRST rows in
+    # physical order, so the scan layout is part of this pinned fixture
+    fixture = _docs(spark, sf_dir, spread=False).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(
             F.lit("synth://v1/L/"),
@@ -3038,7 +3057,9 @@ def q_image_eval(spark, sf_dir):
 
     from .image_transforms import extract_image_tensors
 
-    fixture = _docs(spark, sf_dir).select(
+    # spread=False: the unordered .limit() below keeps the FIRST rows in
+    # physical order, so the scan layout is part of this pinned fixture
+    fixture = _docs(spark, sf_dir, spread=False).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(
             F.lit("synth://v1/L/"),
@@ -3063,7 +3084,9 @@ def q_image_train(spark, sf_dir):
 
     from .image_transforms import AUG_IMAGENET, extract_image_tensors
 
-    fixture = _docs(spark, sf_dir).select(
+    # spread=False: the unordered .limit() below keeps the FIRST rows in
+    # physical order, so the scan layout is part of this pinned fixture
+    fixture = _docs(spark, sf_dir, spread=False).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(
             F.lit("synth://v1/L/"),
@@ -4752,7 +4775,10 @@ def q_seq_pack(spark, sf_dir):
     stream placement via a distributed prefix sum (no global window)."""
     from .packing import pack_sequences
 
-    return pack_sequences(_docs(spark, sf_dir), window=64)
+    # spread=False: pack_sequences' first operator is its own range
+    # exchange over narrow (doc_id, ord_key, n_tok) rows — pre-shuffling
+    # the full text column costs more than the trivial map work saved
+    return pack_sequences(_docs(spark, sf_dir, spread=False), window=64)
 
 
 _SQL_SEQ_PACK = r"""
@@ -4786,7 +4812,10 @@ def q_snapshot_dedup(spark, sf_dir):
 
     from .dedup import snapshot_dedup
 
-    d = _docs(spark, sf_dir)
+    # spread=False: snapshot_dedup's minhash side spreads internally
+    # (keyed on doc_id); a second round-robin exchange of the raw text
+    # ahead of it was an A/B-measured regression
+    d = _docs(spark, sf_dir, spread=False)
     is_new = F.col("doc_id") % 5 == 4
     return snapshot_dedup(d.filter(is_new), d.filter(~is_new), bands=8, shingle_n=3)
 
@@ -5573,7 +5602,9 @@ def q_media_dhash(spark, sf_dir):
 
     from .media_features import media_dhash
 
-    refs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0).select(
+    refs = _docs(spark, sf_dir, spread=False).filter(
+        F.col("doc_id") % 2 == 0
+    ).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(
             F.lit("synth://v1/L/"),

@@ -108,8 +108,12 @@ def budget_select(docs: DataFrame, token_budget: int) -> DataFrame:
 
     Returns (doc_id, quality_bp, n_tok, cum_tok) for kept docs.
     """
+    from .dataflow import spread_small_scan
     from .textstats import quality_score
 
+    # spread tiny scans before the two text-deriving subtrees (guide §2.5);
+    # doc_id hash partitioning makes the scored/toks equi-join exchange-free
+    docs = spread_small_scan(docs, key="doc_id")
     scored = quality_score(docs).select("doc_id", "quality_bp")
     norm = normalize_text(F.col("text"))
     toks = docs.select(
@@ -171,8 +175,11 @@ def domain_budget_select(
 
     Returns (source, doc_id, quality_bp, n_tok, cum_tok) for kept docs.
     """
+    from .dataflow import spread_small_scan
     from .textstats import quality_score
 
+    # same spread rationale as budget_select (guide §2.5)
+    docs = spread_small_scan(docs, key="doc_id")
     docs = docs.filter(F.col("text").isNotNull())
     scored = quality_score(docs).select("doc_id", "quality_bp")
     norm = normalize_text(F.col("text"))

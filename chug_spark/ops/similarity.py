@@ -55,18 +55,35 @@ def cosine_pairs_threshold(
     table (query side broadcast — the right plan for small Q × huge N).
     Threshold + rounding keeps the result set order-insensitive and
     fp-stable across engines."""
-    base = valid_embeddings(emb).select(
-        F.col("vec_id").cast("long").alias("vec_id"), F.col("embedding")
+    from .dataflow import spread_small_scan
+
+    # norms are per-VECTOR, not per-pair: compute each side's norm once
+    # before the pair join so a pair costs one dot fold instead of three
+    # (dot + 2 norms); the product norm_q * norm_n is the identical double,
+    # so round(cosine, 4) is bit-equal to the per-pair form.  Tiny scans
+    # are spread first (guide §2.5).
+    base = valid_embeddings(spread_small_scan(emb)).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        norm(F.col("embedding")).alias("_n"),
     )
     queries = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_n").alias("_qn"),
     )
     return (
         base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cosine"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("q_emb"), F.col("embedding")),
+                    F.col("_qn") * F.col("_n"),
+                ),
+                round_to,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -124,10 +141,43 @@ def ann_recall_at_k(
     )
 
 
+#: hyperplane components are a pure function of (plane, d) — precompute the
+#: ±1 vector ONCE at plan-build time (same md5-parity values, hashlib side)
+#: instead of evaluating md5 per ROW per DIMENSION inside the fold lambda
+#: (measured: n_planes × dim md5 calls per row dominated every LSH op).
+_PLANE_MAX_DIM = 1024
+
+
+def _plane_signs(plane: int, max_dim: int = _PLANE_MAX_DIM) -> list[float]:
+    import hashlib
+
+    return [
+        float((int(hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0], 16) % 2)
+              * 2 - 1)
+        for d in range(max_dim)
+    ]
+
+
 def hyperplane_bit(emb: Column, plane: int) -> Column:
     """Sign of <v, h_plane> where h_plane[d] = ±1 derived from md5(plane|d) —
-    deterministic pseudo-random hyperplanes, no RNG state anywhere."""
-    proj = F.aggregate(
+    deterministic pseudo-random hyperplanes, no RNG state anywhere.
+
+    The ±1 components are data-independent constants, so they are embedded
+    as a literal array (constant-folded by Catalyst) and the per-row work is
+    ONE multiply-accumulate fold; the md5-per-dimension expression survives
+    only as the fallback for embeddings wider than ``_PLANE_MAX_DIM``.
+    Value-identical to the md5-in-plan form (same md5 parity bits)."""
+    signs = F.array(*[F.lit(v) for v in _plane_signs(plane)])
+    fast = F.aggregate(
+        F.zip_with(
+            emb,
+            F.slice(signs, 1, F.size(emb)),
+            lambda v, s: v.cast("double") * s,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    slow = F.aggregate(
         F.zip_with(
             emb,
             F.sequence(F.lit(0), F.size(emb) - 1),
@@ -148,6 +198,7 @@ def hyperplane_bit(emb: Column, plane: int) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    proj = F.when(F.size(emb) <= _PLANE_MAX_DIM, fast).otherwise(slow)
     return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
@@ -320,18 +371,37 @@ def semantic_pairs(
     expansion — no self-join, memory bounded by the cap), so the op is the
     embedding-space sibling of the MinHash/SimHash text dedups and scales
     the same way: cost is buckets × cap², never corpus²."""
+    from .dataflow import spread_small_scan
     from .dedup import bucket_pairs
 
-    base = valid_embeddings(emb).select(
+    # the bucket is a pure function of the embedding — compute it inline
+    # instead of equi-joining the table against lsh_buckets(itself) on
+    # vec_id (that self-join shuffled every embedding twice for no reason);
+    # per-vector norms ride the pair payload so each candidate pair costs
+    # one dot fold (same doubles, bit-equal cosine).  Tiny scans spread
+    # first (guide §2.5).
+    base = valid_embeddings(spread_small_scan(emb)).select(
         F.col("vec_id").cast("long").alias("vec_id"), "embedding"
     )
-    with_b = base.join(lsh_buckets(base, n_planes), "vec_id").select(
-        F.col("vec_id").alias("doc_id"), "bucket", "embedding"
+    bucket = F.concat(
+        *[hyperplane_bit(F.col("embedding"), p) for p in range(n_planes)]
+    )
+    with_b = base.select(
+        F.col("vec_id").alias("doc_id"),
+        bucket.alias("bucket"),
+        "embedding",
+        norm(F.col("embedding")).alias("_n"),
     )
     pairs = bucket_pairs(
-        with_b, ["bucket"], max_bucket_size, payload=["embedding"]
+        with_b, ["bucket"], max_bucket_size, payload=["embedding", "_n"]
     )
-    cos = F.round(cosine(F.col("embedding_a"), F.col("embedding_b")), 4)
+    cos = F.round(
+        F.try_divide(
+            dot(F.col("embedding_a"), F.col("embedding_b")),
+            F.col("_n_a") * F.col("_n_b"),
+        ),
+        4,
+    )
     return (
         pairs.select("doc_a", "doc_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

@@ -167,7 +167,15 @@ def payload_corpus_from_documents(
       doc corrupt in both ways reports only the anno error)
     - span 3 (even doc_id): raw trailing text ``tail <doc_id>``
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .ops.dataflow import spread_small_scan
+
+    # hash-spread by doc_id BEFORE the heavy anno-JSON construction: a
+    # single-file corpus otherwise derives every span on 1-2 cores (guide
+    # §2.5), and the doc_id hash partitioning is reused by downstream
+    # per-doc windows/groupBys (guide §2.4).  No-op for multi-file tables.
+    docs = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+    )
 
     words = F.split(F.col("text"), " ")
     n_pages = F.ceil(F.size(words) / F.lit(WORDS_PER_PAGE)).cast("int")
@@ -215,6 +223,9 @@ def payload_corpus_from_documents(
             F.array(span("text", F.concat(F.lit("tail "), sid), None, 3)),
         ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")),
     )
+    # same nondeterminism guard as spans_from_documents: one evaluation of
+    # the span construction, never one per downstream filter/projection
+    spans = F.when(F.rand(0) > -1.0, spans).otherwise(spans)
     return docs.select(sid.alias("doc_id"), spans.alias("spans"))
 
 
@@ -285,7 +296,15 @@ def spans_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     - span 0 = anno JSON {"pages":[{"text": [line, ...]}, ...]}
     - span i (1..n_pages) = media span, media_ref = md5(doc_id||':'||page_idx)
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .ops.dataflow import spread_small_scan
+
+    # hash-spread by doc_id BEFORE the heavy anno-JSON construction: a
+    # single-file corpus otherwise derives every span on 1-2 cores (guide
+    # §2.5), and the doc_id hash partitioning is reused by downstream
+    # per-doc windows/groupBys (guide §2.4).  No-op for multi-file tables.
+    docs = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+    )
 
     words = F.split(F.col("text"), " ")
     n_pages = F.ceil(F.size(words) / F.lit(WORDS_PER_PAGE)).cast("int")
@@ -310,7 +329,17 @@ def spans_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    spans = F.concat(F.array(anno_span), media_spans)
+    # Nondeterminism guard (the extract.py _policy_sql trick; optimization
+    # guide §4.4 generalized to plan-level expressions): the value IS
+    # deterministic (rand(0) > -1 is always true), but marking it stops the
+    # optimizer substituting this whole construction into pushed-down
+    # filters and collapsed projections downstream — measured: the in-flight
+    # extraction re-evaluated the anno-JSON build several times per row
+    # (filter gate, branch probe, every column referencing it), 11.2 s vs
+    # 2.5 s for one evaluation at the driver's sf1.0.
+    spans = F.when(F.rand(0) > -1.0, spans).otherwise(spans)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.concat(F.array(anno_span), media_spans).alias("spans"),
+        spans.alias("spans"),
     )

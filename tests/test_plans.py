@@ -55,12 +55,17 @@ def test_flat_filter_pushdown_to_scan(spark, span_parquet):
 
 
 def test_column_pruning_derived_corpus(spark):
-    """The derived-corpus flagship must scan only (doc_id, text) of the flat
-    documents table — 2 of 5 columns (explicit pruning check)."""
-    from chug_spark.flagship import docread_flat
+    """The derived-corpus derivation must scan only (doc_id, text) of the
+    flat documents table — 2 of 5 columns (explicit pruning check).
 
-    flat = docread_flat(spark, "/root/testdata/sf0.001")
-    plan = _phys(flat)
+    r6: docread_flat consumes the derivation through a localCheckpoint
+    barrier (flagship.py rationale), which truncates the visible lineage to
+    Scan ExistingRDD — so the pruning assertion moved to the derivation
+    plan itself (spans_from_documents), where the FileScan lives."""
+    from chug_spark.synth import spans_from_documents
+
+    docs = spans_from_documents(spark, "/root/testdata/sf0.001")
+    plan = _phys(docs)
     assert "FileScan parquet [doc_id" in plan
     for unused in ("lang", "source", "n_chars"):
         assert f"{unused}#" not in plan.split("FileScan", 1)[1][:400], plan
