@@ -914,12 +914,17 @@ def audit_spans(
         F.sum((kind == "text").cast("int")).cast("int").alias("n_text"),
         F.sum((kind == "media").cast("int")).cast("int").alias("n_media"),
         F.sum((kind == "anno").cast("int")).cast("int").alias("n_anno"),
-        F.sum((~kind.isin(*known_kinds)).cast("int"))
+        # fail CLOSED: a NULL kind makes isin() NULL, which sum() would
+        # silently skip — coalesce so NULL kinds count as unknown (ADVICE r5)
+        F.sum((~F.coalesce(kind.isin(*known_kinds), F.lit(False))).cast("int"))
         .cast("int").alias("n_unknown"),
-        (
+        # fail CLOSED: a group whose offsets are all NULL yields NULL
+        # min/max — a broken table must audit false, not NULL (ADVICE r5)
+        F.coalesce(
             (F.min(off) == 0)
             & (F.max(off) == n - 1)
-            & (F.countDistinct(off) == n)
+            & (F.countDistinct(off) == n),
+            F.lit(False),
         ).alias("dense"),
         F.sum(
             (
@@ -931,10 +936,11 @@ def audit_spans(
             ((kind != "media") & F.col("media_ref").isNotNull()).cast("int")
         ).cast("int").alias("n_bad_ref"),
     )
-    ok = (
+    ok = F.coalesce(
         F.col("dense")
         & (F.col("n_unknown") == 0)
         & (F.col("n_bad_media") == 0)
-        & (F.col("n_bad_ref") == 0)
+        & (F.col("n_bad_ref") == 0),
+        F.lit(False),
     )
     return g.select("*", ok.alias("ok"))

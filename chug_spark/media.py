@@ -117,6 +117,10 @@ def page_count(media_ref: str) -> int:
     return parse_payload_ref(media_ref)[1]
 
 
+#: (h, w) -> cached uint8 coordinate ramps for render_page's gradient
+_COORD_RAMPS: dict = {}
+
+
 def render_page(
     seed: int,
     page_index: int,
@@ -133,11 +137,22 @@ def render_page(
     w = max(1, int(PAGE_W_PT * scale))
     h = max(1, int(PAGE_H_PT * scale))
     rng = np.random.default_rng(np.uint64((seed * 1_000_003 + page_index) & 0xFFFFFFFFFFFFFFFF))
-    base = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
-    # deterministic "content": gradient + seeded noise, like rendered glyphs
-    yy = np.arange(h, dtype=np.uint16)[:, None]
-    xx = np.arange(w, dtype=np.uint16)[None, :]
-    page = ((base.astype(np.uint16) + yy + xx) % 256).astype(np.uint8)
+    page = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    # deterministic "content": gradient + seeded noise, like rendered glyphs.
+    # In-place uint8 adds with natural wraparound — bit-identical to the
+    # original ((base_u16 + yy + xx) % 256) formulation (the mod-256 of a
+    # sum is the low byte, i.e. uint8 overflow addition) at a quarter of
+    # the memory traffic (r6: 4.0 → 1.0 ms/page, pixel hashes unchanged);
+    # the coordinate ramps are pure functions of (h, w) and cached.
+    key = (h, w)
+    ramps = _COORD_RAMPS.get(key)
+    if ramps is None:
+        ramps = _COORD_RAMPS[key] = (
+            (np.arange(h, dtype=np.uint16)[:, None] % 256).astype(np.uint8),
+            (np.arange(w, dtype=np.uint16)[None, :] % 256).astype(np.uint8),
+        )
+    page += ramps[0]
+    page += ramps[1]
     return convert_mode(page, image_mode)
 
 

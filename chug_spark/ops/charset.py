@@ -108,6 +108,12 @@ def _utf16_valid(bhex: Column, hi_off: int) -> Column:
     a low surrogate, and every low surrogate's predecessor is a high —
     linear work, constant stack, whole-stage codegen.
     """
+    # NOTE: the pairing lambdas below reference ``units`` (this full-string
+    # regexp_extract_all) again via F.get(units, i±1); linear cost relies on
+    # Spark evaluating the subexpression once per row rather than re-running
+    # the extraction per element (holds on 4.1.x — the 240 KB regression
+    # test in tests/test_charset.py would catch an evaluation-strategy
+    # change reintroducing quadratic work).  (ADVICE r5)
     units = F.regexp_extract_all(bhex, F.lit("(.{4})"), 1)
 
     def hi_nib(u: Column) -> Column:

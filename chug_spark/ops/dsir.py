@@ -112,15 +112,17 @@ def dsir_scores(
     the target rows (the pool being selected from is the whole corpus).
 
     The (doc, bucket, c) relation feeds BOTH the ratio estimation and the
-    scoring join; without materialization Spark re-runs the corpus-scale
-    explode+aggregate for each consumer (column pruning makes the two
-    subtrees non-identical, so exchange reuse never fires — measured).  It
-    is localCheckpoint'ed once: ≤``dim`` rows per doc, orders of magnitude
-    smaller than the corpus.  At multi-job production scale you'd write it
-    to a scratch table instead (localCheckpoint trades lineage for the
-    saved pass, so a lost executor fails the job rather than recomputing).
+    scoring join, so the gram pipeline evaluates twice (column pruning
+    makes the two subtrees non-identical, so exchange reuse never fires).
+    r6 A/B at the driver's sf1.0: with the scan spread across all cores the
+    second evaluation costs LESS than materializing the ≤dim-rows-per-doc
+    relation through localCheckpoint (2.8 s checkpointed vs 1.9 s re-run —
+    the r5 checkpoint predates the spread, when one serial evaluation was
+    the whole cost).  Scans also scale horizontally at 100 TB, while a
+    checkpoint of a per-doc relation is local-disk pressure; a multi-job
+    production pipeline would write the grams to a scratch TABLE once.
     """
-    gc = doc_gram_counts(docs, target, text_col, dim).localCheckpoint()
+    gc = doc_gram_counts(docs, target, text_col, dim)
     dist = gc.groupBy("bucket").agg(
         F.sum("c").alias("r_c"),
         F.sum(F.when(F.col("is_target") == 1, F.col("c")).otherwise(0)).alias("t_c"),

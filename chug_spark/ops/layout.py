@@ -157,6 +157,13 @@ def reading_order(
             for did, boxes in zip(pdf["doc_id"], pdf["boxes"]):
                 if boxes is None or len(boxes) == 0:
                     continue
+                # a box with NULL geometry would raise inside np.fromiter
+                # and kill the whole task — skip it, like null text (ADVICE r5)
+                boxes = [b for b in boxes
+                         if b["x"] is not None and b["y"] is not None
+                         and b["w"] is not None and b["h"] is not None]
+                if not boxes:
+                    continue
                 bx = np.fromiter((b["x"] for b in boxes), np.int64, len(boxes))
                 by = np.fromiter((b["y"] for b in boxes), np.int64, len(boxes))
                 bw = np.fromiter((b["w"] for b in boxes), np.int64, len(boxes))
@@ -230,6 +237,13 @@ def reading_order_pages(
             }
             for did, pg, boxes in zip(pdf["doc_id"], pdf["page"], pdf["boxes"]):
                 if boxes is None or len(boxes) == 0:
+                    continue
+                # a box with NULL geometry would raise inside np.fromiter
+                # and kill the whole task — skip it, like null text (ADVICE r5)
+                boxes = [b for b in boxes
+                         if b["x"] is not None and b["y"] is not None
+                         and b["w"] is not None and b["h"] is not None]
+                if not boxes:
                     continue
                 bx = np.fromiter((b["x"] for b in boxes), np.int64, len(boxes))
                 by = np.fromiter((b["y"] for b in boxes), np.int64, len(boxes))
@@ -350,6 +364,11 @@ def table_cells(
                    "x0": [], "y0": []}
             for did, boxes in zip(pdf["doc_id"], pdf["boxes"]):
                 if boxes is None or len(boxes) == 0:
+                    continue
+                # NULL-geometry guard, same rationale as reading_order
+                boxes = [b for b in boxes
+                         if b["x"] is not None and b["y"] is not None]
+                if not boxes:
                     continue
                 n = len(boxes)
                 bx = np.fromiter((b["x"] for b in boxes), np.int64, n)

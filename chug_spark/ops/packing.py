@@ -109,21 +109,23 @@ def budget_select(docs: DataFrame, token_budget: int) -> DataFrame:
     Returns (doc_id, quality_bp, n_tok, cum_tok) for kept docs.
     """
     from .dataflow import spread_small_scan
-    from .textstats import quality_score
+    from .textstats import quality_bp_expr
 
-    # spread tiny scans before the two text-deriving subtrees (guide §2.5);
-    # doc_id hash partitioning makes the scored/toks equi-join exchange-free
+    # spread tiny scans before the text-deriving projection (guide §2.5);
+    # quality_bp and n_tok are computed in ONE projection of the scan —
+    # the r5 shape self-joined quality_score(docs) with a second
+    # projection of the same docs on doc_id, evaluating the scan twice
+    # and paying a join for columns that live on the same row (r6)
     docs = spread_small_scan(docs, key="doc_id")
-    scored = quality_score(docs).select("doc_id", "quality_bp")
     norm = normalize_text(F.col("text"))
-    toks = docs.select(
+    base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        quality_bp_expr().alias("quality_bp"),
         F.when(norm == "", F.lit(0))
         .otherwise(F.size(F.split(norm, " ")))
         .cast("long")
         .alias("n_tok"),
     )
-    base = scored.join(toks, "doc_id")
 
     in_bucket = Window.partitionBy("quality_bp").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -176,22 +178,21 @@ def domain_budget_select(
     Returns (source, doc_id, quality_bp, n_tok, cum_tok) for kept docs.
     """
     from .dataflow import spread_small_scan
-    from .textstats import quality_score
+    from .textstats import quality_bp_expr
 
-    # same spread rationale as budget_select (guide §2.5)
+    # same spread + single-projection rationale as budget_select (r6)
     docs = spread_small_scan(docs, key="doc_id")
     docs = docs.filter(F.col("text").isNotNull())
-    scored = quality_score(docs).select("doc_id", "quality_bp")
     norm = normalize_text(F.col("text"))
-    toks = docs.select(
+    base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        quality_bp_expr().alias("quality_bp"),
         F.coalesce(F.col(group_col), F.lit("")).alias("grp"),
         F.when(norm == "", F.lit(0))
         .otherwise(F.size(F.split(norm, " ")))
         .cast("long")
         .alias("n_tok"),
     )
-    base = scored.join(toks, "doc_id")
 
     in_bucket = Window.partitionBy("grp", "quality_bp").orderBy(
         "doc_id"

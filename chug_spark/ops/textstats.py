@@ -4,7 +4,7 @@ SQL-portable for the DuckDB oracles."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic stopword sets for the n-gram/stopword language heuristic
@@ -58,9 +58,11 @@ def bpe_token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Length/stopword/repetition quality features + a composite score.
-    Integer-ratio math, rounded to 4 — engine-portable."""
+def quality_bp_expr() -> Column:
+    """The composite quality score of :func:`quality_score` as a bare
+    Column over ``text`` — shared with the budget selections so they can
+    compute it in the SAME projection as their token counts instead of
+    self-joining two projections of the corpus scan (r6)."""
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     en_hits = _stopword_hits(words, "en")
@@ -71,6 +73,18 @@ def quality_score(docs: DataFrame) -> DataFrame:
         distinct_ratio * 0.5 + F.least(stop_ratio * 2, F.lit(1.0)) * 0.3
         + F.least(mean_wlen / 8, F.lit(1.0)) * 0.2
     )
+    return F.floor(score * 10000).cast("int")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/stopword/repetition quality features + a composite score.
+    Integer-ratio math, rounded to 4 — engine-portable."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    en_hits = _stopword_hits(words, "en")
+    distinct_ratio = F.size(F.array_distinct(words)) / n
+    stop_ratio = en_hits / n
+    mean_wlen = (F.length("text") - (n - 1)) / n  # chars excluding separators
 
     # basis points via floor: engine-portable (round() half-mode differs across
     # engines exactly at representable midpoints like 77/160)
@@ -83,7 +97,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         bp(distinct_ratio).alias("distinct_ratio_bp"),
         bp(stop_ratio).alias("stopword_ratio_bp"),
         bp(mean_wlen).alias("mean_word_len_bp"),
-        bp(score).alias("quality_bp"),
+        quality_bp_expr().alias("quality_bp"),
     )
 
 
