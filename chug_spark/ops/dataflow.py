@@ -33,6 +33,13 @@ def spread_small_scan(df: DataFrame, key: Optional[str] = None) -> DataFrame:
     row values are untouched, so any order-insensitive consumer (every
     declared query) is value-identical.
 
+    There is also a FLOOR (``spark.chug.spread.minBytes``, default 4 MB):
+    the spread pays a fixed exchange + extra-stage-scheduling cost
+    (A/B-measured ~1-2 s across the suite), and below a few MB of input
+    the serial map work it parallelizes is cheaper than that — measured
+    at the driver's sf0.1 (1.7 MB corpus): quality moments 0.64 s unspread
+    vs 1.82 s spread, while the same op at sf1.0 (5.9 MB) inverts.
+
     ``key=None`` round-robins; ``key='doc_id'`` hash-partitions on that
     column so a downstream groupBy/window keyed the same way reuses the
     exchange instead of adding its own (guide §2.4).
@@ -46,6 +53,9 @@ def spread_small_scan(df: DataFrame, key: Optional[str] = None) -> DataFrame:
         max_bytes = int(
             sess.conf.get("spark.chug.spread.maxBytes", str(256 * 1024 * 1024))
         )
+        min_bytes = int(
+            sess.conf.get("spark.chug.spread.minBytes", str(4 * 1024 * 1024))
+        )
         total = 0
         for uri in files:
             p = urlparse(uri)
@@ -54,6 +64,8 @@ def spread_small_scan(df: DataFrame, key: Optional[str] = None) -> DataFrame:
             total += os.path.getsize(unquote(p.path))
             if total >= max_bytes:
                 return df
+        if total < min_bytes:
+            return df
     except Exception:  # listing/stat failed -> assume big, change nothing
         return df
     n = cores * 2  # match the default shuffle-partition fan-out (tail balance)

@@ -170,19 +170,13 @@ def cap_buckets(df: DataFrame, keys: list[str], max_size: int) -> DataFrame:
     (unlike a collect_list-first plan)."""
     if not max_size:
         return df
-    # explicit keyed repartition (count from spark.sql.shuffle.partitions):
-    # the window's own ENSURE_REQUIREMENTS exchange is AQE-coalescible by
-    # BYTES, and bucket rows are narrow — AQE squeezed this CPU-heavy
-    # sort+window+pair-expansion pipeline onto a handful of tasks (profiled:
-    # 5 tasks for a 6 MB / 10-CPU-second stage).  A user-specified
-    # repartition keeps the operator at the session's configured shuffle
-    # parallelism; the window and the downstream groupBy both reuse it, so
-    # the exchange count is unchanged (guide §2.4).
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    # (r6 note: an explicit keyed repartition here — to stop AQE's
+    # byte-based coalescing of this narrow shuffle — was tried and A/B'd
+    # at both the driver's sf0.1 and sf1.0: neutral at sf1.0, 1-2 s SLOWER
+    # per query at sf0.1.  The ENSURE_REQUIREMENTS exchange stays.)
     w = Window.partitionBy(*keys)
     return (
-        df.repartition(n, *[F.col(k) for k in keys])
-        .withColumn("_bn", F.count(F.lit(1)).over(w))
+        df.withColumn("_bn", F.count(F.lit(1)).over(w))
         .filter(F.col("_bn") <= max_size)
         .drop("_bn")
     )

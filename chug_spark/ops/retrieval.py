@@ -59,20 +59,21 @@ def bm25_topk(
     (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), fully deterministic
     tie-break (score desc, doc_id asc), rk <= k.
     """
+    from .dataflow import spread_small_scan
+
+    docs = spread_small_scan(docs, key="doc_id")
     base = docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.filter(
             F.split(_norm(F.col("text")), " "), lambda x: x != ""
         ).alias("toks"),
     )
-    # Document length and corpus stats never touch the explode: dl is the
-    # size of the token array (map-only scan, zero shuffle) and avgdl is a
-    # 1-row partial aggregate over it.  Docs with zero terms are excluded
-    # from N/avgdl, matching the tf-derived definition.
-    dl = base.select(
-        "doc_id", F.size("toks").alias("dl")
-    ).filter(F.col("dl") > 0)
-    stats = dl.agg(
+    # Corpus stats never touch the explode: a 1-row partial aggregate over
+    # the token-array size (map-only scan, zero shuffle).  Docs with zero
+    # terms are excluded from N/avgdl, matching the tf-derived definition.
+    stats = base.select(F.size("toks").alias("dl")).filter(
+        F.col("dl") > 0
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
@@ -90,10 +91,17 @@ def bm25_topk(
     # only shuffle of exploded data carries matching (doc, term) rows.
     # (Prune on bare terms, not (query_id, term) — a per-query join here
     # would multiply tf rows and double-count frequencies.)
+    # dl rides the explode and the aggregation key (constant per doc_id):
+    # the r5 shape kept a separate (doc_id, dl) relation and equi-joined it
+    # back after tf — a full corpus-keyed join, plus a third evaluation of
+    # the tokenizer, for a value already on every exploded row (r6; A/B
+    # 4.8 -> 3.1 s at the driver's sf1.0, value-identical).
     tf = (
-        base.select("doc_id", F.explode("toks").alias("term"))
+        base.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
         .join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     # Document frequency over the pruned index equals the global df for
@@ -102,11 +110,7 @@ def bm25_topk(
     tf = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
-    j = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    j = tf.join(F.broadcast(qterms), "term").crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n")
     idf = F.log(
         F.lit(1.0)
