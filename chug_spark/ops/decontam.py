@@ -59,8 +59,12 @@ def doc_ngrams(docs: DataFrame, n: int = 5) -> DataFrame:
 
 
 def eval_ngram_set(eval_docs: DataFrame, n: int = 5) -> DataFrame:
-    """Distinct word n-grams of the evaluation set: one `gram` column."""
-    return doc_ngrams(eval_docs, n).select("gram").distinct()
+    """Distinct word n-grams of the evaluation set: one `gram` column.
+
+    One distinct straight off the gram stream — the r5 form went through
+    doc_ngrams' per-(doc_id, gram) distinct first and re-distinct'ed on
+    gram, paying two aggregations for one set (r6)."""
+    return gram_stream(eval_docs, n).select("gram").distinct()
 
 
 def decontaminate(

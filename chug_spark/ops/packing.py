@@ -108,24 +108,25 @@ def budget_select(docs: DataFrame, token_budget: int) -> DataFrame:
 
     Returns (doc_id, quality_bp, n_tok, cum_tok) for kept docs.
     """
-    from .dataflow import spread_small_scan
-    from .textstats import quality_bp_expr
+    from .textstats import quality_score
 
-    # spread tiny scans before the text-deriving projection (guide §2.5);
-    # quality_bp and n_tok are computed in ONE projection of the scan —
-    # the r5 shape self-joined quality_score(docs) with a second
-    # projection of the same docs on doc_id, evaluating the scan twice
-    # and paying a join for columns that live on the same row (r6)
-    docs = spread_small_scan(docs, key="doc_id")
+    # (r6 note: folding quality_bp and n_tok into ONE projection — no
+    # join — was tried and A/B'd SLOWER at the driver's sf1.0 (3.4-3.5 s
+    # vs 2.6-2.8 s for this shape): ``base`` feeds two consumers (the
+    # in-bucket window and the bucket totals), so the fused projection
+    # re-evaluates the expensive quality expression per consumer, while
+    # this join shape amortizes it through the join's exchanges.  A
+    # pre-spread of the scan was likewise neutral-to-negative here.)
+    scored = quality_score(docs).select("doc_id", "quality_bp")
     norm = normalize_text(F.col("text"))
-    base = docs.select(
+    toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        quality_bp_expr().alias("quality_bp"),
         F.when(norm == "", F.lit(0))
         .otherwise(F.size(F.split(norm, " ")))
         .cast("long")
         .alias("n_tok"),
     )
+    base = scored.join(toks, "doc_id")
 
     in_bucket = Window.partitionBy("quality_bp").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -177,22 +178,21 @@ def domain_budget_select(
 
     Returns (source, doc_id, quality_bp, n_tok, cum_tok) for kept docs.
     """
-    from .dataflow import spread_small_scan
-    from .textstats import quality_bp_expr
+    from .textstats import quality_score
 
-    # same spread + single-projection rationale as budget_select (r6)
-    docs = spread_small_scan(docs, key="doc_id")
+    # same shape decision as budget_select (r6 note there)
     docs = docs.filter(F.col("text").isNotNull())
+    scored = quality_score(docs).select("doc_id", "quality_bp")
     norm = normalize_text(F.col("text"))
-    base = docs.select(
+    toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        quality_bp_expr().alias("quality_bp"),
         F.coalesce(F.col(group_col), F.lit("")).alias("grp"),
         F.when(norm == "", F.lit(0))
         .otherwise(F.size(F.split(norm, " ")))
         .cast("long")
         .alias("n_tok"),
     )
+    base = scored.join(toks, "doc_id")
 
     in_bucket = Window.partitionBy("grp", "quality_bp").orderBy(
         "doc_id"
